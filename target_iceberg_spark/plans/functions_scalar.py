@@ -1,0 +1,180 @@
+"""Scalar-function family plans: string, date, math, array, json
+(SURVEY.md §2B).
+
+All expressions are built-in pyspark.sql.functions — JVM-side, inside
+whole-stage codegen; no Python in the hot path. Cross-engine typing
+rules applied in the oracles: DuckDB widens length()/year()/etc. to
+BIGINT where Spark yields INT (cast in oracle); transcendentals (ln)
+are rounded since libm vs JVM differ in the last ulp; sqrt is IEEE
+correctly-rounded so needs no rounding.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name)                        AS name_upper,
+       SUBSTRING(p_type, 1, 3)              AS type_prefix,
+       CONCAT_WS('|', p_brand, p_type)      AS brand_type,
+       CAST(LENGTH(p_name) AS INT)          AS name_len,
+       REPLACE(p_name, ' ', '_')            AS name_snake,
+       LPAD(p_brand, 10, '*')               AS brand_padded,
+       REGEXP_MATCHES(p_name, 'wid')        AS is_widget
+FROM part
+WHERE p_name LIKE '%e%'
+""",
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part."""
+    part = load_table(spark, sf_dir, "part")
+    return part.where(F.col("p_name").like("%e%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.lpad("p_brand", 10, "*").alias("brand_padded"),
+        F.col("p_name").rlike("wid").alias("is_widget"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)                          AS o_year,
+       CAST(month(o_orderdate) AS INT)                         AS o_month,
+       CAST(day(o_orderdate) AS INT)                           AS o_day,
+       CAST(quarter(o_orderdate) AS INT)                       AS o_quarter,
+       CAST(date_trunc('month', o_orderdate) AS DATE)          AS month_start,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+                                                               AS days_to_2002,
+       CAST(o_orderdate AS DATE) + 30                          AS due_date
+FROM orders
+""",
+    tags=("function", "date"),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), odate).alias("days_to_2002"),
+        F.date_add(odate, 30).alias("due_date"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1)           AS price_r,
+       ABS(l_discount - 0.05)              AS disc_dev,
+       ROUND(LN(l_extendedprice), 6)       AS ln_price,
+       SQRT(l_quantity)                    AS sqrt_qty,
+       l_quantity * l_quantity             AS qty_sq,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_tax * 100) AS BIGINT)   AS tax_pct_ceil,
+       l_orderkey % 7                      AS key_mod
+FROM lineitem
+WHERE l_extendedprice > 0
+""",
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_extendedprice") > 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       embedding[1]                AS first_val,
+       ROUND(SQRT(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       ROUND(list_sum(list_transform(list_slice(embedding, 1, 8),
+             x -> CAST(x AS DOUBLE))), 6) AS head_sum
+FROM embeddings
+""",
+    tags=("function", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over embeddings (size/index/fold/slice)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    head_sum = F.aggregate(
+        F.slice("embedding", 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(head_sum, 6).alias("head_sum"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_type,
+       COUNT(*)                 AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)    AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("function", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + predicate + aggregate over events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,84 @@
+"""Query registry — the engine's public query catalog.
+
+Every operator in SURVEY.md §2 is exposed as one named entry: a builder
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the exact
+ANSI-SQL string a DuckDB oracle runs over the same parquet tables. The
+driver compares the two (row count + schema + order-insensitive value
+hash), so builders alias every computed column to the same name the
+oracle uses.
+
+Conventions for oracle-stable results:
+  - Aggregates over doubles are ROUND()ed identically on both sides
+    (sum order differs between engines at the ulp level; rounding
+    collapses it).
+  - Integer SUMs are CAST to BIGINT in the oracle (DuckDB widens to
+    HUGEINT, Spark to LONG).
+  - Timestamps are either kept as-is (both engines surface naive µs) or
+    cast to DATE; never tz-aware.
+  - Transcendental fns (ln, pow) are rounded — libm vs JVM differ in
+    the last ulp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # None => driver runs a rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tags, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every plan module so decorators run (idempotent)."""
+    from target_iceberg_spark.plans import (  # noqa: F401
+        aggregates,
+        dedup,
+        functions_scalar,
+        joins,
+        multimodal,
+        scans,
+        similarity,
+        streaming_batch,
+        text,
+        udfs,
+        windows,
+    )
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Builder]:
+    return {name: spec.builder for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None
+    }

@@ -1,0 +1,139 @@
+"""Scan / projection / filter / sort / set-op plans (SURVEY.md §2B).
+
+The reference implements no scans-with-predicates (it is write-only;
+see SURVEY.md §2 Part B) — these are the engine's read-side surface,
+expressed declaratively so Catalyst pushes filters and prunes columns
+into the parquet scan (verify with .explain: PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_orderkey < 1500
+""",
+    tags=("scan",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with predicate pushdown + column pruning."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 1500)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
+
+
+@register(
+    "scan_json_props",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+""",
+    tags=("scan", "json"),
+)
+def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON string column into typed fields."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+
+
+@register(
+    "project_filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+    tags=("scan",),
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective projection + conjunctive predicate (TPC-H Q6 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@register(
+    "sort_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("sort",),
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject (no full sort)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "set_union_except",
+    oracle="""
+SELECT custkey FROM (
+    SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    )
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+)
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 5
+""",
+    tags=("setop",),
+)
+def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) -> INTERSECT -> EXCEPT chained on customer keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_spenders = orders.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    positive = cust.where(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    near_nations = cust.where(F.col("c_nationkey") < 5).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        building.union(big_spenders)
+        .distinct()
+        .intersect(positive)
+        .subtract(near_nations)
+    )

@@ -1,0 +1,24 @@
+"""Driver-contract smoke: entry() returns rows; catalogs are consistent."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_every_oracle_key_has_query():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) > 0
+
+
+def test_builders_are_callables():
+    for name, fn in entrymod.queries().items():
+        assert callable(fn), name
