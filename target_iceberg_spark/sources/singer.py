@@ -1,0 +1,220 @@
+"""Singer JSONL message source — the reference's ingestion surface.
+
+The reference (a Meltano Singer target) reads JSONL messages on stdin:
+SCHEMA declares a stream's JSON Schema, RECORD carries one row, STATE
+is a bookmark to re-emit once preceding records are durably written,
+ACTIVATE_VERSION signals a full refresh (reference target.py:6,12 —
+SDK-inherited listen loop; sinks.py:20-41 — per-stream buffering with
+``max_size = 10000``, sinks.py:18).
+
+Two ingestion paths, same semantics:
+
+  * :class:`SingerTarget` — the parity path. A driver-side listen loop:
+    demux messages per stream, buffer up to ``max_batch_size`` records,
+    drain each full buffer (and all buffers at STATE/EOF) through the
+    writer as one Spark batch. Matches the reference's lifecycle
+    (SURVEY §3) including at-least-once STATE emission.
+
+  * :func:`demux_singer_file` — the scale path the reference lacks.
+    For bulk backfills (a 100 TB pile of Singer JSONL on object
+    storage) the listen loop's driver-side buffering is the bottleneck,
+    so instead: read the files as a distributed text DataFrame, filter
+    RECORD lines per stream, and parse them executor-side with
+    ``from_json`` under the translated schema. One Spark job per
+    stream, fully parallel, no driver round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+from datetime import date, datetime, timezone
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DataType, DateType, StructType, TimestampType
+
+from target_iceberg_spark.schema import json_schema_to_struct_type
+from target_iceberg_spark.writer import StreamWriter
+
+DEFAULT_MAX_BATCH_SIZE = 10_000  # reference sinks.py:18
+
+
+def _coerce_value(value: Any, dtype: DataType) -> Any:
+    """Parse ISO strings into temporal types for createDataFrame (the
+    reference gets this via pyarrow's string->timestamp cast in
+    ``pa.Table.from_pylist``, sinks.py:82)."""
+    if value is None:
+        return None
+    if isinstance(dtype, TimestampType) and isinstance(value, str):
+        dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
+        if dt.tzinfo is not None:  # normalize to UTC naive (session tz is UTC)
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return dt
+    if isinstance(dtype, DateType) and isinstance(value, str):
+        return date.fromisoformat(value)
+    if isinstance(dtype, StructType) and isinstance(value, dict):
+        return {f.name: _coerce_value(value.get(f.name), f.dataType) for f in dtype.fields}
+    return value
+
+
+def _coerce_record(record: dict[str, Any], schema: StructType) -> dict[str, Any]:
+    return {f.name: _coerce_value(record.get(f.name), f.dataType) for f in schema.fields}
+
+
+@dataclass
+class _StreamState:
+    """Per-stream sink state (mirrors one reference IcebergSink,
+    sinks.py:20-34: stream_name + schema + key_properties + buffer)."""
+
+    name: str
+    schema: StructType
+    key_properties: list[str]
+    buffer: list[dict[str, Any]] = field(default_factory=list)
+    records_written: int = 0
+    batches_written: int = 0
+
+
+class SingerTarget:
+    """Listen-loop target: Singer JSONL in, engine tables out.
+
+    ``upsert_on_keys=True`` turns keyed streams into last-write-wins
+    merges (engine extension); False replicates the reference's
+    append-only behavior exactly (sinks.py:25,100).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        writer: StreamWriter,
+        max_batch_size: int = DEFAULT_MAX_BATCH_SIZE,
+        upsert_on_keys: bool = False,
+        state_callback: Callable[[dict[str, Any]], None] | None = None,
+    ):
+        self.spark = spark
+        self.writer = writer
+        self.max_batch_size = max_batch_size
+        self.upsert_on_keys = upsert_on_keys
+        self.state_callback = state_callback
+        self.streams: dict[str, _StreamState] = {}
+        self.emitted_states: list[dict[str, Any]] = []
+
+    # -- message handling ------------------------------------------------
+    def process_line(self, line: str) -> None:
+        line = line.strip()
+        if not line:
+            return
+        msg = json.loads(line)
+        mtype = msg.get("type")
+        if mtype == "SCHEMA":
+            self._handle_schema(msg)
+        elif mtype == "RECORD":
+            self._handle_record(msg)
+        elif mtype == "STATE":
+            # STATE only re-emitted after preceding records are durable:
+            # at-least-once, like the SDK (SURVEY §2 A15).
+            self._drain_all()
+            state = msg.get("value", {})
+            self.emitted_states.append(state)
+            if self.state_callback:
+                self.state_callback(state)
+        elif mtype == "ACTIVATE_VERSION":
+            # Reference ignores this (SURVEY §2 A16); engine treats the
+            # next drained batch for the stream as a full refresh.
+            stream = self.streams.get(msg.get("stream", ""))
+            if stream is not None:
+                self._drain(stream, full_refresh=True)
+        # unknown message types are ignored, as in the Singer spec
+
+    def run(self, lines: Iterable[str]) -> dict[str, dict[str, int]]:
+        for line in lines:
+            self.process_line(line)
+        self._drain_all()
+        return {
+            name: {"records": s.records_written, "batches": s.batches_written}
+            for name, s in self.streams.items()
+        }
+
+    # -- internals -------------------------------------------------------
+    def _handle_schema(self, msg: dict[str, Any]) -> None:
+        name = msg["stream"]
+        existing = self.streams.get(name)
+        if existing is not None and existing.buffer:
+            self._drain(existing)  # schema replacement drains old buffer
+        self.streams[name] = _StreamState(
+            name=name,
+            schema=json_schema_to_struct_type(msg["schema"]),
+            key_properties=list(msg.get("key_properties") or []),
+        )
+
+    def _handle_record(self, msg: dict[str, Any]) -> None:
+        name = msg["stream"]
+        if name not in self.streams:
+            raise ValueError(f"RECORD for stream {name!r} before its SCHEMA")
+        stream = self.streams[name]
+        stream.buffer.append(_coerce_record(msg["record"], stream.schema))
+        if len(stream.buffer) >= self.max_batch_size:
+            self._drain(stream)
+
+    def _drain(self, stream: _StreamState, full_refresh: bool = False) -> None:
+        if not stream.buffer and not full_refresh:
+            return
+        df = self.spark.createDataFrame(stream.buffer, schema=stream.schema)
+        if full_refresh:
+            self.writer.overwrite(df, stream.name)
+        elif self.upsert_on_keys and stream.key_properties:
+            self.writer.upsert(df, stream.name, stream.key_properties)
+        else:
+            self.writer.append(df, stream.name)
+        stream.records_written += len(stream.buffer)
+        stream.batches_written += 1
+        stream.buffer = []
+
+    def _drain_all(self) -> None:
+        for stream in self.streams.values():
+            self._drain(stream)
+
+
+def demux_singer_file(
+    spark: SparkSession, path: str, schemas: dict[str, dict[str, Any]] | None = None
+) -> dict[str, DataFrame]:
+    """Distributed bulk demux of Singer JSONL file(s).
+
+    ``schemas``: stream -> Singer JSON Schema. When None, SCHEMA
+    messages are collected from the file head driver-side (they are a
+    handful of lines; the RECORD volume stays distributed).
+
+    Returns one DataFrame per stream, parsed executor-side via
+    ``from_json`` — the 100 TB path: no driver buffering, text-splitting
+    and JSON parsing scale with executors.
+    """
+    text = spark.read.text(path)
+    if schemas is None:
+        schema_rows = (
+            text.where(F.col("value").startswith('{"type": "SCHEMA"')
+                       | F.col("value").startswith('{"type":"SCHEMA"'))
+            .collect()
+        )
+        schemas = {}
+        for row in schema_rows:
+            msg = json.loads(row["value"])
+            schemas[msg["stream"]] = msg["schema"]
+
+    out: dict[str, DataFrame] = {}
+    for stream, json_schema in schemas.items():
+        struct = json_schema_to_struct_type(json_schema)
+        records = (
+            text.select(F.from_json("value", "type STRING, stream STRING").alias("m"),
+                        F.col("value"))
+            .where((F.col("m.type") == "RECORD") & (F.col("m.stream") == stream))
+            .select(
+                F.from_json(
+                    F.get_json_object("value", "$.record"), struct
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        out[stream] = records
+    return out

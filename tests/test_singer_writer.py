@@ -1,0 +1,143 @@
+"""Sink-behavior tests — FIXTURES.md §B6, modeling the reference's
+stream->table lifecycle (reference sinks.py) on the parquet warehouse."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from target_iceberg_spark.sources.singer import SingerTarget, demux_singer_file
+from target_iceberg_spark.writer import StreamWriter, WriterConfig
+
+USERS_SCHEMA = {
+    "type": "SCHEMA",
+    "stream": "users",
+    "key_properties": ["id"],
+    "schema": {
+        "properties": {
+            "id": {"type": ["integer"]},
+            "name": {"type": ["string", "null"]},
+            "created_at": {"type": ["string", "null"], "format": "date-time"},
+        }
+    },
+}
+
+
+def _record(stream, **rec):
+    return json.dumps({"type": "RECORD", "stream": stream, "record": rec})
+
+
+@pytest.fixture()
+def writer(spark, tmp_path):
+    return StreamWriter(spark, WriterConfig(warehouse=str(tmp_path)), mode="parquet")
+
+
+def test_two_interleaved_streams_two_tables(spark, writer):
+    """B6: table per stream, name = stream name (ref sinks.py:85-86)."""
+    orders_schema = {
+        "type": "SCHEMA",
+        "stream": "orders_n",
+        "key_properties": [],
+        "schema": {"properties": {"oid": {"type": ["integer"]}}},
+    }
+    lines = [
+        json.dumps(USERS_SCHEMA),
+        json.dumps(orders_schema),
+        _record("users", id=1, name="a", created_at="2024-01-02T03:04:05Z"),
+        _record("orders_n", oid=10),
+        _record("users", id=2, name="b", created_at=None),
+        json.dumps({"type": "STATE", "value": {"bookmark": 1}}),
+    ]
+    target = SingerTarget(spark, writer, max_batch_size=100)
+    stats = target.run(lines)
+    assert stats == {
+        "users": {"records": 2, "batches": 1},
+        "orders_n": {"records": 1, "batches": 1},
+    }
+    assert writer.read("users").count() == 2
+    assert writer.read("orders_n").count() == 1
+    assert target.emitted_states == [{"bookmark": 1}]
+    # timestamp coercion survived the round trip
+    row = writer.read("users").where("id = 1").collect()[0]
+    assert row["created_at"].year == 2024
+
+
+def test_batching_drains_at_max_size(spark, writer):
+    """B6: 25 records with max_batch_size=10 -> 3 appends (ref sinks.py:18)."""
+    lines = [json.dumps(USERS_SCHEMA)] + [
+        _record("users", id=i, name=f"u{i}", created_at=None) for i in range(25)
+    ]
+    target = SingerTarget(spark, writer, max_batch_size=10)
+    stats = target.run(lines)
+    assert stats["users"] == {"records": 25, "batches": 3}
+    assert writer.read("users").count() == 25
+
+
+def test_append_only_keeps_duplicates_by_default(spark, writer):
+    """B6: duplicate keys persist — parity with the reference's unused
+    key_properties (ref sinks.py:25,100)."""
+    lines = [json.dumps(USERS_SCHEMA)] + [
+        _record("users", id=1, name="first", created_at=None),
+        _record("users", id=1, name="second", created_at=None),
+    ]
+    SingerTarget(spark, writer, max_batch_size=100).run(lines)
+    assert writer.read("users").count() == 2
+
+
+def test_upsert_mode_last_write_wins(spark, writer):
+    """B6 extension: upsert_on_keys merges on key_properties."""
+    target = SingerTarget(spark, writer, max_batch_size=1, upsert_on_keys=True)
+    target.run(
+        [json.dumps(USERS_SCHEMA), _record("users", id=1, name="first", created_at=None)]
+    )
+    target.run([_record("users", id=1, name="second", created_at=None)])
+    rows = writer.read("users").collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "second"
+
+
+def test_record_metadata_columns(spark, tmp_path):
+    """B6: add_record_metadata=true -> _sdc_* columns (ref target.py:16)."""
+    writer = StreamWriter(
+        spark,
+        WriterConfig(warehouse=str(tmp_path), add_record_metadata=True),
+        mode="parquet",
+    )
+    SingerTarget(spark, writer).run(
+        [json.dumps(USERS_SCHEMA), _record("users", id=1, name="a", created_at=None)]
+    )
+    cols = writer.read("users").columns
+    assert {"_sdc_received_at", "_sdc_batched_at", "_sdc_sequence"} <= set(cols)
+
+
+def test_record_before_schema_raises(spark, writer):
+    with pytest.raises(ValueError, match="before its SCHEMA"):
+        SingerTarget(spark, writer).run([_record("users", id=1)])
+
+
+def test_activate_version_full_refresh(spark, writer):
+    """Engine extension for A16 (reference ignores ACTIVATE_VERSION)."""
+    target = SingerTarget(spark, writer, max_batch_size=100)
+    target.run([json.dumps(USERS_SCHEMA), _record("users", id=1, name="old", created_at=None)])
+    target.process_line(_record("users", id=2, name="new", created_at=None))
+    target.process_line(json.dumps({"type": "ACTIVATE_VERSION", "stream": "users", "version": 2}))
+    rows = writer.read("users").collect()
+    assert [r["name"] for r in rows] == ["new"]
+
+
+def test_demux_singer_file_distributed(spark, writer, tmp_path):
+    """Scale path: bulk JSONL -> per-stream DataFrames via from_json."""
+    p = tmp_path / "dump.jsonl"
+    lines = [json.dumps(USERS_SCHEMA)] + [
+        _record("users", id=i, name=f"u{i}", created_at="2024-01-02T03:04:05Z")
+        for i in range(50)
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    dfs = demux_singer_file(spark, str(p))
+    assert set(dfs) == {"users"}
+    users = dfs["users"]
+    assert users.count() == 50
+    assert dict(users.dtypes)["created_at"] == "timestamp"
+    writer.append(users, "users_bulk")
+    assert writer.read("users_bulk").count() == 50
