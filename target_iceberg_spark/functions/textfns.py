@@ -1,0 +1,68 @@
+"""Text-analysis Column expressions: tokenization, n-gram shingles,
+fingerprints, language-ID markers, quality features.
+
+Everything is built-in expression API (split/transform/filter/md5) so
+it runs JVM-side and — important for the oracle gate — has an exact
+DuckDB SQL equivalent (string_split/list_transform/list_filter/md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens. Single-space split (not regex \\s+)
+    to stay bit-compatible with DuckDB string_split."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Positional word n-gram shingles (space-joined). Empty array when
+    the document has fewer than n tokens."""
+    w = tokens(text)
+    count = F.size(w) - (n - 1)
+    make = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+    )
+    return F.when(count >= 1, make).otherwise(F.array().cast("array<string>"))
+
+
+def token_set_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set. Two documents that are word-permutations of each other
+    collide; md5 is engine-portable (same hex in Spark and DuckDB)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+# Tiny per-language marker lexicons for the heuristic language-ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "que", "los"),
+    "fr": ("le", "les", "et", "une"),
+}
+LANG_FALLBACK = "unknown"
+
+
+def marker_hits(text: Column | str, lang: str) -> Column:
+    """Count of tokens belonging to ``lang``'s marker lexicon."""
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))
+
+
+def langid(text: Column | str) -> Column:
+    """Heuristic language-ID: argmax of marker-lexicon hit counts, ties
+    broken by the fixed language order above; 'unknown' when no marker
+    hits at all. A deterministic n-gram/stopword heuristic — the
+    classic pre-neural langid shape."""
+    hits = {lang: marker_hits(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    expr = F.lit(LANG_FALLBACK)
+    # build CASE from last to first so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr

@@ -1,0 +1,59 @@
+"""Vector math over array<float> embedding columns.
+
+Pure built-in higher-order functions (zip_with / aggregate) — the
+whole computation stays in the JVM inside codegen; no Python UDF in
+the hot path. Elements are cast to double BEFORE multiply/accumulate
+so results are engine-portable (float32 accumulation is not):
+left-to-right sequential folds match DuckDB's list_* functions on
+DOUBLE[] casts.
+
+At 100 TB scale brute-force cosine is O(N·d) per probe — fine for one
+probe (one pass), quadratic for all-pairs. The all-pairs/dedup paths
+must block first (see operators/ and plans/dedup.py); this module only
+provides the per-pair kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product in double precision."""
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_norm(a: Column | str) -> Column:
+    a = _as_col(a)
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity = dot / sqrt(|a|^2 * |b|^2)."""
+    return dot(a, b) / F.sqrt(sq_norm(a) * sq_norm(b))
+
+
+def sign_bucket(a: Column | str, n_components: int = 2) -> Column:
+    """Coarse deterministic bucket from the signs of the first
+    ``n_components`` vector components — a 1-bit-per-dim random-
+    hyperplane LSH with axis-aligned planes. Nearly-parallel vectors
+    (near-dups) land in the same bucket unless a used component is
+    ~0; used to block quadratic pair generation."""
+    a = _as_col(a)
+    bucket = F.lit(0)
+    for i in range(n_components):
+        bit = F.when(F.element_at(a, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket

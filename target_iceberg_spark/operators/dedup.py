@@ -1,0 +1,208 @@
+"""Near-duplicate detection operators: MinHash+LSH and SimHash.
+
+Design for 100 TB: never materialize the O(N^2) pair space. Both
+families generate candidate pairs through equi-joins on compact keys
+(LSH band hash / SimHash segment), so the heavy step is an ordinary
+shuffle join Catalyst already knows how to distribute, and the exact
+verification (Jaccard / Hamming) runs only on candidates.
+
+Hashing is md5-based — NOT Spark's hash()/xxhash64 — deliberately:
+md5 produces identical hex in every engine, which makes the whole
+pipeline expressible in the DuckDB oracle and therefore subject to the
+strict correctness gate. Per-hash-function minima are taken over the
+*lexicographic* order of fixed-width hex strings, which equals numeric
+order — no hex->int conversion needed.
+
+MLlib's MinHashLSH offers a same-shaped alternative; this
+implementation is preferred because it is engine-portable and keeps
+the signature layout explicit (one column per hash).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from target_iceberg_spark.functions.textfns import word_ngrams
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — one row per occurrence; downstream MIN/COUNT
+    DISTINCT make duplicates harmless."""
+    return df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """One column per hash function: s_j = MIN over shingles of
+    md5(j || ':' || shingle). A single map-side-combinable groupBy."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"s{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(
+    signatures: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Collapse each band of num_hashes/bands signature columns to one
+    md5 band key; output long-form (id, band_idx, band_key) so candidate
+    generation is ONE equi-join regardless of band count."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_key"))
+        )
+    return (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, "bk.band_idx", "bk.band_key")
+    )
+
+
+def candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing >= 1 band: self-equi-join on
+    (band_idx, band_key) — shuffle-partitioned by band key, no cross
+    product. Output columns: id_a, id_b."""
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: shingle -> signature -> band -> pairs."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    return candidate_pairs(lsh_band_keys(sig, id_col, num_hashes, bands), id_col)
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only (the verify
+    step after LSH). Returns id_a, id_b, n_int, n_a, n_b, jaccard."""
+    sizes = shingles.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("n_sh")
+    )
+    ex = shingles.select(F.col(id_col), "shingle").distinct()
+    inter = (
+        pairs.join(ex.alias("x"), F.col("id_a") == F.col(f"x.{id_col}"))
+        .join(
+            ex.alias("y"),
+            (F.col("id_b") == F.col(f"y.{id_col}"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_int",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+            (
+                F.col("n_int").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_int"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived) — Hamming-distance near-dup family.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document: each token hashes to 16 bits (first 4
+    hex chars of md5); fingerprint bit b is 1 iff more tokens set bit b
+    than clear it. Engine-portable: hex parse + bit ops exist in both
+    Spark ('conv') and DuckDB ('0x..'::INTEGER)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 1)).alias("tok")
+    )
+    th = sh.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    )
+    bit_sums = th.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bit_sums.select(F.col(id_col), fp.cast("int").alias("simhash"))
+
+
+def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int = 2) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming. Pigeonhole blocking:
+    split the 16-bit fingerprint into (max_hamming + 1) segments — any
+    pair within distance max_hamming agrees on >= 1 segment, so
+    candidates come from segment-equality equi-joins, never O(N^2)."""
+    n_seg = max_hamming + 1
+    seg_bits = SIMHASH_BITS // n_seg  # last segment takes the remainder
+    segs = []
+    for s in range(n_seg):
+        shift = s * seg_bits
+        width = SIMHASH_BITS - shift if s == n_seg - 1 else seg_bits
+        mask = (1 << width) - 1
+        segs.append(
+            F.struct(
+                F.lit(s).alias("seg_idx"),
+                F.shiftright(F.col("simhash"), shift).bitwiseAND(mask).alias("seg_val"),
+            )
+        )
+    long_form = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*segs)).alias("sg")
+    ).select(id_col, "simhash", "sg.seg_idx", "sg.seg_val")
+    a, b = long_form.alias("a"), long_form.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

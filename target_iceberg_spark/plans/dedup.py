@@ -1,1 +1,268 @@
-"""Placeholder — filled in by later build waves."""
+"""Deduplication plans — exact, keyed, MinHash+LSH, n-gram Jaccard,
+SimHash, embedding-cosine (SURVEY.md §2B north star).
+
+Every pipeline is blocked/bucketed so candidate generation is an
+equi-join, never an O(N^2) cross product — the property that survives
+a 100 TB corpus. Hashes are md5 (engine-portable hex) so the complete
+pipelines, including LSH banding and SimHash bit math, run identically
+in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.functions.vectors import cosine, sign_bucket
+from target_iceberg_spark.operators.dedup import (
+    SIMHASH_BITS,
+    jaccard_on_pairs,
+    lsh_band_keys,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    shingle_table,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+NUM_HASHES = 16
+BANDS = 4
+EMB_COS_THRESHOLD = 0.4  # test embeddings are random (max pair cos ~0.51)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(lower(text)) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(text))
+""",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized text hash: one group per distinct
+    (lowercased) text, keeping the smallest doc_id. Map-side-combinable
+    groupBy — the cheapest dedup at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.lower("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_keyed",
+    oracle="""
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+FROM (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+    tags=("dedup",),
+)
+def dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: latest event per user (window + rn=1 — the
+    last-write-wins pattern the writer's upsert uses)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _shingle_cte() -> str:
+    return """
+w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM w
+)"""
+
+
+def _minhash_ctes(num_hashes: int = NUM_HASHES, bands: int = BANDS) -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5('{j}:' || shingle)) AS s{j}" for j in range(num_hashes)
+    )
+    rows = num_hashes // bands
+    band_exprs = ",\n           ".join(
+        "md5(" + " || ".join(f"s{b * rows + r}" for r in range(rows)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""{_shingle_cte()},
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id,
+           {band_exprs}
+    FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id AND ({band_or})
+)"""
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"WITH {_minhash_ctes()}\nSELECT id_a, id_b FROM cand",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates over word-trigram shingles:
+    shingle -> 16 md5-minima signature -> 4 band keys -> band-bucket
+    equi-join. The shuffle key is the band hash, so work scales with
+    bucket occupancy, not N^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_minhash_ctes()},
+ex AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id)
+SELECT c.id_a, c.id_b,
+       COUNT(*) AS n_int,
+       CAST(MIN(sa.n_sh) AS BIGINT) AS n_a,
+       CAST(MIN(sb.n_sh) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS DOUBLE) / (MIN(sa.n_sh) + MIN(sb.n_sh) - COUNT(*)) AS jaccard
+FROM cand c
+JOIN ex x ON x.doc_id = c.id_a
+JOIN ex y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+GROUP BY c.id_a, c.id_b
+""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-set Jaccard, computed ONLY for LSH candidate pairs
+    (the verify step after dedup_minhash's probabilistic filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3)
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
+    )
+    res = jaccard_on_pairs(pairs, sh, "doc_id")
+    return res.select(
+        "id_a",
+        "id_b",
+        F.col("n_int").alias("n_int"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
+def _simhash_ctes() -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_sum = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    # 3 segments (max_hamming=2 pigeonhole): bits 0-4, 5-9, 10-15
+    segs = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {s} AS seg_idx, "
+        f"(simhash >> {s * 5}) & {(1 << (6 if s == 2 else 5)) - 1} AS seg_val FROM fp"
+        for s in range(3)
+    )
+    return f"""
+t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h FROM t),
+bs AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp_sum})::INTEGER AS simhash FROM bs),
+segl AS ({segs}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sh_a, b.simhash AS sh_b
+    FROM segl a JOIN segl b
+      ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_simhash_ctes()}
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)::BIGINT) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)::BIGINT) <= 2
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit md5-derived fingerprints, pigeonhole
+    segment blocking (3 segments => any pair at Hamming distance <= 2
+    shares a segment), Hamming verify on candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "doc_id", "text")
+    return simhash_pairs(fps, "doc_id", max_hamming=2)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, label,
+           (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bkt,
+           embedding::DOUBLE[] AS v
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b
+  ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {EMB_COS_THRESHOLD}
+""",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with (label, sign-bucket) blocking: the
+    cross product shrinks by ~|labels| * 2^bits while nearly-parallel
+    pairs still collide. Cosine runs as a JVM-side fold, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", "embedding", sign_bucket("embedding", 2).alias("bkt")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= EMB_COS_THRESHOLD)
+    )

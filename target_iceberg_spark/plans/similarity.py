@@ -1,1 +1,87 @@
-"""Placeholder — filled in by later build waves."""
+"""Similarity-search plans: brute-force cosine top-k and LSH-bucketed
+ANN (SURVEY.md §2B north star).
+
+sim_cosine_topk is the exact baseline: one pass over N vectors per
+probe (O(N*d)), a broadcast of the probe, and TakeOrderedAndProject
+for the top-k — no shuffle of the embedding table at all. The scale
+path (sim_ann_lsh) buckets vectors with MLlib's
+BucketedRandomProjectionLSH so each probe touches only colliding
+buckets; its hash planes are seeded randomness, so it gets the
+rows-only check plus a recall unit test against the brute-force
+baseline (tests/test_operators.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.functions.vectors import cosine
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+PROBE_VEC_ID = 0
+TOP_K = 10
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH probe AS (
+    SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+)
+SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], p), 6) AS cos_sim
+FROM embeddings, probe
+WHERE vec_id <> {PROBE_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+""",
+    tags=("similarity",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against the probe vector (vec_id=0):
+    broadcast probe -> JVM-side fold -> TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    return (
+        emb.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine("embedding", "probe_vec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register("sim_ann_lsh", oracle=None, tags=("similarity", "ann"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane bucketing (MLlib
+    BucketedRandomProjectionLSH, fixed seed): probes join only their
+    hash buckets instead of the full table. Rows-only check (seeded
+    random planes aren't SQL-reproducible); recall vs brute force is
+    unit-tested."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_vec = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(with_vec)
+    probes = with_vec.where(F.col("vec_id") < 5)
+    joined = model.approxSimilarityJoin(probes, with_vec, 12.0, distCol="dist")
+    return (
+        joined.where(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("probe_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )

@@ -1,1 +1,147 @@
-"""Placeholder — filled in by later build waves."""
+"""Text-analysis plans: token stats, language-ID, quality scoring,
+document fingerprinting (SURVEY.md §2B north star).
+
+All four are pure built-in expressions over the documents table —
+tokenize/filter/distinct/md5 run inside whole-stage codegen, and each
+has an exact DuckDB equivalent so the strict oracle gate applies.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.functions.textfns import (
+    LANG_MARKERS,
+    langid,
+    token_set_fingerprint,
+    tokens,
+)
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "text_tokens",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting aggregated per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.round(F.avg(n_tok.cast("double")), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({lst}))) AS h_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        others = " AND ".join(f"h_{lang} >= h_{o}" for o in langs[i + 1 :])
+        cond = f"h_{lang} > 0" + (f" AND {others}" if others else "")
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+WITH hits AS (
+    SELECT doc_id, lang, {", ".join(hit_cols)}
+    FROM documents
+),
+pred AS (SELECT lang, {case_sql} AS pred_lang FROM hits)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+@register("text_langid", oracle=_langid_oracle(), tags=("text",))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (marker-lexicon argmax) cross-tabulated
+    against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, lang, n_chars,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_types
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_tok AS INT) AS n_tokens,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tok, 4) AS chars_per_token,
+       ROUND(CAST(n_types AS DOUBLE) / n_tok, 4) AS type_token_ratio,
+       (n_tok BETWEEN 20 AND 80 AND n_types * 4 >= n_tok) AS quality_ok
+FROM f
+""",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, chars/token,
+    type-token ratio, and a boolean gate (integer-ratio thresholds so
+    the predicate is engine-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_types = F.size(F.array_distinct(tokens("text")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("chars_per_token"),
+        F.round(n_types.cast("double") / n_tok, 4).alias("type_token_ratio"),
+        (n_tok.between(20, 80) & (n_types * 4 >= n_tok)).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+           AS fingerprint,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+GROUP BY 1
+""",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive token-set fingerprint per document, grouped —
+    documents that are word-permutations collapse to one fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(token_set_fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )

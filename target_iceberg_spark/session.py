@@ -56,7 +56,49 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, ENGINE_CONF[key])
         except Exception:
             pass  # static conf on this build — session must be pre-configured
+    ensure_package_shipped(spark)
     return spark
+
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Module-level functions used inside pandas UDFs / mapInPandas are
+    cloudpickled BY REFERENCE, so the worker must be able to import
+    ``target_iceberg_spark`` — true neither for a foreign driver
+    session started outside the repo (local mode) nor for remote
+    executors on a real cluster. Zipping the package and addPyFile'ing
+    it is the standard deployment path for both."""
+    import tempfile
+    import zipfile
+
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        return  # Connect-only session: rely on closure pickling by value
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"target_iceberg_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. duplicate add on a shared context
+    _SHIPPED_CONTEXTS.add(key)
 
 
 def get_spark(

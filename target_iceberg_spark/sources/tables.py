@@ -31,6 +31,11 @@ TABLES: tuple[str, ...] = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame with engine-normalized columns."""
+    from target_iceberg_spark.session import ensure_package_shipped
+
+    # Every plan goes through here — guarantees executor Python workers
+    # can import this package even under a foreign driver session.
+    ensure_package_shipped(spark)
     if name == "events":
         # The nanos column needs the legacy read path; runtime-settable,
         # so this also works under a driver-owned session.

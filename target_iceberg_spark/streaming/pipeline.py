@@ -1,0 +1,148 @@
+"""Structured Streaming pipelines.
+
+The reference's runtime IS a stream processor in the small: an
+unbounded stdin message stream, per-stream buffers, batch commits at
+size/STATE boundaries, at-least-once state emission (SURVEY §3). This
+module is that lifecycle on Spark's engine:
+
+  readStream (file source)  ->  event-time transforms (tumbling /
+  sliding / session windows with watermark)  ->  foreachBatch into
+  StreamWriter.append  +  checkpoint.
+
+Semantics mapping:
+  - reference max_size=10000 buffer drain  -> micro-batch trigger
+    (availableNow for bounded catch-up, processingTime for tailing)
+  - reference STATE emit after drain       -> checkpoint commit after
+    each epoch (exactly-once to the parquet/Iceberg sink via
+    idempotent-by-epoch appends; the reference is only at-least-once)
+  - late records (reference: appended whenever they arrive) ->
+    withWatermark bounds state: events later than the watermark delay
+    are dropped from windowed aggregates.
+
+The windowed transforms are the SAME window()/session_window()
+expressions the batch plans use (plans/streaming_batch.py), so their
+results are oracle-checked in batch mode; streaming tests assert
+batch/stream construction equivalence at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from target_iceberg_spark.writer import StreamWriter
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of events parquet (ts arrives as epoch-nanos
+    long — same nanos workaround as the batch loader) normalized to a
+    timestamp `ts` column.
+
+    ``path`` must be a DIRECTORY (Spark file-source contract — new
+    files appearing there become new micro-batches). For a single
+    parquet file, symlink it into a directory first.
+    """
+    import os
+
+    if os.path.isfile(path):
+        raise ValueError(
+            f"streaming source must be a directory, got file: {path} "
+            "(symlink it into a directory)"
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+    # Watermarks require TIMESTAMP (ltz), not TIMESTAMP_NTZ — under the
+    # UTC session timezone the wall-clock values are identical.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of
+    plans/streaming_batch.py::stream_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session-window aggregate (streaming twin of
+    stream_session)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def write_stream_to_table(
+    df: DataFrame,
+    writer: StreamWriter,
+    stream_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Sink a streaming DataFrame through the engine writer with
+    foreachBatch + checkpointing (availableNow trigger: drain whatever
+    is available, then stop — the bounded-backfill mode)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        writer.append(batch_df, stream_name)
+
+    return (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+
+
+def run_bounded(
+    spark: SparkSession,
+    source_path: str,
+    writer: StreamWriter,
+    stream_name: str,
+    checkpoint_dir: str,
+    transform=None,
+) -> None:
+    """End-to-end bounded streaming run: file source -> optional
+    transform -> writer sink; blocks until the availableNow drain
+    completes."""
+    events = read_event_stream(spark, source_path)
+    out = transform(events) if transform is not None else events
+    mode = "append" if transform is None else "complete"
+    q = write_stream_to_table(out, writer, stream_name, checkpoint_dir, output_mode=mode)
+    q.awaitTermination()

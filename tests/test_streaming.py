@@ -1,0 +1,78 @@
+"""Structured Streaming tests: bounded drain through the writer sink,
+and batch/stream equivalence of the windowed transforms (SURVEY §7
+hard-5: session/watermark semantics bound by construction tests)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import os
+
+import pytest
+
+from target_iceberg_spark.sources.tables import load_table
+from target_iceberg_spark.streaming.pipeline import (
+    read_event_stream,
+    run_bounded,
+    session_counts,
+    tumbling_counts,
+)
+from target_iceberg_spark.writer import StreamWriter, WriterConfig
+
+
+@pytest.fixture()
+def events_dir(sf_smoke, tmp_path):
+    """File streaming sources need a directory; symlink the events file."""
+    d = tmp_path / "events_src"
+    d.mkdir()
+    os.symlink(f"{sf_smoke}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_stream_passthrough_lands_all_rows(spark, sf_smoke, events_dir, tmp_path):
+    writer = StreamWriter(spark, WriterConfig(warehouse=str(tmp_path / "wh")), mode="parquet")
+    run_bounded(
+        spark,
+        events_dir,
+        writer,
+        "events_stream",
+        str(tmp_path / "ckpt"),
+    )
+    n_stream = writer.read("events_stream").count()
+    n_batch = load_table(spark, sf_smoke, "events").count()
+    assert n_stream == n_batch
+    # ts survived the nanos->timestamp normalization
+    assert dict(writer.read("events_stream").dtypes)["ts"].startswith("timestamp")
+
+
+def test_tumbling_stream_equals_batch(spark, sf_smoke, events_dir, tmp_path):
+    writer = StreamWriter(spark, WriterConfig(warehouse=str(tmp_path / "wh")), mode="parquet")
+    run_bounded(
+        spark,
+        events_dir,
+        writer,
+        "hourly",
+        str(tmp_path / "ckpt"),
+        transform=lambda ev: tumbling_counts(ev, "1 hour", "2 hours"),
+    )
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in writer.read("hourly").collect()
+    }
+    batch = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_stream_builds(spark, events_dir):
+    """Session windows are valid on an unbounded plan (schema check —
+    value equivalence is covered by the batch oracle stream_session)."""
+    ev = read_event_stream(spark, events_dir)
+    out = session_counts(ev)
+    assert out.isStreaming
+    assert set(out.columns) == {"user_id", "sess_start", "n_events", "sum_value"}
