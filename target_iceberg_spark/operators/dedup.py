@@ -23,14 +23,17 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from target_iceberg_spark.functions.textfns import word_ngrams
+from target_iceberg_spark.functions.textfns import ngrams_of, tokens
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) pairs — one row per occurrence; downstream MIN/COUNT
-    DISTINCT make duplicates harmless."""
-    return df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle")
+    DISTINCT make duplicates harmless. Tokens are materialized into a
+    column before shingling (see functions/textfns.py::ngrams_of for
+    the O(tokens^2) trap this avoids)."""
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), F.explode(ngrams_of("_toks", n)).alias("shingle"))
     )
 
 
@@ -145,9 +148,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     hex chars of md5); fingerprint bit b is 1 iff more tokens set bit b
     than clear it. Engine-portable: hex parse + bit ops exist in both
     Spark ('conv') and DuckDB ('0x..'::INTEGER)."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, 1)).alias("tok")
-    )
+    sh = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     th = sh.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
     )

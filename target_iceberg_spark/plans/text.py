@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from target_iceberg_spark.functions.textfns import (
     LANG_MARKERS,
-    langid,
+    langid_from_hits,
     token_set_fingerprint,
     tokens,
 )
@@ -81,8 +81,23 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (marker-lexicon argmax) cross-tabulated
     against the labeled lang column."""
     docs = load_table(spark, sf_dir, "documents")
+    # tokens, then marker hits, materialized as columns stage by stage —
+    # see langid_from_hits on why inlining bloats codegen.
+    toks_df = docs.select("lang", tokens("text").alias("_toks"))
+
+    def _is_marker(markers):
+        return lambda t: t.isin(*markers)
+
+    hits_df = toks_df.select(
+        "lang",
+        *[
+            F.size(F.filter("_toks", _is_marker(markers))).alias(f"h_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    pred = langid_from_hits({lang: F.col(f"h_{lang}") for lang in LANG_MARKERS})
     return (
-        docs.select("lang", langid("text").alias("pred_lang"))
+        hits_df.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "pred_lang")

@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness says the right rows come back; these tests pin HOW:
+filters reach the parquet scan, projections prune columns, dimension
+joins broadcast, fact joins sort-merge, top-k avoids a global sort, and
+no pipeline ever degenerates into a cartesian/BNL join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from target_iceberg_spark.plans import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(spark, sf_oracle, name: str) -> str:
+    df = SPECS[name].builder(spark, sf_oracle)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "scan_parquet")
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,1500)" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_project_filter_pushdown(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "project_filter")
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1]
+
+
+def test_dimension_joins_broadcast(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "join_broadcast")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_join_is_sort_merge(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "join_sortmerge")
+    assert "SortMergeJoin" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_phase(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "agg_group")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_range", "join_asof", "dedup_minhash", "dedup_simhash", "dedup_embedding"],
+)
+def test_no_cartesian_products(spark, sf_oracle, name):
+    plan = plan_of(spark, sf_oracle, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_is_single_shuffle(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "join_asof")
+    # one exchange per union branch feeding ONE window sort — no join
+    # operator at all in the as-of implementation
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
+
+
+def test_cosine_topk_broadcasts_probe(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "sim_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
