@@ -60,6 +60,7 @@ def _load_all() -> None:
         functions_scalar,
         joins,
         multimodal,
+        relational_extra,
         scans,
         similarity,
         streaming_batch,

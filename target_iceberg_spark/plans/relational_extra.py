@@ -1,0 +1,201 @@
+"""Extended relational surface: full outer join, correlated scalar
+subquery (SQL entry point), cube, pivot, conditional functions,
+Python UDTF, approximate distinct (SURVEY.md §2B extensions).
+
+subquery_scalar deliberately goes through ``spark.sql`` over registered
+temp views — exercising the SQL front door and Catalyst's subquery
+decorrelation rather than hand-building the equivalent join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT COALESCE(c.c_nationkey, -1) AS nationkey,
+       COUNT(c.c_custkey) AS n_customers,
+       COUNT(s.s_suppkey) AS n_suppliers
+FROM customer c
+FULL OUTER JOIN supplier s ON s.s_nationkey = c.c_nationkey
+GROUP BY COALESCE(c.c_nationkey, -1)
+""",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join preserving rows from both sides (nations that
+    have customers but no suppliers and vice versa)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.join(supp, F.col("s_nationkey") == F.col("c_nationkey"), "full_outer")
+        .groupBy(F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+SUBQUERY_SCALAR_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > 2 * (
+    SELECT AVG(c2.c_acctbal) FROM customer c2
+    WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+
+@register("subquery_scalar", oracle=SUBQUERY_SCALAR_SQL, tags=("subquery", "sql"))
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point — Catalyst
+    decorrelates it into an aggregate + join (no per-row re-execution,
+    which is what makes it viable at scale)."""
+    for name in ("customer",):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(SUBQUERY_SCALAR_SQL)
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT n_name, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_spend
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, o_orderpriority)
+""",
+    tags=("aggregate",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, priority): all four grouping-set combinations
+    in one pass (Expand + single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .cube("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(f"ROUND(SUM(value) FILTER (WHERE event_type = '{t}'), 2) AS v_{t}"
+                  for t in EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+""",
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns (explicit value list => no extra
+    distinct-values job; Spark rewrites to conditional aggregates, the
+    same thing the oracle's FILTER clauses express)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return pivoted.select(
+        "user_id", *[F.col(t).alias(f"v_{t}") for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+       LEAST(o_totalprice, 250000.0) AS capped_price,
+       GREATEST(o_totalprice - 5000.0, 0.0) AS after_fee
+FROM orders
+""",
+    tags=("function", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression family: CASE/NULLIF/COALESCE/LEAST/GREATEST."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("capped_price"),
+        F.greatest(F.col("o_totalprice") - 5000.0, F.lit(0.0)).alias("after_fee"),
+    )
+
+
+@register(
+    "udtf_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(lower(text), ' '), 1) AS INT) AS pos,
+       unnest(string_split(lower(text), ' ')) AS token
+FROM documents
+WHERE doc_id < 50
+""",
+    tags=("udtf",),
+)
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row -> N output rows, tokenizing
+    with positions through a LATERAL join. Bounded to 50 docs — UDTFs
+    are row-at-a-time Python, the demo exists for the mechanism; the
+    hot-path equivalent is posexplode(split(...))."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class TokenizeUDTF:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.lower().split(" ")):
+                yield doc_id, i + 1, tok
+
+    spark.udtf.register("engine_tokenize", TokenizeUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT u.doc_id, u.pos, u.token "
+        "FROM documents d, LATERAL engine_tokenize(d.doc_id, d.text) u "
+        "WHERE d.doc_id < 50"
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("aggregate", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per event type (rows-only check:
+    Spark's HLL sketch differs from DuckDB's; a unit test bounds the
+    estimate within 5% of exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
+        )
+        .orderBy("event_type")
+    )
