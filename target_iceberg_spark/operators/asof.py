@@ -36,14 +36,64 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: for each left row, attach ``value_cols`` from the
-    latest right row with ``right_ts <= left_ts`` (strict ``<`` when
-    ``allow_exact_matches=False``) and equal ``on`` key(s).
+    nearest right row in ``direction`` with an equal ``on`` key:
 
+      - ``backward`` (default): latest right row with right_ts <= left_ts
+      - ``forward``: earliest right row with right_ts >= left_ts
+      - ``nearest``: whichever of the two is closer in absolute time
+        (ties resolve backward, matching pandas.merge_asof). Implemented
+        as a backward pass + a forward pass joined on the probe identity
+        (keys + ts + payload), which must therefore be unique per row.
+
+    ``allow_exact_matches=False`` makes the comparisons strict.
     ``left`` keeps all its columns; unmatched probes get NULL values.
     ``value_cols`` must not collide with ``left`` column names.
     """
+    if direction == "nearest":
+        keys = [on] if isinstance(on, str) else list(on)
+
+        def _pass(tag: str, d: str) -> DataFrame:
+            renamed = right.select(
+                *[F.col(k) for k in keys],
+                F.col(right_ts),
+                F.col(right_ts).alias(f"_{tag}_ts"),
+                *[F.col(c).alias(f"_{tag}_{c}") for c in value_cols],
+            )
+            return asof_join(
+                left,
+                renamed,
+                on,
+                left_ts,
+                right_ts,
+                [f"_{tag}_ts", *[f"_{tag}_{c}" for c in value_cols]],
+                allow_exact_matches,
+                direction=d,
+            )
+
+        join_cols = keys + [left_ts] + [
+            c for c in left.columns if c not in keys and c != left_ts
+        ]
+        merged = _pass("bwd", "backward").join(
+            _pass("fwd", "forward"), on=join_cols, how="inner"
+        )
+        d_b = F.abs(F.col(left_ts).cast("double") - F.col("_bwd_ts").cast("double"))
+        d_f = F.abs(F.col("_fwd_ts").cast("double") - F.col(left_ts).cast("double"))
+        pick_backward = F.col("_fwd_ts").isNull() | (
+            F.col("_bwd_ts").isNotNull() & (d_b <= d_f)  # ties go backward
+        )
+        out_vals = [
+            F.when(pick_backward, F.col(f"_bwd_{c}"))
+            .otherwise(F.col(f"_fwd_{c}"))
+            .alias(c)
+            for c in value_cols
+        ]
+        return merged.select(*join_cols, *out_vals)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+
     keys = [on] if isinstance(on, str) else list(on)
     clash = set(value_cols) & set(left.columns)
     if clash:
@@ -53,7 +103,7 @@ def asof_join(
     value_cols = list(value_cols)
 
     # Reference rows sort before probe rows at equal ts for inclusive
-    # semantics, after for exclusive.
+    # semantics, after for exclusive; forward direction mirrors both.
     probe_rank = 1 if allow_exact_matches else 0
     ref_rank = 1 - probe_rank
 
@@ -72,11 +122,19 @@ def asof_join(
         *[F.col(c) for c in value_cols],
     )
 
+    if direction == "backward":
+        order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
+    else:  # forward: earliest reference at-or-after the probe — walk the
+        # timeline in reverse so "last seen reference" is the nearest
+        # future one; side stays ascending so the inclusive/exclusive
+        # tie-break keeps working.
+        order = [F.col("_asof_ts").desc(), F.col("_asof_side").asc()]
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_asof_ts", "_asof_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
     filled = r_tagged.unionByName(l_tagged)
     for c in value_cols:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))

@@ -82,6 +82,46 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted",
+    oracle="""
+SELECT user_id,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       MAX(value)           AS max_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("aggregate", "skew"),
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase (salted) aggregation over the events
+    table, whose user_id key is hot by construction (~15 users per 1k
+    events). Same result as a plain groupBy — the oracle proves it —
+    but the hot key spreads over 16 reducers in phase 1
+    (operators/skew.py)."""
+    from target_iceberg_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["user_id"],
+        salt_src="event_id",
+        aggs={
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "max_value",
+    )
+
+
+@register(
     "agg_rollup",
     oracle="""
 SELECT r_name, n_name,

@@ -62,6 +62,7 @@ def _load_all() -> None:
         multimodal,
         relational_extra,
         scans,
+        tpch_composite,
         similarity,
         streaming_batch,
         text,

@@ -205,15 +205,17 @@ def demux_singer_file(
     out: dict[str, DataFrame] = {}
     for stream, json_schema in schemas.items():
         struct = json_schema_to_struct_type(json_schema)
+        payload = F.get_json_object("value", "$.record")
         records = (
             text.select(F.from_json("value", "type STRING, stream STRING").alias("m"),
                         F.col("value"))
             .where((F.col("m.type") == "RECORD") & (F.col("m.stream") == stream))
-            .select(
-                F.from_json(
-                    F.get_json_object("value", "$.record"), struct
-                ).alias("r")
-            )
+            # corrupt RECORD lines (unparseable payload) are dropped here
+            # instead of surfacing as all-null rows — the engine's
+            # equivalent of the SDK's per-record validation (SURVEY §2 A2)
+            .where(payload.isNotNull())
+            .select(F.from_json(payload, struct).alias("r"))
+            .where(F.col("r").isNotNull())
             .select("r.*")
         )
         out[stream] = records

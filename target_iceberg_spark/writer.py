@@ -191,6 +191,37 @@ class StreamWriter:
             shutil.rmtree(path)
         os.rename(tmp, path)
 
+    def compact(self, stream: str, target_file_mb: int = 128) -> int:
+        """Small-files maintenance: rewrite the table into
+        ceil(bytes / target_file_mb) files. Streaming appends produce one
+        file per micro-batch partition; at 100 TB that means millions of
+        tiny parquet files unless compacted (Iceberg mode would use
+        rewrite_data_files; the parquet warehouse coalesces + swaps).
+        Returns the file count after compaction."""
+        if self.mode == "iceberg":
+            self.spark.sql(
+                "CALL "
+                f"{self.config.catalog}.system.rewrite_data_files('"
+                f"{self.config.namespace}.{stream}')"
+            )
+            return -1  # Iceberg tracks its own file inventory
+        path = self.table_path(stream)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        df = self.read(stream).coalesce(int(n_files))
+        self._swap_write(df, stream)
+        return sum(
+            1
+            for dirpath, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     # -- reads -----------------------------------------------------------
     def read(self, stream: str) -> DataFrame:
         if self.mode == "iceberg":

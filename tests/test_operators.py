@@ -150,3 +150,43 @@ def test_real_decoder_is_stubbed():
         pytest.skip("image decoder present; stub path not applicable")
     with pytest.raises(NotImplementedError, match="not available"):
         decode_image_meta(b"\x89PNG")
+
+
+def test_asof_forward_direction(spark):
+    left, right = _asof_frames(spark)
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=("val",),
+        direction="forward",
+    )
+    got = {r["probe"]: r["val"] for r in out.collect()}
+    # p1 at t=10: r@10 matches inclusively; p2 at t=20 has no future ref;
+    # p3 at t=15 has none on key 2 after t=1; p4 none at all.
+    assert got == {"p1": "r@10", "p2": None, "p3": None, "p4": None}
+
+
+def test_asof_nearest_direction(spark):
+    left, right = _asof_frames(spark)
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=("val",),
+        direction="nearest",
+    )
+    got = {r["probe"]: r["val"] for r in out.collect()}
+    # p2 at t=20: backward r@18 (d=2) is the only candidate; p1 exact tie
+    # resolves backward to r@10; p3 nearest is r@1.
+    assert got == {"p1": "r@10", "p2": "r@18", "p3": "r@1", "p4": None}
+
+
+def test_asof_nearest_prefers_closer_future(spark):
+    import pyspark.sql.functions as _F
+
+    left = spark.createDataFrame([(1, 10, "p")], "k int, t int, probe string").withColumn(
+        "t", _F.col("t").cast("timestamp")
+    )
+    right = spark.createDataFrame(
+        [(1, 2, "past"), (1, 11, "future")], "k int, t int, val string"
+    ).withColumn("t", _F.col("t").cast("timestamp"))
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=("val",),
+        direction="nearest",
+    )
+    assert out.collect()[0]["val"] == "future"  # d=1 beats d=8

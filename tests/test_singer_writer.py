@@ -141,3 +141,33 @@ def test_demux_singer_file_distributed(spark, writer, tmp_path):
     assert dict(users.dtypes)["created_at"] == "timestamp"
     writer.append(users, "users_bulk")
     assert writer.read("users_bulk").count() == 50
+
+
+def test_demux_drops_corrupt_record_lines(spark, writer, tmp_path):
+    p = tmp_path / "corrupt.jsonl"
+    lines = [
+        json.dumps(USERS_SCHEMA),
+        _record("users", id=1, name="ok", created_at=None),
+        '{"type": "RECORD", "stream": "users", "record": }',  # broken JSON
+        '{"type": "RECORD", "stream": "users"}',  # record key missing
+        _record("users", id=2, name="ok2", created_at=None),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    dfs = demux_singer_file(spark, str(p))
+    rows = dfs["users"].collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_compact_reduces_file_count(spark, writer):
+    lines = [json.dumps(USERS_SCHEMA)] + [
+        _record("users", id=i, name=f"u{i}", created_at=None) for i in range(40)
+    ]
+    SingerTarget(spark, writer, max_batch_size=5).run(lines)  # 8 appends
+    import os as _os
+
+    path = writer.table_path("users")
+    before = sum(1 for f in _os.listdir(path) if f.endswith(".parquet"))
+    after = writer.compact("users", target_file_mb=128)
+    assert before >= 8
+    assert after == 1
+    assert writer.read("users").count() == 40
