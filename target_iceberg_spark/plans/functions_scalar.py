@@ -57,10 +57,10 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS INT)                         AS o_month,
        CAST(day(o_orderdate) AS INT)                           AS o_day,
        CAST(quarter(o_orderdate) AS INT)                       AS o_quarter,
-       CAST(date_trunc('month', o_orderdate) AS DATE)          AS month_start,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')  AS month_start,
        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
                                                                AS days_to_2002,
-       CAST(o_orderdate AS DATE) + 30                          AS due_date
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')    AS due_date
 FROM orders
 """,
     tags=("function", "date"),
@@ -75,9 +75,9 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("o_month"),
         F.dayofmonth("o_orderdate").alias("o_day"),
         F.quarter("o_orderdate").alias("o_quarter"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
         F.datediff(F.lit("2002-01-01").cast("date"), odate).alias("days_to_2002"),
-        F.date_add(odate, 30).alias("due_date"),
+        F.date_format(F.date_add(odate, 30), "yyyy-MM-dd").alias("due_date"),
     )
 
 

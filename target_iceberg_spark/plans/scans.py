@@ -55,7 +55,7 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        l_extendedprice * (1 - l_discount) AS disc_price,
-       CAST(l_shipdate AS DATE) AS ship_date
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -76,7 +76,7 @@ def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
-        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
     )
 
 

@@ -26,7 +26,7 @@ def _revenue() -> F.Column:
     oracle="""
 SELECT l_orderkey,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       CAST(o_orderdate AS DATE) AS orderdate,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -34,7 +34,7 @@ JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-01-01'
   AND l_shipdate  > TIMESTAMP '1998-01-01'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
@@ -57,7 +57,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
         .agg(_revenue().alias("revenue"))
