@@ -26,6 +26,7 @@ from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -76,11 +77,20 @@ def asof_join(
         join_cols = keys + [left_ts] + [
             c for c in left.columns if c not in keys and c != left_ts
         ]
-        merged = _pass("bwd", "backward").join(
-            _pass("fwd", "forward"), on=join_cols, how="inner"
+        bwd, fwd = _pass("bwd", "backward").alias("b"), _pass("fwd", "forward").alias("f")
+        # null-safe equality on the probe identity — plain `on=join_cols`
+        # would drop probe rows carrying NULL payload values
+        cond = None
+        for c in join_cols:
+            eq = F.col(f"b.{c}").eqNullSafe(F.col(f"f.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        merged = bwd.join(fwd, cond, "inner")
+        d_b = F.abs(
+            F.col(f"b.{left_ts}").cast("double") - F.col("_bwd_ts").cast("double")
         )
-        d_b = F.abs(F.col(left_ts).cast("double") - F.col("_bwd_ts").cast("double"))
-        d_f = F.abs(F.col("_fwd_ts").cast("double") - F.col(left_ts).cast("double"))
+        d_f = F.abs(
+            F.col("_fwd_ts").cast("double") - F.col(f"b.{left_ts}").cast("double")
+        )
         pick_backward = F.col("_fwd_ts").isNull() | (
             F.col("_bwd_ts").isNotNull() & (d_b <= d_f)  # ties go backward
         )
@@ -90,7 +100,7 @@ def asof_join(
             .alias(c)
             for c in value_cols
         ]
-        return merged.select(*join_cols, *out_vals)
+        return merged.select(*[F.col(f"b.{c}") for c in join_cols], *out_vals)
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
 
@@ -107,19 +117,25 @@ def asof_join(
     probe_rank = 1 if allow_exact_matches else 0
     ref_rank = 1 - probe_rank
 
+    # Value columns travel as ONE struct so last(ignorenulls) carries a
+    # whole reference row: a NULL inside the matched reference row stays
+    # NULL instead of being back-filled from an older row per-column.
+    payload_type = StructType([
+        StructField(c, right.schema[c].dataType, True) for c in value_cols
+    ])
     l_tagged = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_asof_ts"),
         F.lit(probe_rank).alias("_asof_side"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
     )
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(ref_rank).alias("_asof_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_asof_payload"),
     )
 
     if direction == "backward":
@@ -135,9 +151,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    filled = r_tagged.unionByName(l_tagged)
-    for c in value_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = r_tagged.unionByName(l_tagged).withColumn(
+        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
     return filled.where(F.col("_asof_side") == probe_rank).select(
-        *keys, F.col("_asof_ts").alias(left_ts), *left_payload, *value_cols
+        *keys,
+        F.col("_asof_ts").alias(left_ts),
+        *left_payload,
+        *[F.col(f"_asof_payload.{c}").alias(c) for c in value_cols],
     )

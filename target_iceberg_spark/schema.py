@@ -141,8 +141,11 @@ def _field_type(prop: dict[str, Any], level: int, name: str) -> tuple[DataType, 
         translated = _field_type(items, level + 1, f"{name}[]")
         if translated is None:
             return None
-        elem, elem_nullable = translated
-        return ArrayType(elem, containsNull=elem_nullable or True), nullable
+        elem, _ = translated
+        # containsNull stays True regardless of the items schema: Arrow
+        # list element fields are nullable by default, which is what the
+        # reference's pa.list_(item_type) produces (iceberg.py:98-109).
+        return ArrayType(elem, containsNull=True), nullable
     if t == "object":
         props = prop.get("properties") or {}
         if not props:

@@ -75,6 +75,8 @@ class _StreamState:
     buffer: list[dict[str, Any]] = field(default_factory=list)
     records_written: int = 0
     batches_written: int = 0
+    version: int | None = None  # Singer table version (ACTIVATE_VERSION)
+    wrote_untagged: bool = False  # batches drained before any version known
 
 
 class SingerTarget:
@@ -121,11 +123,7 @@ class SingerTarget:
             if self.state_callback:
                 self.state_callback(state)
         elif mtype == "ACTIVATE_VERSION":
-            # Reference ignores this (SURVEY §2 A16); engine treats the
-            # next drained batch for the stream as a full refresh.
-            stream = self.streams.get(msg.get("stream", ""))
-            if stream is not None:
-                self._drain(stream, full_refresh=True)
+            self._handle_activate(msg)
         # unknown message types are ignored, as in the Singer spec
 
     def run(self, lines: Iterable[str]) -> dict[str, dict[str, int]]:
@@ -154,17 +152,55 @@ class SingerTarget:
         if name not in self.streams:
             raise ValueError(f"RECORD for stream {name!r} before its SCHEMA")
         stream = self.streams[name]
+        if msg.get("version") is not None:
+            stream.version = int(msg["version"])
         stream.buffer.append(_coerce_record(msg["record"], stream.schema))
         if len(stream.buffer) >= self.max_batch_size:
             self._drain(stream)
 
-    def _drain(self, stream: _StreamState, full_refresh: bool = False) -> None:
-        if not stream.buffer and not full_refresh:
+    def _handle_activate(self, msg: dict[str, Any]) -> None:
+        """Singer ACTIVATE_VERSION (the reference parses-but-ignores it —
+        SURVEY §2 A16): activating version v completes a full refresh, so
+        rows of OLDER versions are retired. Batches of the activated
+        version already on disk are preserved (never an overwrite-with-
+        current-buffer, which would destroy earlier-drained batches of
+        the same sync). Rows written before any version was known can't
+        be attributed — they are left in place rather than guessed at."""
+        stream = self.streams.get(msg.get("stream", ""))
+        version = msg.get("version")
+        if stream is None or version is None:
+            return
+        version = int(version)
+        if stream.version is None and not stream.buffer and stream.records_written == 0:
+            # start-of-sync announcement: just adopt the version
+            stream.version = version
+            return
+        if stream.version is None:
+            stream.version = version  # tag the still-buffered rows
+        self._drain(stream)
+        if stream.wrote_untagged:
+            return  # ambiguous history — keep data, don't guess
+        try:
+            cols = self.writer.read(stream.name).columns
+        except Exception:
+            return  # nothing on disk yet
+        if "_sdc_table_version" not in cols:
+            return  # pre-existing unversioned table — keep data
+        self.writer.delete_where(
+            stream.name, f"_sdc_table_version < {version}"
+        )
+
+    def _drain(self, stream: _StreamState) -> None:
+        if not stream.buffer:
             return
         df = self.spark.createDataFrame(stream.buffer, schema=stream.schema)
-        if full_refresh:
-            self.writer.overwrite(df, stream.name)
-        elif self.upsert_on_keys and stream.key_properties:
+        if stream.version is not None:
+            df = df.withColumn(
+                "_sdc_table_version", F.lit(stream.version).cast("long")
+            )
+        else:
+            stream.wrote_untagged = True
+        if self.upsert_on_keys and stream.key_properties:
             self.writer.upsert(df, stream.name, stream.key_properties)
         else:
             self.writer.append(df, stream.name)
@@ -192,9 +228,10 @@ def demux_singer_file(
     """
     text = spark.read.text(path)
     if schemas is None:
+        # key-order-agnostic: parse the type field, don't prefix-match the
+        # serialization (taps order JSON keys however they like)
         schema_rows = (
-            text.where(F.col("value").startswith('{"type": "SCHEMA"')
-                       | F.col("value").startswith('{"type":"SCHEMA"'))
+            text.where(F.get_json_object("value", "$.type") == "SCHEMA")
             .collect()
         )
         schemas = {}

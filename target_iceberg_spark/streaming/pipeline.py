@@ -107,22 +107,56 @@ def session_counts(
     )
 
 
+def infer_output_mode(df: DataFrame) -> str:
+    """'complete' for aggregating streaming plans, 'append' otherwise
+    (complete-mode start on a stateless plan is an AnalysisException,
+    and append on an unwatermark-finalized aggregate emits nothing)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return "complete" if "Aggregate" in plan else "append"
+    except Exception:
+        return "append"
+
+
 def write_stream_to_table(
     df: DataFrame,
     writer: StreamWriter,
     stream_name: str,
     checkpoint_dir: str,
-    output_mode: str = "append",
+    output_mode: str | None = None,
 ) -> StreamingQuery:
     """Sink a streaming DataFrame through the engine writer with
     foreachBatch + checkpointing (availableNow trigger: drain whatever
-    is available, then stop — the bounded-backfill mode)."""
+    is available, then stop — the bounded-backfill mode).
+
+    Semantics per mode:
+      - append: each epoch's NEW rows are appended, with an epoch
+        high-water mark next to the table so a retried epoch is not
+        double-appended (exactly-once to the parquet sink).
+      - complete: each epoch carries the FULL result — the sink
+        OVERWRITES, so re-emission never duplicates rows.
+    """
+    import os
+
+    mode = output_mode or infer_output_mode(df)
+    marker = writer.table_path(stream_name) + "._epoch"
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if mode == "complete":
+            writer.overwrite(batch_df, stream_name)
+            return
+        last = -1
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                last = int(fh.read().strip() or -1)
+        if epoch_id <= last:
+            return  # retried epoch — already durable
         writer.append(batch_df, stream_name)
+        with open(marker, "w") as fh:
+            fh.write(str(epoch_id))
 
     return (
-        df.writeStream.outputMode(output_mode)
+        df.writeStream.outputMode(mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .foreachBatch(_sink)
@@ -137,12 +171,14 @@ def run_bounded(
     stream_name: str,
     checkpoint_dir: str,
     transform=None,
+    output_mode: str | None = None,
 ) -> None:
     """End-to-end bounded streaming run: file source -> optional
     transform -> writer sink; blocks until the availableNow drain
-    completes."""
+    completes. Output mode is inferred from the plan unless given."""
     events = read_event_stream(spark, source_path)
     out = transform(events) if transform is not None else events
-    mode = "append" if transform is None else "complete"
-    q = write_stream_to_table(out, writer, stream_name, checkpoint_dir, output_mode=mode)
+    q = write_stream_to_table(
+        out, writer, stream_name, checkpoint_dir, output_mode=output_mode
+    )
     q.awaitTermination()

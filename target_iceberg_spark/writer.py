@@ -44,11 +44,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
-def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg Spark runtime is on the JVM classpath."""
+def iceberg_available(spark: SparkSession, catalog: str = "lakehouse") -> bool:
+    """True when the Iceberg Spark runtime is usable: the class is on the
+    JVM classpath AND the named catalog is actually configured. The class
+    check alone proves the jar exists, not that `catalog.ns.table`
+    identifiers resolve — without the conf, DDL would fail at
+    construction time."""
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
-        return True
+    except Exception:
+        return False
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
     except Exception:
         return False
 
@@ -71,7 +78,7 @@ class StreamWriter:
         self.spark = spark
         self.config = config
         if mode == "auto":
-            mode = "iceberg" if iceberg_available(spark) else "parquet"
+            mode = "iceberg" if iceberg_available(spark, config.catalog) else "parquet"
         if mode not in ("iceberg", "parquet"):
             raise ValueError(f"unknown writer mode: {mode}")
         self.mode = mode
@@ -100,8 +107,13 @@ class StreamWriter:
         if self.mode == "iceberg":
             return self.spark.catalog.tableExists(self.table_identifier(stream))
         path = self.table_path(stream)
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
+        if not os.path.isdir(path):
+            return False
+        # recursive: partitioned tables keep data under key=value/ subdirs
+        return any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(path)
+            for f in files
         )
 
     # -- record metadata (reference A12, SDK-inherited) ------------------
@@ -136,26 +148,46 @@ class StreamWriter:
                 writer = writer.partitionBy(*self.config.partition_by)
             writer.parquet(self.table_path(stream))
 
+    @staticmethod
+    def _dedupe_batch(df: DataFrame, key_properties: list[str]) -> DataFrame:
+        """Keep the LAST row per key within one batch (arrival order ==
+        row order in the buffered DataFrame; monotonically_increasing_id
+        is ascending in that order). Required before MERGE — multiple
+        source matches per target row are an error in Iceberg — and for
+        deterministic last-write-wins in the parquet path."""
+        w = Window.partitionBy(*key_properties).orderBy(F.desc("_upsert_seq"))
+        return (
+            df.withColumn("_upsert_seq", F.monotonically_increasing_id())
+            .withColumn("_upsert_rn", F.row_number().over(w))
+            .where(F.col("_upsert_rn") == 1)
+            .drop("_upsert_rn", "_upsert_seq")
+        )
+
     def upsert(self, df: DataFrame, stream: str, key_properties: list[str]) -> None:
         """Last-write-wins merge on the Singer key_properties — the
         engine extension fixing the reference's silent append-only
         handling of keyed streams (reference sinks.py:25,100)."""
         if not key_properties:
             raise ValueError("upsert requires non-empty key_properties")
-        df = self._with_metadata(df)
+        df = self._dedupe_batch(self._with_metadata(df), key_properties)
         if self.mode == "iceberg":
             ident = self.table_identifier(stream)
             if not self.table_exists(stream):
-                df.writeTo(ident).create()
+                w = df.writeTo(ident)
+                if self.config.partition_by:
+                    w = w.partitionedBy(*[F.col(c) for c in self.config.partition_by])
+                w.create()
                 return
             view = f"_upsert_src_{uuid.uuid4().hex[:8]}"
             df.createOrReplaceTempView(view)
-            on = " AND ".join(f"t.{k} = s.{k}" for k in key_properties)
-            self.spark.sql(
-                f"MERGE INTO {ident} t USING {view} s ON {on} "
-                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-            )
-            self.spark.catalog.dropTempView(view)
+            try:
+                on = " AND ".join(f"t.{k} = s.{k}" for k in key_properties)
+                self.spark.sql(
+                    f"MERGE INTO {ident} t USING {view} s ON {on} "
+                    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
             return
         # parquet mode: union + keep newest row per key, then swap dirs.
         df = df.withColumn("_upsert_gen", F.lit(1))
@@ -169,6 +201,19 @@ class StreamWriter:
             .drop("_upsert_rn", "_upsert_gen")
         )
         self._swap_write(deduped, stream)
+
+    def delete_where(self, stream: str, condition: str) -> None:
+        """Delete rows matching a SQL condition (used by ACTIVATE_VERSION
+        to retire rows of superseded table versions)."""
+        if not self.table_exists(stream):
+            return
+        if self.mode == "iceberg":
+            self.spark.sql(
+                f"DELETE FROM {self.table_identifier(stream)} WHERE {condition}"
+            )
+            return
+        kept = self.read(stream).where(f"NOT ({condition})")
+        self._swap_write(kept, stream)
 
     def overwrite(self, df: DataFrame, stream: str) -> None:
         """Full-refresh semantics — what Singer ACTIVATE_VERSION implies;

@@ -190,3 +190,33 @@ def test_asof_nearest_prefers_closer_future(spark):
         direction="nearest",
     )
     assert out.collect()[0]["val"] == "future"  # d=1 beats d=8
+
+
+def test_asof_null_in_matched_reference_row_stays_null(spark):
+    """last(ignorenulls) must carry WHOLE reference rows: a NULL column
+    in the matched row stays NULL instead of leaking an older value."""
+    left = spark.createDataFrame([(1, 3, "p")], "k int, t int, probe string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    right = spark.createDataFrame(
+        [(1, 1, "a1", "b1"), (1, 2, None, "b2")], "k int, t int, a string, b string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=("a", "b")
+    ).collect()[0]
+    assert out["b"] == "b2"
+    assert out["a"] is None  # from the ts=2 row, NOT back-filled with a1
+
+
+def test_asof_nearest_keeps_null_payload_probes(spark):
+    left = spark.createDataFrame(
+        [(1, 10, None), (1, 20, "x")], "k int, t int, note string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame([(1, 9, "r")], "k int, t int, val string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=("val",),
+        direction="nearest",
+    )
+    assert out.count() == 2  # the NULL-note probe row must not vanish

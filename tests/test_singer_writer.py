@@ -116,14 +116,50 @@ def test_record_before_schema_raises(spark, writer):
         SingerTarget(spark, writer).run([_record("users", id=1)])
 
 
-def test_activate_version_full_refresh(spark, writer):
-    """Engine extension for A16 (reference ignores ACTIVATE_VERSION)."""
-    target = SingerTarget(spark, writer, max_batch_size=100)
-    target.run([json.dumps(USERS_SCHEMA), _record("users", id=1, name="old", created_at=None)])
-    target.process_line(_record("users", id=2, name="new", created_at=None))
-    target.process_line(json.dumps({"type": "ACTIVATE_VERSION", "stream": "users", "version": 2}))
+def _vrecord(stream, version, **rec):
+    return json.dumps(
+        {"type": "RECORD", "stream": stream, "version": version, "record": rec}
+    )
+
+
+def test_activate_version_retires_old_versions(spark, writer):
+    """Engine extension for A16 (reference ignores ACTIVATE_VERSION):
+    activating version v removes rows of older versions while keeping
+    EVERY batch of the activated version — including ones drained long
+    before the activation message arrived."""
+    target = SingerTarget(spark, writer, max_batch_size=2)
+    # version-1 sync
+    target.run(
+        [json.dumps(USERS_SCHEMA)]
+        + [_vrecord("users", 1, id=i, name=f"v1_{i}", created_at=None) for i in range(3)]
+        + [json.dumps({"type": "ACTIVATE_VERSION", "stream": "users", "version": 1})]
+    )
+    assert writer.read("users").count() == 3
+    # version-2 full refresh: 5 records across multiple drains (batch=2),
+    # STATE mid-way forces a drain before activation
+    for line in (
+        [_vrecord("users", 2, id=i, name=f"v2_{i}", created_at=None) for i in range(3)]
+        + [json.dumps({"type": "STATE", "value": {"n": 3}})]
+        + [_vrecord("users", 2, id=i, name=f"v2_{i}", created_at=None) for i in range(3, 5)]
+        + [json.dumps({"type": "ACTIVATE_VERSION", "stream": "users", "version": 2})]
+    ):
+        target.process_line(line)
     rows = writer.read("users").collect()
-    assert [r["name"] for r in rows] == ["new"]
+    assert len(rows) == 5  # all v2 batches survive, all v1 rows retired
+    assert all(r["name"].startswith("v2_") for r in rows)
+
+
+def test_activate_version_without_versions_keeps_data(spark, writer):
+    """Unversioned records + late ACTIVATE_VERSION is ambiguous — the
+    target must never guess-and-wipe."""
+    target = SingerTarget(spark, writer, max_batch_size=1)
+    target.run(
+        [json.dumps(USERS_SCHEMA), _record("users", id=1, name="a", created_at=None)]
+    )
+    target.process_line(
+        json.dumps({"type": "ACTIVATE_VERSION", "stream": "users", "version": 9})
+    )
+    assert writer.read("users").count() == 1
 
 
 def test_demux_singer_file_distributed(spark, writer, tmp_path):
@@ -171,3 +207,34 @@ def test_compact_reduces_file_count(spark, writer):
     assert before >= 8
     assert after == 1
     assert writer.read("users").count() == 40
+
+
+def test_upsert_last_write_wins_within_batch(spark, writer):
+    """Two updates to the same key in ONE batch: the later record wins
+    (deterministic arrival-order dedupe, not an arbitrary tie)."""
+    target = SingerTarget(spark, writer, max_batch_size=100, upsert_on_keys=True)
+    target.run(
+        [
+            json.dumps(USERS_SCHEMA),
+            _record("users", id=1, name="first", created_at=None),
+            _record("users", id=1, name="second", created_at=None),
+            _record("users", id=2, name="only", created_at=None),
+        ]
+    )
+    rows = {r["id"]: r["name"] for r in writer.read("users").collect()}
+    assert rows == {1: "second", 2: "only"}
+
+
+def test_partitioned_upsert_preserves_existing_partitions(spark, tmp_path):
+    """table_exists must see data under partition subdirectories —
+    otherwise the second upsert silently replaces the whole table."""
+    w = StreamWriter(
+        spark,
+        WriterConfig(warehouse=str(tmp_path), partition_by=("name",)),
+        mode="parquet",
+    )
+    t = SingerTarget(spark, w, max_batch_size=1, upsert_on_keys=True)
+    t.run([json.dumps(USERS_SCHEMA), _record("users", id=1, name="a", created_at=None)])
+    t.run([_record("users", id=2, name="b", created_at=None)])
+    rows = {r["id"]: r["name"] for r in w.read("users").collect()}
+    assert rows == {1: "a", 2: "b"}
