@@ -63,6 +63,7 @@ def _load_all() -> None:
         relational_extra,
         scans,
         tpch_composite,
+        windows_extra,
         similarity,
         streaming_batch,
         text,

@@ -57,6 +57,29 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_ivf", oracle=None, tags=("similarity", "ann"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: k-means coarse quantizer, nprobe=4 multi-
+    probe, cosine re-rank inside the probed posting lists only
+    (operators/ivf.py). Rows-only check (k-means centers are seeded
+    randomness); recall vs brute force is unit-tested."""
+    from target_iceberg_spark.operators.ivf import build_ivf, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf(emb, k=16, seed=42)
+    probe_vec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"]
+    ]
+    return ivf_search(
+        assigned.where(F.col("vec_id") != PROBE_VEC_ID),
+        centroids,
+        probe_vec,
+        nprobe=4,
+        top_k=TOP_K,
+    )
+
+
 @register("sim_ann_lsh", oracle=None, tags=("similarity", "ann"))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane bucketing (MLlib

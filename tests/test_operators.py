@@ -220,3 +220,26 @@ def test_asof_nearest_keeps_null_payload_probes(spark):
         direction="nearest",
     )
     assert out.count() == 2  # the NULL-note probe row must not vanish
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_smoke):
+    """IVF multi-probe must recover a good share of the true cosine
+    top-10 (random data spreads neighbors across clusters, so the bar
+    is recall>=0.4 with nprobe=4 of k=16)."""
+    from target_iceberg_spark.functions.vectors import cosine
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.sources.tables import load_table
+
+    ivf = all_specs()["sim_ann_ivf"].builder(spark, sf_smoke).toPandas()
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    truth = (
+        emb.crossJoin(F.broadcast(probe))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", cosine("embedding", "p").alias("c"))
+        .orderBy(F.desc("c"))
+        .limit(10)
+        .toPandas()
+    )
+    recall = len(set(truth.vec_id) & set(ivf.vec_id)) / len(ivf)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
