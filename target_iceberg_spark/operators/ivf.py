@@ -33,9 +33,17 @@ def build_ivf(emb: DataFrame, vec_col: str = "embedding", k: int = 16, seed: int
     from pyspark.ml.functions import array_to_vector
 
     with_vec = emb.withColumn("_vec", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="cluster").fit(
-        with_vec
-    )
+    # Coarse quantizer, not a clustering result: a few Lloyd iterations
+    # with random init partition space well enough for posting lists,
+    # at a fraction of the default 20-iteration k-means|| cost.
+    model = KMeans(
+        k=k,
+        seed=seed,
+        maxIter=5,
+        initMode="random",
+        featuresCol="_vec",
+        predictionCol="cluster",
+    ).fit(with_vec)
     assigned = model.transform(with_vec).drop("_vec")
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     return assigned, centroids

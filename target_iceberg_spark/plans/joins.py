@@ -162,21 +162,24 @@ GROUP BY e1.user_id, e1.event_id
     tags=("join", "range"),
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band (range) join with an equi prefix: for each error event, count
-    same-user events in the following 60s. The user_id equi key makes
-    this a hash/sort-merge join with a band residual filter — never a
-    cartesian product, which is what keeps it viable at 100 TB."""
+    """Band (range) join: for each error event, count same-user events
+    in the following 60s. Uses the bucketed band join
+    (operators/bandjoin.py): the shuffle key is (user_id, time bucket),
+    so work scales with band occupancy rather than per-user history —
+    a plain user_id equi prefix would put each of the ~15 hot users'
+    entire timeline on one task and do O(history^2) residual filtering."""
+    from target_iceberg_spark.operators.bandjoin import band_join
+
     ev = load_table(spark, sf_dir, "events")
-    e1 = ev.where(F.col("event_type") == "error").alias("e1")
-    e2 = ev.alias("e2")
-    cond = (
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") > F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 60 SECOND"))
+    e1 = ev.where(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    e2 = ev.select("user_id", "ts")
+    joined = band_join(
+        e1, e2, keys=["user_id"], left_ts="ts", right_ts="ts", lower_s=0, upper_s=60
     )
     return (
-        e1.join(e2, cond)
-        .groupBy(F.col("e1.user_id").alias("user_id"), F.col("e1.event_id").alias("probe_id"))
+        joined.groupBy(
+            F.col("l.user_id").alias("user_id"), F.col("l.event_id").alias("probe_id")
+        )
         .agg(F.count(F.lit(1)).alias("n_follow"))
     )
 
