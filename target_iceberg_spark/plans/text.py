@@ -140,6 +140,32 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tokens_regex",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INT)
+           AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_alpha,
+       CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS INT) AS n_num
+FROM documents
+""",
+    tags=("text",),
+)
+def text_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counting: alternation of letter runs,
+    digit runs, and punctuation runs (the GPT-2 pre-tokenizer shape,
+    minus lookahead so the pattern is portable across regex engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lowered, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), F.lit(0))).alias("n_tokens"),
+        F.size(F.regexp_extract_all(lowered, F.lit(r"[a-z]+"), F.lit(0))).alias("n_alpha"),
+        F.size(F.regexp_extract_all(lowered, F.lit(r"[0-9]+"), F.lit(0))).alias("n_num"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
 SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))

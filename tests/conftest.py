@@ -12,10 +12,16 @@ SF_ORACLE = os.environ.get("ENGINE_TEST_SF_DIR", "/root/testdata/sf0.01")
 def spark():
     from target_iceberg_spark.session import get_spark
 
+    import tempfile
+
     spark = get_spark(
         "engine-tests",
         master="local[8]",
-        extra_conf={"spark.sql.shuffle.partitions": "8"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            # static conf — needed by the bucketed-table tests
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield spark
     spark.stop()

@@ -76,3 +76,67 @@ def test_session_stream_builds(spark, events_dir):
     out = session_counts(ev)
     assert out.isStreaming
     assert set(out.columns) == {"user_id", "sess_start", "n_events", "sum_value"}
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy (SURVEY §2B streaming row): an event arriving
+    after the watermark has passed its window is dropped from the
+    windowed aggregate; on-time events in later epochs still count."""
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [int(pd.Timestamp(r[1]).value) for r in rows],  # epoch ns
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pdf.to_parquet(src / name)
+
+    from target_iceberg_spark.streaming.pipeline import (
+        read_event_stream,
+        tumbling_counts,
+    )
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # watermark state persists in the checkpoint across runs
+        events = read_event_stream(spark, str(src))
+        agg = tumbling_counts(events, "1 hour", "1 hour")
+        q = (
+            agg.writeStream.outputMode("append")  # append => finalized windows
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out_dir)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: ten events in the 00:00 hour + one at 05:00 that pushes
+    # the watermark (1h delay) to 04:00, far past the 00:00 window
+    write_file(
+        "0.parquet",
+        [(i, f"2024-01-01 00:{i:02d}:00") for i in range(10)]
+        + [(99, "2024-01-01 05:00:00")],
+    )
+    run_once()
+    # run 2: one LATE event back in the finalized 00:00 window + one on-time
+    write_file("1.parquet", [(100, "2024-01-01 00:30:00"), (101, "2024-01-01 05:30:00")])
+    run_once()
+
+    got = {
+        r["win_start"].hour: r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 00:00 window finalized with 10 events — the late event_id=100
+    # from run 2 must NOT be counted
+    assert got[0] == 10
