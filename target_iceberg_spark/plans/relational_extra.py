@@ -173,6 +173,8 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, pos int, token string")
     class TokenizeUDTF:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # NULL text -> zero rows, like unnest(NULL)
+                return
             for i, tok in enumerate(text.lower().split(" ")):
                 yield doc_id, i + 1, tok
 

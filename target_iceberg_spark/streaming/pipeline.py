@@ -16,8 +16,10 @@ Semantics mapping:
     each epoch (exactly-once to the parquet/Iceberg sink via
     idempotent-by-epoch appends; the reference is only at-least-once)
   - late records (reference: appended whenever they arrive) ->
-    withWatermark bounds state: events later than the watermark delay
-    are dropped from windowed aggregates.
+    withWatermark bounds state: in append output mode, events later
+    than the watermark delay are dropped from windowed aggregates
+    (complete mode keeps all state and never drops — mode semantics
+    are spelled out on write_stream_to_table).
 
 The windowed transforms are the SAME window()/session_window()
 expressions the batch plans use (plans/streaming_batch.py), so their
@@ -130,38 +132,70 @@ def write_stream_to_table(
     is available, then stop — the bounded-backfill mode).
 
     Semantics per mode:
-      - append: each epoch's NEW rows are appended, with an epoch
-        high-water mark next to the table so a retried epoch is not
-        double-appended (exactly-once to the parquet sink).
+      - append: each epoch's NEW rows are appended. An epoch high-water
+        mark stored INSIDE the checkpoint dir (so it shares the query's
+        identity and lifecycle) makes Spark's epoch REPLAYS idempotent;
+        a crash in the window between data commit and marker advance
+        still degrades to at-least-once — true exactly-once needs a
+        transactional table format (Iceberg), not a parquet directory.
+        Watermarked aggregates in this mode emit only finalized windows
+        and DROP late rows.
       - complete: each epoch carries the FULL result — the sink
-        OVERWRITES, so re-emission never duplicates rows.
+        OVERWRITES, so re-emission never duplicates rows. No late-row
+        dropping: state is unbounded by definition of the mode.
+
+    When ``output_mode`` is None the mode is inferred from the plan;
+    if the inferred mode is rejected at start (e.g. a batch-side
+    Aggregate misread as a streaming one), the other mode is tried.
     """
     import os
 
-    mode = output_mode or infer_output_mode(df)
-    marker = writer.table_path(stream_name) + "._epoch"
+    marker = os.path.join(checkpoint_dir, "_engine_epoch")
 
-    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if mode == "complete":
-            writer.overwrite(batch_df, stream_name)
-            return
-        last = -1
-        if os.path.exists(marker):
+    def _read_marker() -> int:
+        try:
             with open(marker) as fh:
-                last = int(fh.read().strip() or -1)
-        if epoch_id <= last:
-            return  # retried epoch — already durable
-        writer.append(batch_df, stream_name)
-        with open(marker, "w") as fh:
-            fh.write(str(epoch_id))
+                return int(fh.read().strip() or -1)
+        except (OSError, ValueError):
+            return -1
 
-    return (
-        df.writeStream.outputMode(mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .foreachBatch(_sink)
-        .start()
-    )
+    def _advance_marker(epoch_id: int) -> None:
+        try:
+            tmp = f"{marker}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(epoch_id))
+            os.replace(tmp, marker)  # atomic on a local checkpoint fs
+        except OSError:
+            pass  # marker is an idempotence optimization, not a gate
+
+    def _make_sink(mode: str):
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if mode == "complete":
+                writer.overwrite(batch_df, stream_name)
+                return
+            if epoch_id <= _read_marker():
+                return  # replayed epoch — already durable
+            writer.append(batch_df, stream_name)
+            _advance_marker(epoch_id)
+
+        return _sink
+
+    def _start(mode: str) -> StreamingQuery:
+        return (
+            df.writeStream.outputMode(mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .foreachBatch(_make_sink(mode))
+            .start()
+        )
+
+    if output_mode is not None:
+        return _start(output_mode)
+    inferred = infer_output_mode(df)
+    try:
+        return _start(inferred)
+    except Exception:
+        return _start("append" if inferred == "complete" else "complete")
 
 
 def run_bounded(

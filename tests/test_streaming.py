@@ -140,3 +140,22 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 00:00 window finalized with 10 events — the late event_id=100
     # from run 2 must NOT be counted
     assert got[0] == 10
+
+
+def test_epoch_marker_is_per_checkpoint_not_per_table(spark, sf_smoke, tmp_path):
+    """A SECOND streaming query (fresh checkpoint) appending to the same
+    table must not be suppressed by the first query's epoch marker."""
+    import os
+
+    from target_iceberg_spark.streaming.pipeline import run_bounded
+
+    src1 = tmp_path / "src1"; src1.mkdir()
+    src2 = tmp_path / "src2"; src2.mkdir()
+    os.symlink(f"{sf_smoke}/events.parquet", src1 / "a.parquet")
+    os.symlink(f"{sf_smoke}/events.parquet", src2 / "b.parquet")
+    writer = StreamWriter(spark, WriterConfig(warehouse=str(tmp_path / "wh")), mode="parquet")
+    run_bounded(spark, str(src1), writer, "ev", str(tmp_path / "ckpt1"))
+    n1 = writer.read("ev").count()
+    run_bounded(spark, str(src2), writer, "ev", str(tmp_path / "ckpt2"))
+    n2 = writer.read("ev").count()
+    assert n2 == 2 * n1  # the second query's epoch 0 must land
