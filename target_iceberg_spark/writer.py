@@ -141,7 +141,9 @@ class StreamWriter:
                     w = w.partitionedBy(*[F.col(c) for c in self.config.partition_by])
                 w.create()
             else:
-                df.writeTo(ident).append()
+                # merge-schema lets an evolved stream add columns without
+                # manual ALTER TABLE (reference TODO at sinks.py:92)
+                df.writeTo(ident).option("merge-schema", "true").append()
         else:
             writer = df.write.mode("append")
             if self.config.partition_by:
@@ -271,4 +273,10 @@ class StreamWriter:
     def read(self, stream: str) -> DataFrame:
         if self.mode == "iceberg":
             return self.spark.table(self.table_identifier(stream))
-        return self.spark.read.parquet(self.table_path(stream))
+        # mergeSchema: batches appended under an evolved (wider) stream
+        # schema surface every column; pre-evolution rows read as NULL
+        # in the added columns. This is the engine's answer to the
+        # reference's open TODO "Handle schema evolution" (sinks.py:92).
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.table_path(stream)
+        )

@@ -61,8 +61,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
     plan = plan_of(spark, sf_oracle, name)
     assert "CartesianProduct" not in plan, name
     if "BroadcastNestedLoopJoin" in plan:
-        # only acceptable as a single-row broadcast probe
-        assert name in ("sim_cosine_topk",), f"unexpected BNLJ in {name}"
+        # only acceptable as a broadcast of a tiny probe set
+        assert name in ("sim_cosine_topk", "sim_cosine_topk_batch"), (
+            f"unexpected BNLJ in {name}"
+        )
 
 
 def test_asof_is_single_shuffle(spark, sf_oracle):

@@ -238,3 +238,34 @@ def test_partitioned_upsert_preserves_existing_partitions(spark, tmp_path):
     t.run([_record("users", id=2, name="b", created_at=None)])
     rows = {r["id"]: r["name"] for r in w.read("users").collect()}
     assert rows == {1: "a", 2: "b"}
+
+
+def test_schema_evolution_adds_column(spark, writer):
+    """The reference left schema evolution as a TODO (ref sinks.py:92);
+    the engine supports additive evolution: a replacement SCHEMA with a
+    new column drains cleanly, and reads surface the union of columns
+    with NULLs for pre-evolution rows."""
+    v2 = {
+        "type": "SCHEMA",
+        "stream": "users",
+        "key_properties": ["id"],
+        "schema": {
+            "properties": {
+                "id": {"type": ["integer"]},
+                "name": {"type": ["string", "null"]},
+                "created_at": {"type": ["string", "null"], "format": "date-time"},
+                "email": {"type": ["string", "null"]},
+            }
+        },
+    }
+    target = SingerTarget(spark, writer, max_batch_size=100)
+    target.run(
+        [json.dumps(USERS_SCHEMA), _record("users", id=1, name="a", created_at=None)]
+    )
+    target.run(
+        [json.dumps(v2), _record("users", id=2, name="b", created_at=None, email="b@x")]
+    )
+    out = writer.read("users")
+    assert "email" in out.columns
+    rows = {r["id"]: r["email"] for r in out.collect()}
+    assert rows == {1: None, 2: "b@x"}
