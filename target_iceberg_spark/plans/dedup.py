@@ -225,6 +225,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes().lstrip()},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM cand
+    UNION
+    SELECT id_b AS a, id_a AS b FROM cand
+),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id,
+       LEAST(MIN(dst), src) AS cluster_id,
+       (LEAST(MIN(dst), src) = src) AS is_survivor
+FROM reach
+GROUP BY src
+""",
+    tags=("dedup", "clusters"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: MinHash candidate pairs -> connected
+    components (distributed min-label propagation,
+    operators/components.py) -> survivor = min doc_id per cluster. The
+    DuckDB oracle computes the same components with a recursive CTE —
+    feasible there because near-dup clusters are tiny; the Spark side
+    is the one that scales."""
+    from target_iceberg_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("vertex")).alias("is_survivor"),
+    )
+
+
+@register(
     "dedup_embedding",
     oracle=f"""
 WITH e AS (

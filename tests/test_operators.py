@@ -243,3 +243,18 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_smoke):
     )
     recall = len(set(truth.vec_id) & set(ivf.vec_id)) / len(ivf)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from target_iceberg_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["vertex"]: r["component"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
