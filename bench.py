@@ -34,6 +34,7 @@ def main() -> None:
     ).save()
 
     times: dict[str, float] = {}
+    specs = {n: s for n, s in specs.items() if s.bench}
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         try:

@@ -38,15 +38,21 @@ class QuerySpec:
     oracle: str | None  # None => driver runs a rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    bench: bool = True  # False: correctness-only (e.g. multi-run streaming)
 
 
 def register(
-    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = True,
 ) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, tags, (fn.__doc__ or "").strip())
+        _REGISTRY[name] = QuerySpec(
+            name, fn, oracle, tags, (fn.__doc__ or "").strip(), bench
+        )
         return fn
 
     return deco

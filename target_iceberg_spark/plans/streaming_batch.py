@@ -46,6 +46,106 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_hypertable",
+    oracle="""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "rollup"),
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable/continuous-aggregate pattern: a fine-grained (hourly)
+    rollup answers coarser (daily) queries by re-aggregating partial
+    states — distributive aggregates (count, sum) are lossless across
+    levels, which the oracle proves by computing daily DIRECTLY from
+    raw events. At scale the hourly table is materialized incrementally
+    by the streaming pipeline (foreachBatch into the writer) and is
+    orders of magnitude smaller than the raw events it summarizes."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register("stream_late_data", oracle=None, tags=("streaming", "watermark"), bench=False)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data policy, exercised on the REAL streaming path:
+    two bounded runs over a shared checkpoint — the first advances the
+    watermark past an old window, the second delivers a late event into
+    it plus an on-time one. Returns the emitted finalized windows; the
+    late event must not be counted (asserted row-for-row in
+    tests/test_streaming.py; rows-only here — a batch SQL oracle cannot
+    express watermark state). Excluded from bench (multi-run setup)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.pipeline import (
+        read_event_stream,
+        tumbling_counts,
+    )
+
+    work = tempfile.mkdtemp(prefix="late_data_")
+    src = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.mkdir(src)
+
+    def write_file(name: str, rows: list[tuple[int, str]]) -> None:
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [int(pd.Timestamp(r[1]).value) for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(os.path.join(src, name))
+
+    def run_once() -> None:
+        agg = tumbling_counts(read_event_stream(spark, src), "1 hour", "1 hour")
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out_dir)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file(
+        "0.parquet",
+        [(i, f"2024-01-01 00:{i:02d}:00") for i in range(10)]
+        + [(99, "2024-01-01 05:00:00")],
+    )
+    run_once()
+    write_file("1.parquet", [(100, "2024-01-01 00:30:00"), (101, "2024-01-01 05:30:00")])
+    run_once()
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "stream_session",
     oracle="""
 WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
