@@ -64,10 +64,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANG_FALLBACK = "unknown"
 
 
-def marker_hits(text: Column | str, lang: str) -> Column:
-    """Count of tokens belonging to ``lang``'s marker lexicon."""
+def marker_hits(
+    text: Column | str, lang: str, token_array: Column | str | None = None
+) -> Column:
+    """Count of tokens belonging to ``lang``'s marker lexicon. Pass a
+    materialized ``token_array`` column in hot paths (single source of
+    the matching rule — plans must not re-implement it inline)."""
     markers = LANG_MARKERS[lang]
-    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))
+    if token_array is not None:
+        toks = F.col(token_array) if isinstance(token_array, str) else token_array
+    else:
+        toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
 def langid_from_hits(hits: dict[str, Column]) -> Column:

@@ -24,7 +24,12 @@ def _as_col(c: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Sequential-fold dot product in double precision."""
+    """Sequential-fold dot product in double precision.
+
+    Length-mismatched vectors yield NULL (zip_with pads with null and
+    null poisons the fold) rather than erroring — callers filtering on
+    the result silently drop such rows; add an explicit size guard
+    upstream if corrupt embeddings must be surfaced loudly."""
     a, b = _as_col(a), _as_col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -43,6 +48,25 @@ def sq_norm(a: Column | str) -> Column:
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity = dot / sqrt(|a|^2 * |b|^2)."""
     return dot(a, b) / F.sqrt(sq_norm(a) * sq_norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB SQL that mirrors :func:`cosine` OPERATION-FOR-OPERATION —
+    same element order, same double promotions, same dot/sqrt(na*nb)
+    combination — so oracle values are bit-identical, not merely close.
+    (DuckDB's built-in list_cosine_similarity normalizes differently at
+    the ulp level, which can flip a rounded 6th decimal at a boundary.)
+    Keep in sync with cosine()/dot()/sq_norm() above."""
+
+    def _sum(expr: str, n_of: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({n_of}) + 1), i -> {expr}))"
+        )
+
+    dot_sql = _sum(f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)", a)
+    na_sql = _sum(f"CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)", a)
+    nb_sql = _sum(f"CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)", b)
+    return f"({dot_sql} / sqrt({na_sql} * {nb_sql}))"
 
 
 def sign_bucket(a: Column | str, n_components: int = 2) -> Column:

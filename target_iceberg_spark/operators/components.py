@@ -64,4 +64,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with changes pending means labels are NOT
+        # components yet — silently returning them would mis-cluster
+        # long chains (diameter > max_iter)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations; raise max_iter (diameter of some component "
+            "exceeds it)"
+        )
     return labels.select(F.col("v").alias("vertex"), F.col("comp").alias("component"))

@@ -55,6 +55,10 @@ def lsh_band_keys(
     """Collapse each band of num_hashes/bands signature columns to one
     md5 band key; output long-form (id, band_idx, band_key) so candidate
     generation is ONE equi-join regardless of band count."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -93,9 +97,16 @@ def minhash_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Full MinHash+LSH pipeline: shingle -> signature -> band -> pairs."""
-    sh = shingle_table(df, id_col, text_col, n)
+    """Full MinHash+LSH pipeline: shingle -> signature -> band -> pairs.
+
+    Pass a precomputed (and ideally checkpointed) ``shingles`` table
+    when the caller also consumes the shingles (e.g. Jaccard verify) —
+    Catalyst does no cross-branch CSE on DataFrame subplans, so sharing
+    one materialized shingle table avoids re-tokenizing the corpus per
+    branch."""
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
     return candidate_pairs(lsh_band_keys(sig, id_col, num_hashes, bands), id_col)
 

@@ -162,9 +162,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-set Jaccard, computed ONLY for LSH candidate pairs
     (the verify step after dedup_minhash's probabilistic filter)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "doc_id", "text", n=3)
+    # one materialized shingle table feeds signature AND verify branches
+    # (no cross-branch CSE in Catalyst — see minhash_candidate_pairs)
+    sh = shingle_table(docs, "doc_id", "text", n=3).localCheckpoint()
     pairs = minhash_candidate_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
+        docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS, shingles=sh
     )
     res = jaccard_on_pairs(pairs, sh, "doc_id")
     return res.select(
@@ -274,14 +276,14 @@ WITH e AS (
     SELECT vec_id, label,
            (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END)
          + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bkt,
-           embedding::DOUBLE[] AS v
+           embedding AS v
     FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+       ROUND((list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))), 6) AS cos_sim
 FROM e a JOIN e b
   ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {EMB_COS_THRESHOLD}
+WHERE ROUND((list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))), 6) >= {EMB_COS_THRESHOLD}
 """,
     tags=("dedup", "embedding"),
 )

@@ -28,9 +28,9 @@ TOP_K = 10
     "sim_cosine_topk",
     oracle=f"""
 WITH probe AS (
-    SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+    SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
 )
-SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], p), 6) AS cos_sim
+SELECT vec_id, ROUND((list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(p) + 1), i -> CAST(p[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))))), 6) AS cos_sim
 FROM embeddings, probe
 WHERE vec_id <> {PROBE_VEC_ID}
 ORDER BY cos_sim DESC, vec_id
@@ -61,12 +61,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_batch",
     oracle=f"""
 WITH probes AS (
-    SELECT vec_id AS probe_id, embedding::DOUBLE[] AS p
+    SELECT vec_id AS probe_id, embedding AS p
     FROM embeddings WHERE vec_id < 3
 ),
 scored AS (
     SELECT probe_id, e.vec_id,
-           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], p), 6) AS cos_sim
+           ROUND((list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(p) + 1), i -> CAST(p[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))))), 6) AS cos_sim
     FROM embeddings e, probes
     WHERE e.vec_id >= 3
 )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from target_iceberg_spark.functions.textfns import (
     LANG_MARKERS,
     langid_from_hits,
+    marker_hits,
     token_set_fingerprint,
     tokens,
 )
@@ -84,15 +85,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens, then marker hits, materialized as columns stage by stage —
     # see langid_from_hits on why inlining bloats codegen.
     toks_df = docs.select("lang", tokens("text").alias("_toks"))
-
-    def _is_marker(markers):
-        return lambda t: t.isin(*markers)
-
     hits_df = toks_df.select(
         "lang",
         *[
-            F.size(F.filter("_toks", _is_marker(markers))).alias(f"h_{lang}")
-            for lang, markers in LANG_MARKERS.items()
+            marker_hits("text", lang, token_array="_toks").alias(f"h_{lang}")
+            for lang in LANG_MARKERS
         ],
     )
     pred = langid_from_hits({lang: F.col(f"h_{lang}") for lang in LANG_MARKERS})
@@ -143,7 +140,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tokens_regex",
     oracle=r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INT)
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]+')) AS INT)
            AS n_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_alpha,
        CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS INT) AS n_num
@@ -154,12 +151,13 @@ FROM documents
 def text_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-tokenization counting: alternation of letter runs,
     digit runs, and punctuation runs (the GPT-2 pre-tokenizer shape,
-    minus lookahead so the pattern is portable across regex engines)."""
+    minus lookahead; whitespace is an explicit ASCII class because
+    Java's \\s includes \\x0B where RE2's does not)."""
     docs = load_table(spark, sf_dir, "documents")
     lowered = F.lower("text")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(lowered, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), F.lit(0))).alias("n_tokens"),
+        F.size(F.regexp_extract_all(lowered, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]+"), F.lit(0))).alias("n_tokens"),
         F.size(F.regexp_extract_all(lowered, F.lit(r"[a-z]+"), F.lit(0))).alias("n_alpha"),
         F.size(F.regexp_extract_all(lowered, F.lit(r"[0-9]+"), F.lit(0))).alias("n_num"),
     )

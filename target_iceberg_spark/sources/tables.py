@@ -38,7 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_package_shipped(spark)
     if name == "events":
         # The nanos column needs the legacy read path; runtime-settable,
-        # so this also works under a driver-owned session.
+        # so this also works under a driver-owned session. Session-wide
+        # by design (it is also in ENGINE_CONF): any OTHER nanos-typed
+        # parquet column would then read as epoch-ns long and needs the
+        # same explicit conversion this function applies to events.ts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
