@@ -49,6 +49,91 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_distribution",
+    oracle="""
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS INT)        AS acctbal_quartile,
+       ROUND(percent_rank() OVER w, 6)     AS pct_rank,
+       ROUND(cume_dist() OVER w, 6)        AS cume,
+       CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_nationkey) AS INT) AS nation_dense_rank,
+       c_mktsegment
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("window",),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: ntile quartiles, percent_rank,
+    cume_dist, dense_rank — all exact rationals of row positions, so
+    engine-portable (rounded only for the division results)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w2 = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("acctbal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w2).alias("nation_dense_rank"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT event_type,
+       list_sort(list_distinct(array_agg(user_id))) AS user_ids,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("aggregate", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the distinct user set per event type as a
+    SORTED array (collect order is nondeterministic in both engines;
+    sorting makes the value comparable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_set("user_id")).alias("user_ids"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+SELECT vec_id,
+       CAST(generate_subscripts(list_slice(embedding, 1, 4), 1) AS INT) AS pos,
+       unnest(list_slice(embedding, 1, 4)) AS component
+FROM embeddings
+WHERE vec_id < 100
+""",
+    tags=("function", "explode"),
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array column -> one row per element with its
+    1-based position (LATERAL VIEW / unnest-with-ordinality shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 100)
+        .select("vec_id", F.posexplode(F.slice("embedding", 1, 4)))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("pos"),  # Spark posexplode is 0-based
+            F.col("col").alias("component"),
+        )
+    )
+
+
+@register(
     "fn_timestamp",
     oracle="""
 SELECT event_id,
