@@ -84,7 +84,7 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
 SELECT event_type,
-       list_sort(list_distinct(array_agg(user_id))) AS user_ids,
+       array_to_string(list_sort(list_distinct(array_agg(user_id))), ',') AS user_ids,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type
@@ -94,13 +94,17 @@ ORDER BY event_type
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: the distinct user set per event type as a
-    SORTED array (collect order is nondeterministic in both engines;
-    sorting makes the value comparable)."""
+    SORTED, comma-joined string (collect order is nondeterministic in
+    both engines; sorting makes the value comparable, and serializing
+    scalar-side keeps the result hashable for pandas canonicalizers
+    that cannot factorize list columns)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.sort_array(F.collect_set("user_id")).alias("user_ids"),
+            F.array_join(F.sort_array(F.collect_set("user_id")), ",").alias(
+                "user_ids"
+            ),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
