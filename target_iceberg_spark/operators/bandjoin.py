@@ -43,15 +43,28 @@ def band_join(
     """
     if bucket_s is None:
         bucket_s = max(1, upper_s - lower_s)
+    bucket_us = bucket_s * 1_000_000
 
-    def epoch(col: Column) -> Column:
-        return F.unix_micros(col.cast("timestamp")) / F.lit(1_000_000.0)
+    # All bucket arithmetic stays in integer microseconds: computing
+    # buckets from double-precision epoch seconds can round a row that
+    # sits exactly on a bucket boundary (e.g. r.ts == l.ts + upper_s)
+    # into a bucket outside the left row's explored [lo, hi] range,
+    # silently dropping a pair the exact residual filter would accept.
+    def micros(col: Column) -> Column:
+        return F.unix_micros(col.cast("timestamp"))
+
+    def floor_div(a: Column, b: int) -> Column:
+        # exact floor division on longs (plain `div`/cast truncate
+        # toward zero, which differs for negative pre-epoch values);
+        # (a - pmod) is exactly divisible, and the quotient is a small
+        # bucket index, so the double division below is exact.
+        return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
 
     r = right.withColumn(
-        "_band_bkt", F.floor(epoch(F.col(right_ts)) / bucket_s).cast("long")
+        "_band_bkt", floor_div(micros(F.col(right_ts)), bucket_us)
     ).alias("r")
-    lo_bkt = F.floor((epoch(F.col(left_ts)) + lower_s) / bucket_s).cast("long")
-    hi_bkt = F.floor((epoch(F.col(left_ts)) + upper_s) / bucket_s).cast("long")
+    lo_bkt = floor_div(micros(F.col(left_ts)) + lower_s * 1_000_000, bucket_us)
+    hi_bkt = floor_div(micros(F.col(left_ts)) + upper_s * 1_000_000, bucket_us)
     l = (
         left.withColumn("_band_bkt", F.explode(F.sequence(lo_bkt, hi_bkt)))
         .alias("l")

@@ -105,8 +105,10 @@ def _field_type(prop: dict[str, Any], level: int, name: str) -> tuple[DataType, 
     """Translate one JSON-Schema property. Returns (type, nullable) or
     None when the field should be dropped (empty object — iceberg.py:121-126)."""
     if "anyOf" in prop:
+        from_anyof = True
         types, fmt = _resolve_anyof(prop["anyOf"])
     else:
+        from_anyof = False
         raw = prop.get("type")
         if raw is None:
             # iceberg.py:72-74 — missing type defaults to string|null
@@ -124,7 +126,15 @@ def _field_type(prop: dict[str, Any], level: int, name: str) -> tuple[DataType, 
         logger.warning("property %r has only null members; using nullable string", name)
         return StringType(), True
 
-    t = concrete[0]  # first concrete type wins, matching iceberg.py:33/76+
+    if from_anyof and "string" in concrete:
+        # Mixed-concrete anyOf keeps the string member, matching the
+        # reference (iceberg.py:29-33 retains only string/null members):
+        # string is the only type every member's values can carry —
+        # picking e.g. LongType for anyOf:[integer,string] would fail
+        # createDataFrame on string-valued records.
+        t = "string"
+    else:
+        t = concrete[0]  # first concrete type wins, matching iceberg.py:33/76+
     if t == "string":
         return _string_type_for_format(fmt, level), nullable
     if t in _PRIMITIVES:

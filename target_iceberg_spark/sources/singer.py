@@ -124,6 +124,8 @@ class SingerTarget:
                 self.state_callback(state)
         elif mtype == "ACTIVATE_VERSION":
             self._handle_activate(msg)
+        elif mtype == "BATCH":
+            self._handle_batch(msg)
         # unknown message types are ignored, as in the Singer spec
 
     def run(self, lines: Iterable[str]) -> dict[str, dict[str, int]]:
@@ -138,13 +140,23 @@ class SingerTarget:
     # -- internals -------------------------------------------------------
     def _handle_schema(self, msg: dict[str, Any]) -> None:
         name = msg["stream"]
+        schema = json_schema_to_struct_type(msg["schema"])
+        key_properties = list(msg.get("key_properties") or [])
         existing = self.streams.get(name)
-        if existing is not None and existing.buffer:
-            self._drain(existing)  # schema replacement drains old buffer
+        if existing is not None:
+            # Taps routinely re-emit SCHEMA mid-sync. Replacing the
+            # stream state here would reset version / records_written /
+            # wrote_untagged, and a later ACTIVATE_VERSION would then
+            # look like a start-of-sync announcement and silently skip
+            # retiring older-version rows. Drain under the old schema,
+            # then swap schema/keys in place, keeping sync progress.
+            if existing.buffer:
+                self._drain(existing)
+            existing.schema = schema
+            existing.key_properties = key_properties
+            return
         self.streams[name] = _StreamState(
-            name=name,
-            schema=json_schema_to_struct_type(msg["schema"]),
-            key_properties=list(msg.get("key_properties") or []),
+            name=name, schema=schema, key_properties=key_properties
         )
 
     def _handle_record(self, msg: dict[str, Any]) -> None:
@@ -190,10 +202,41 @@ class SingerTarget:
             stream.name, f"_sdc_table_version < {version}"
         )
 
-    def _drain(self, stream: _StreamState) -> None:
-        if not stream.buffer:
+    def _handle_batch(self, msg: dict[str, Any]) -> None:
+        """Singer SDK ``BATCH`` message (SURVEY §2 A1): the tap has
+        already written records to files — JSONL, one bare record dict
+        per line — and sends a manifest of paths. The reference's SDK
+        parses these; this engine routes them down the distributed bulk
+        path: the files are read as a text DataFrame and parsed
+        executor-side with ``from_json`` (same plan as
+        :func:`demux_singer_file`), skipping the driver-side record
+        buffer entirely — which is the point of BATCH at scale."""
+        name = msg.get("stream", "")
+        if name not in self.streams:
+            raise ValueError(f"BATCH for stream {name!r} before its SCHEMA")
+        stream = self.streams[name]
+        fmt = (msg.get("encoding") or {}).get("format", "jsonl")
+        if fmt != "jsonl":
+            raise ValueError(f"unsupported BATCH encoding format: {fmt!r}")
+        manifest = msg.get("manifest") or []
+        if not manifest:
             return
-        df = self.spark.createDataFrame(stream.buffer, schema=stream.schema)
+        # drain buffered RECORDs first so per-stream arrival order holds
+        self._drain(stream)
+        # gzip et al. are handled by the text source via file extension
+        paths = [p.removeprefix("file://") for p in manifest]
+        df = (
+            self.spark.read.text(paths)
+            .where(F.col("value") != "")
+            .select(F.from_json("value", stream.schema).alias("r"))
+            .where(F.col("r").isNotNull())  # per-record validation (A2)
+            .select("r.*")
+        )
+        # count() is a second pass over the files; acceptable for stats
+        # parity with the buffered path (manifests are bounded per batch)
+        self._write_df(stream, df, df.count())
+
+    def _write_df(self, stream: _StreamState, df: DataFrame, n_records: int) -> None:
         if stream.version is not None:
             df = df.withColumn(
                 "_sdc_table_version", F.lit(stream.version).cast("long")
@@ -204,9 +247,16 @@ class SingerTarget:
             self.writer.upsert(df, stream.name, stream.key_properties)
         else:
             self.writer.append(df, stream.name)
-        stream.records_written += len(stream.buffer)
+        stream.records_written += n_records
         stream.batches_written += 1
+
+    def _drain(self, stream: _StreamState) -> None:
+        if not stream.buffer:
+            return
+        df = self.spark.createDataFrame(stream.buffer, schema=stream.schema)
+        n = len(stream.buffer)
         stream.buffer = []
+        self._write_df(stream, df, n)
 
     def _drain_all(self) -> None:
         for stream in self.streams.values():

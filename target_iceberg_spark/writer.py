@@ -94,11 +94,23 @@ class StreamWriter:
         return os.path.join(self.config.warehouse, self.config.namespace, stream)
 
     # -- DDL -------------------------------------------------------------
+    @staticmethod
+    def create_namespace_sql(catalog: str, namespace: str) -> str:
+        return f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+
+    @staticmethod
+    def delete_sql(ident: str, condition: str) -> str:
+        return f"DELETE FROM {ident} WHERE {condition}"
+
+    @staticmethod
+    def rewrite_files_call_sql(catalog: str, namespace: str, stream: str) -> str:
+        return f"CALL {catalog}.system.rewrite_data_files('{namespace}.{stream}')"
+
     def ensure_namespace(self) -> None:
         """Reference sinks.py:67-77 (create_namespace + swallow-exists)."""
         if self.mode == "iceberg":
             self.spark.sql(
-                f"CREATE NAMESPACE IF NOT EXISTS {self.config.catalog}.{self.config.namespace}"
+                self.create_namespace_sql(self.config.catalog, self.config.namespace)
             )
         else:
             os.makedirs(os.path.join(self.config.warehouse, self.config.namespace), exist_ok=True)
@@ -118,14 +130,29 @@ class StreamWriter:
 
     # -- record metadata (reference A12, SDK-inherited) ------------------
     def _with_metadata(self, df: DataFrame) -> DataFrame:
+        """Add the six ``_sdc_*`` columns the reference's SDK stamps when
+        ``add_record_metadata`` is on (reference target.py:16; SURVEY §2
+        A12): extracted/received/batched timestamps, soft-delete marker,
+        batch sequence, and table version. Columns the source already
+        attached (e.g. ``_sdc_table_version`` from ACTIVATE_VERSION
+        tagging, ``_sdc_extracted_at`` from a RECORD's time_extracted)
+        are passed through untouched."""
         if not self.config.add_record_metadata:
             return df
         self._batch_seq += 1
-        return (
-            df.withColumn("_sdc_received_at", F.current_timestamp())
-            .withColumn("_sdc_batched_at", F.current_timestamp())
-            .withColumn("_sdc_sequence", F.lit(self._batch_seq).cast("long"))
-        )
+        existing = set(df.columns)
+        defaults = {
+            "_sdc_extracted_at": F.current_timestamp(),
+            "_sdc_received_at": F.current_timestamp(),
+            "_sdc_batched_at": F.current_timestamp(),
+            "_sdc_deleted_at": F.lit(None).cast("timestamp"),
+            "_sdc_sequence": F.lit(self._batch_seq).cast("long"),
+            "_sdc_table_version": F.lit(None).cast("long"),
+        }
+        for name, col in defaults.items():
+            if name not in existing:
+                df = df.withColumn(name, col)
+        return df
 
     # -- writes ----------------------------------------------------------
     def append(self, df: DataFrame, stream: str) -> None:
@@ -165,6 +192,49 @@ class StreamWriter:
             .drop("_upsert_rn", "_upsert_seq")
         )
 
+    @staticmethod
+    def merge_statements(
+        ident: str,
+        view: str,
+        key_properties: list[str],
+        source_schema,
+        target_cols: list[str],
+    ) -> list[str]:
+        """SQL statements for an upsert MERGE that survives schema
+        evolution in BOTH directions (the append path's merge-schema
+        equivalent — without this, keyed streams would lose the schema-
+        evolution guarantee this module documents):
+
+          * source wider than target: ALTER TABLE ADD COLUMNS first, so
+            the MERGE can assign the new columns;
+          * target wider than source (pre-evolution batch replaying):
+            UPDATE/INSERT use explicit column lists restricted to the
+            source's columns — ``UPDATE SET * / INSERT *`` would fail to
+            resolve the missing ones. Unassigned target columns keep
+            their value on UPDATE and default to NULL on INSERT.
+
+        Pure string generation so the Iceberg-mode branch is unit-
+        testable without an Iceberg runtime on the classpath.
+        """
+        stmts: list[str] = []
+        source_cols = [f.name for f in source_schema.fields]
+        new_fields = [f for f in source_schema.fields if f.name not in target_cols]
+        if new_fields:
+            cols_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+            )
+            stmts.append(f"ALTER TABLE {ident} ADD COLUMNS ({cols_ddl})")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_properties)
+        set_clause = ", ".join(f"t.{c} = s.{c}" for c in source_cols)
+        insert_cols = ", ".join(source_cols)
+        insert_vals = ", ".join(f"s.{c}" for c in source_cols)
+        stmts.append(
+            f"MERGE INTO {ident} t USING {view} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+        )
+        return stmts
+
     def upsert(self, df: DataFrame, stream: str, key_properties: list[str]) -> None:
         """Last-write-wins merge on the Singer key_properties — the
         engine extension fixing the reference's silent append-only
@@ -183,11 +253,11 @@ class StreamWriter:
             view = f"_upsert_src_{uuid.uuid4().hex[:8]}"
             df.createOrReplaceTempView(view)
             try:
-                on = " AND ".join(f"t.{k} = s.{k}" for k in key_properties)
-                self.spark.sql(
-                    f"MERGE INTO {ident} t USING {view} s ON {on} "
-                    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-                )
+                target_cols = self.spark.table(ident).columns
+                for stmt in self.merge_statements(
+                    ident, view, key_properties, df.schema, target_cols
+                ):
+                    self.spark.sql(stmt)
             finally:
                 self.spark.catalog.dropTempView(view)
             return
@@ -206,15 +276,19 @@ class StreamWriter:
 
     def delete_where(self, stream: str, condition: str) -> None:
         """Delete rows matching a SQL condition (used by ACTIVATE_VERSION
-        to retire rows of superseded table versions)."""
+        to retire rows of superseded table versions).
+
+        Parquet mode matches SQL DELETE semantics exactly: only rows
+        where the condition is TRUE are removed. A bare ``NOT (cond)``
+        filter would also drop NULL-condition rows (e.g. rows with a
+        NULL ``_sdc_table_version`` under ``_sdc_table_version < v``) —
+        the opposite of Iceberg-mode DELETE, which keeps them."""
         if not self.table_exists(stream):
             return
         if self.mode == "iceberg":
-            self.spark.sql(
-                f"DELETE FROM {self.table_identifier(stream)} WHERE {condition}"
-            )
+            self.spark.sql(self.delete_sql(self.table_identifier(stream), condition))
             return
-        kept = self.read(stream).where(f"NOT ({condition})")
+        kept = self.read(stream).where(f"NOT ({condition}) OR ({condition}) IS NULL")
         self._swap_write(kept, stream)
 
     def overwrite(self, df: DataFrame, stream: str) -> None:
@@ -247,9 +321,9 @@ class StreamWriter:
         Returns the file count after compaction."""
         if self.mode == "iceberg":
             self.spark.sql(
-                "CALL "
-                f"{self.config.catalog}.system.rewrite_data_files('"
-                f"{self.config.namespace}.{stream}')"
+                self.rewrite_files_call_sql(
+                    self.config.catalog, self.config.namespace, stream
+                )
             )
             return -1  # Iceberg tracks its own file inventory
         path = self.table_path(stream)

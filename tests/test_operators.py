@@ -258,3 +258,63 @@ def test_connected_components_chain_and_triangle(spark):
         for r in connected_components(pairs, "id_a", "id_b").collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_band_join_exact_boundary_pairs_survive(spark):
+    """Bucket ids are computed in integer microseconds: a right row at
+    exactly l.ts + upper_s (or l.ts + lower_s + epsilon) must land in a
+    bucket inside the left row's explored range — double-precision
+    epoch-second arithmetic can round it out at bucket boundaries
+    (ADVICE r1)."""
+    from datetime import datetime, timedelta
+
+    from target_iceberg_spark.operators.bandjoin import band_join
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    upper = 3600
+    # right rows at EXACTLY base+upper (inclusive edge) and base+1 (just
+    # above the exclusive lower edge), plus out-of-band sentinels
+    left = spark.createDataFrame([("k", base)], "k string, lt timestamp")
+    right = spark.createDataFrame(
+        [
+            ("k", base + timedelta(seconds=upper), "edge_hi"),
+            ("k", base + timedelta(seconds=1), "edge_lo"),
+            ("k", base, "at_lower_excluded"),
+            ("k", base + timedelta(seconds=upper + 1), "past_upper"),
+        ],
+        "k string, rt timestamp, tag string",
+    )
+    out = band_join(left, right, keys=["k"], left_ts="lt", right_ts="rt",
+                    lower_s=0, upper_s=upper)
+    tags = {r["tag"] for r in out.select("r.tag").collect()}
+    assert tags == {"edge_hi", "edge_lo"}
+
+
+def test_band_join_boundary_sweep_matches_naive(spark):
+    """Property-style sweep: bucketed band join == naive range join for
+    timestamps sitting on every alignment relative to the bucket grid."""
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.operators.bandjoin import band_join
+
+    base = datetime(2024, 3, 1)
+    lefts = [("k", base + timedelta(seconds=900 * i)) for i in range(8)]
+    rights = [
+        ("k", base + timedelta(seconds=450 * j), f"r{j}") for j in range(40)
+    ]
+    left = spark.createDataFrame(lefts, "k string, lt timestamp")
+    right = spark.createDataFrame(rights, "k string, rt timestamp, tag string")
+    lower_s, upper_s = 600, 1800
+    out = band_join(left, right, keys=["k"], left_ts="lt", right_ts="rt",
+                    lower_s=lower_s, upper_s=upper_s)
+    got = {(r["lt"], r["tag"]) for r in out.select("l.lt", "r.tag").collect()}
+    naive = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & (F.col("r.rt") > F.col("l.lt") + F.expr(f"INTERVAL {lower_s} SECOND"))
+        & (F.col("r.rt") <= F.col("l.lt") + F.expr(f"INTERVAL {upper_s} SECOND")),
+    )
+    expect = {(r["lt"], r["tag"]) for r in naive.select("l.lt", "r.tag").collect()}
+    assert got == expect and got

@@ -134,3 +134,18 @@ def test_nullability_rule():
     )
     assert st["a"].nullable is False
     assert st["b"].nullable is True
+
+
+def test_anyof_mixed_concrete_prefers_string():
+    """anyOf with mixed concrete members keeps the string member,
+    matching the reference (iceberg.py:29-33 retains only string/null):
+    string is the only type every member's values can carry (ADVICE r1)."""
+    st = json_schema_to_struct_type(
+        props(
+            v={"anyOf": [{"type": "integer"}, {"type": "string"}]},
+            v_null={"anyOf": [{"type": "integer"}, {"type": "string"}, {"type": "null"}]},
+        )
+    )
+    assert st["v"].dataType == StringType()
+    assert st["v_null"].dataType == StringType()
+    assert st["v_null"].nullable is True

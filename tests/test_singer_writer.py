@@ -269,3 +269,123 @@ def test_schema_evolution_adds_column(spark, writer):
     assert "email" in out.columns
     rows = {r["id"]: r["email"] for r in out.collect()}
     assert rows == {1: None, 2: "b@x"}
+
+
+def test_metadata_all_six_sdc_columns(spark, tmp_path):
+    """A12 parity: the SDK stamps SIX _sdc_* columns, not three
+    (SURVEY §2 A12, ref target.py:16). _sdc_table_version set by the
+    versioned-record path must pass through, not be clobbered."""
+    writer = StreamWriter(
+        spark,
+        WriterConfig(warehouse=str(tmp_path), add_record_metadata=True),
+        mode="parquet",
+    )
+    SingerTarget(spark, writer).run(
+        [json.dumps(USERS_SCHEMA), _vrecord("users", 7, id=1, name="a", created_at=None)]
+    )
+    out = writer.read("users")
+    assert {
+        "_sdc_extracted_at",
+        "_sdc_received_at",
+        "_sdc_batched_at",
+        "_sdc_deleted_at",
+        "_sdc_sequence",
+        "_sdc_table_version",
+    } <= set(out.columns)
+    row = out.collect()[0]
+    assert row["_sdc_table_version"] == 7  # source-attached value survives
+    assert row["_sdc_deleted_at"] is None
+    assert row["_sdc_received_at"] is not None
+
+
+def test_batch_message_loads_manifest_files(spark, writer, tmp_path):
+    """Singer SDK BATCH message (SURVEY §2 A1): manifest files of bare
+    JSONL records land via the distributed path, after buffered RECORDs
+    drain (order), with stats counted."""
+    f1, f2 = tmp_path / "b1.jsonl", tmp_path / "b2.jsonl"
+    f1.write_text(
+        "\n".join(
+            json.dumps({"id": i, "name": f"b{i}", "created_at": None})
+            for i in range(3)
+        )
+    )
+    f2.write_text(json.dumps({"id": 3, "name": "b3", "created_at": "2024-05-06T07:08:09Z"}))
+    lines = [
+        json.dumps(USERS_SCHEMA),
+        _record("users", id=100, name="buffered", created_at=None),
+        json.dumps(
+            {
+                "type": "BATCH",
+                "stream": "users",
+                "encoding": {"format": "jsonl", "compression": "none"},
+                "manifest": [f"file://{f1}", str(f2)],
+            }
+        ),
+    ]
+    target = SingerTarget(spark, writer, max_batch_size=100)
+    stats = target.run(lines)
+    assert stats["users"] == {"records": 5, "batches": 2}  # buffered + batch
+    rows = {r["id"] for r in writer.read("users").collect()}
+    assert rows == {0, 1, 2, 3, 100}
+    ts = writer.read("users").where("id = 3").collect()[0]["created_at"]
+    assert ts is not None and ts.year == 2024
+
+
+def test_batch_before_schema_raises(spark, writer):
+    with pytest.raises(ValueError, match="before its SCHEMA"):
+        SingerTarget(spark, writer).run(
+            [json.dumps({"type": "BATCH", "stream": "users", "manifest": ["/x"]})]
+        )
+
+
+def test_batch_unsupported_encoding_raises(spark, writer):
+    with pytest.raises(ValueError, match="encoding"):
+        SingerTarget(spark, writer).run(
+            [
+                json.dumps(USERS_SCHEMA),
+                json.dumps(
+                    {
+                        "type": "BATCH",
+                        "stream": "users",
+                        "encoding": {"format": "parquet"},
+                        "manifest": ["/x"],
+                    }
+                ),
+            ]
+        )
+
+
+def test_schema_redeclaration_preserves_activate_version(spark, writer):
+    """A tap re-emitting SCHEMA mid-sync (routine) must not reset the
+    stream's version/progress — otherwise the following ACTIVATE_VERSION
+    looks like a start-of-sync announcement and the full refresh is
+    silently skipped (ADVICE r1)."""
+    target = SingerTarget(spark, writer, max_batch_size=100)
+    target.run(
+        [json.dumps(USERS_SCHEMA)]
+        + [_vrecord("users", 1, id=i, name=f"v1_{i}", created_at=None) for i in range(3)]
+        + [json.dumps({"type": "ACTIVATE_VERSION", "stream": "users", "version": 1})]
+    )
+    for line in (
+        [_vrecord("users", 2, id=10, name="v2_a", created_at=None)]
+        + [json.dumps(USERS_SCHEMA)]  # mid-sync SCHEMA re-emit
+        + [_vrecord("users", 2, id=11, name="v2_b", created_at=None)]
+        + [json.dumps({"type": "ACTIVATE_VERSION", "stream": "users", "version": 2})]
+    ):
+        target.process_line(line)
+    rows = writer.read("users").collect()
+    assert len(rows) == 2
+    assert all(r["name"].startswith("v2_") for r in rows)
+
+
+def test_delete_where_keeps_null_condition_rows(spark, writer):
+    """Parquet-mode delete_where matches SQL DELETE: rows where the
+    condition is NULL (e.g. untagged _sdc_table_version) are KEPT, as
+    Iceberg-mode DELETE keeps them (ADVICE r1, medium)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2)], "id long, _sdc_table_version long"
+    )
+    writer.append(df, "vt")
+    writer.delete_where("vt", "_sdc_table_version < 2")
+    kept = {r["id"] for r in writer.read("vt").collect()}
+    assert kept == {1, 3}  # NULL row survives; version-1 row deleted
