@@ -69,15 +69,28 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql} / sqrt({na_sql} * {nb_sql}))"
 
 
-def sign_bucket(a: Column | str, n_components: int = 2) -> Column:
-    """Coarse deterministic bucket from the signs of the first
-    ``n_components`` vector components — a 1-bit-per-dim random-
+def sign_bucket(a: Column | str, n_components: int = 2, offset: int = 0) -> Column:
+    """Coarse deterministic bucket from the signs of ``n_components``
+    vector components starting at ``offset`` — a 1-bit-per-dim random-
     hyperplane LSH with axis-aligned planes. Nearly-parallel vectors
     (near-dups) land in the same bucket unless a used component is
-    ~0; used to block quadratic pair generation."""
+    ~0; used to block quadratic pair generation. Distinct offsets give
+    independent hash tables for banded (OR-amplified) blocking."""
     a = _as_col(a)
     bucket = F.lit(0)
     for i in range(n_components):
-        bit = F.when(F.element_at(a, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(F.element_at(a, offset + i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket * 2 + bit
     return bucket
+
+
+def sign_bucket_sql(a: str, n_components: int = 2, offset: int = 0) -> str:
+    """DuckDB SQL mirroring :func:`sign_bucket` bit-for-bit (1-based
+    list indexing, same bit order) so blocked joins oracle-check."""
+    terms = []
+    for i in range(n_components):
+        weight = 1 << (n_components - 1 - i)
+        terms.append(
+            f"(CASE WHEN {a}[{offset + i + 1}] > 0 THEN {weight} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -218,3 +218,78 @@ def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int = 2) -> DataFram
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup — banded sign-LSH blocking.
+# ---------------------------------------------------------------------------
+
+
+def recommended_band_bits(
+    n_rows: int, n_blocks: int = 1, target_block_rows: int = 512
+) -> int:
+    """Sign-plane count per band so the expected block occupancy stays
+    ~``target_block_rows``: bits = log2(N / (blocks * target)). THE
+    scale knob — with bits growing as log2(N), per-band candidate work
+    B * N^2 / (blocks * 2^bits) stays ~linear in N instead of
+    quadratic. Clamped to [2, 24]."""
+    import math
+
+    per_block = max(1, n_rows // max(1, n_blocks))
+    bits = math.ceil(math.log2(max(2, per_block / target_block_rows)))
+    return min(24, max(2, bits))
+
+
+def embedding_band_pairs(
+    e: DataFrame,
+    bands: int,
+    bits: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate embedding pairs via banded sign-LSH blocking.
+
+    Each band hashes ``bits`` disjoint vector components to a sign
+    bucket (axis-aligned random-hyperplane LSH); candidates are pairs
+    agreeing on (block_col, band bucket) for ANY band — the classic
+    AND-within-band / OR-across-bands amplification, so recall for
+    truly-parallel near-dups stays high while per-band blocks shrink
+    2x per added bit. Every band is an equi-join; no cross product.
+    Duplicate pairs colliding in several bands carry identical rounded
+    cosines, so the final ``distinct`` collapses them exactly.
+    """
+    from target_iceberg_spark.functions.vectors import cosine, sign_bucket
+
+    e = e.select(
+        id_col,
+        block_col,
+        vec_col,
+        *[
+            sign_bucket(vec_col, bits, offset=t * bits).alias(f"_bkt{t}")
+            for t in range(bands)
+        ],
+    )
+    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    per_band = []
+    for t in range(bands):
+        a, b = e.alias("a"), e.alias("b")
+        per_band.append(
+            a.join(
+                b,
+                (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+                & (F.col(f"a._bkt{t}") == F.col(f"b._bkt{t}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("vec_a"),
+                F.col(f"b.{id_col}").alias("vec_b"),
+                cos.alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= threshold)
+        )
+    out = per_band[0]
+    for df in per_band[1:]:
+        out = out.unionAll(df)
+    return out.distinct()

@@ -13,9 +13,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from target_iceberg_spark.functions.vectors import cosine, sign_bucket
+from target_iceberg_spark.functions.vectors import cosine_sql, sign_bucket_sql
 from target_iceberg_spark.operators.dedup import (
     SIMHASH_BITS,
+    embedding_band_pairs,
     jaccard_on_pairs,
     lsh_band_keys,
     minhash_candidate_pairs,
@@ -269,45 +270,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_oracle(bands: int, bits: int, threshold: float) -> str:
+    """DuckDB mirror of operators/dedup.py::embedding_band_pairs,
+    generated from the same (bands, bits) parameters and the bit-exact
+    cosine/sign-bucket SQL mirrors — UNION (not UNION ALL) plays the
+    role of the Spark distinct."""
+    cos = f"ROUND({cosine_sql('a.v', 'b.v')}, 6)"
+    bkts = ", ".join(
+        f"{sign_bucket_sql('embedding', bits, offset=t * bits)} AS bkt{t}"
+        for t in range(bands)
+    )
+    selects = [
+        f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+FROM e a JOIN e b
+  ON a.label = b.label AND a.bkt{t} = b.bkt{t} AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""
+        for t in range(bands)
+    ]
+    return (
+        f"WITH e AS (SELECT vec_id, label, embedding AS v, {bkts} FROM embeddings)\n"
+        + "\nUNION\n".join(selects)
+    )
+
+
+EMB_BANDS = 4
+EMB_BAND_BITS = 4
+
+
 @register(
     "dedup_embedding",
-    oracle=f"""
-WITH e AS (
-    SELECT vec_id, label,
-           (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END)
-         + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bkt,
-           embedding AS v
-    FROM embeddings
-)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND((list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))), 6) AS cos_sim
-FROM e a JOIN e b
-  ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id
-WHERE ROUND((list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))), 6) >= {EMB_COS_THRESHOLD}
-""",
+    oracle=_embedding_oracle(EMB_BANDS, EMB_BAND_BITS, EMB_COS_THRESHOLD),
     tags=("dedup", "embedding"),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup with (label, sign-bucket) blocking: the
-    cross product shrinks by ~|labels| * 2^bits while nearly-parallel
-    pairs still collide. Cosine runs as a JVM-side fold, no UDF."""
+    """Embedding-cosine near-dup with banded sign-LSH blocking
+    (operators/dedup.py::embedding_band_pairs): AND over `bits` sign
+    planes within a band, OR across `bands` bands. Per-band blocks
+    shrink 2x per added bit while OR-amplification keeps near-dup
+    recall high — `bits` grows with log2(corpus) via
+    recommended_band_bits, so candidate work stays ~linear at scale
+    (the r1 2-bit single-table variant had a constant 4x blocking
+    factor — quadratic at 100x data). Cosine is a JVM-side fold."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", "embedding", sign_bucket("embedding", 2).alias("bkt")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= EMB_COS_THRESHOLD)
+    return embedding_band_pairs(
+        emb.select("vec_id", "label", "embedding"),
+        bands=EMB_BANDS,
+        bits=EMB_BAND_BITS,
+        threshold=EMB_COS_THRESHOLD,
     )

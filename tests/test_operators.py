@@ -318,3 +318,102 @@ def test_band_join_boundary_sweep_matches_naive(spark):
     )
     expect = {(r["lt"], r["tag"]) for r in naive.select("l.lt", "r.tag").collect()}
     assert got == expect and got
+
+
+def test_ivf_persisted_index_roundtrip(spark, sf_smoke, tmp_path):
+    """build_or_load_ivf: first call fits + persists (posting lists
+    partitioned by cluster), second call loads without refitting and
+    returns identical search results."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.operators.ivf import build_or_load_ivf, ivf_search
+    from target_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    idx1 = build_or_load_ivf(spark, emb, path, k=8, seed=7)
+    assert os.path.exists(os.path.join(path, "_BUILT"))
+    # cluster-partitioned layout on disk => searches partition-prune
+    assert any(d.startswith("cluster=") for d in os.listdir(os.path.join(path, "postings")))
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    r1 = ivf_search(idx1.postings.where(F.col("vec_id") != 0), idx1.centroids, probe,
+                    nprobe=3, top_k=5).collect()
+    # second call must load, not refit: poison KMeans to prove no fit happens
+    import pyspark.ml.clustering as mlc
+
+    class _Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError("KMeans refit on cached index")
+
+    orig = mlc.KMeans
+    mlc.KMeans = _Boom
+    try:
+        idx2 = build_or_load_ivf(spark, emb, path, k=8, seed=7)
+    finally:
+        mlc.KMeans = orig
+    r2 = ivf_search(idx2.postings.where(F.col("vec_id") != 0), idx2.centroids, probe,
+                    nprobe=3, top_k=5).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in r1] == [
+        (r["vec_id"], r["cos_sim"]) for r in r2
+    ]
+
+
+def test_embedding_band_bits_shrink_candidates_superlinearly(spark, sf_smoke):
+    """THE scale property of banded sign-LSH: adding 2 bits per band
+    (4x more buckets) must shrink per-band candidate pairs by well more
+    than the 2x a linear knob would give (VERDICT r1 item 5)."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.functions.vectors import sign_bucket
+    from target_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def band_candidates(bits):
+        e = emb.withColumn("bkt", sign_bucket("embedding", bits))
+        a, b = e.alias("a"), e.alias("b")
+        return a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).count()
+
+    c2, c4 = band_candidates(2), band_candidates(4)
+    assert c4 * 3 < c2  # > 3x shrink for 4x buckets: superlinear in bits
+
+
+def test_recommended_band_bits_grows_with_corpus():
+    from target_iceberg_spark.operators.dedup import recommended_band_bits
+
+    small = recommended_band_bits(50_000, n_blocks=10)
+    big = recommended_band_bits(5_000_000, n_blocks=10)
+    huge = recommended_band_bits(5_000_000_000, n_blocks=10)
+    assert small < big < huge
+    # 100x data => ~log2(100) ≈ 6-7 more bits: occupancy stays ~constant
+    assert 6 <= big - small <= 7
+    assert recommended_band_bits(10, n_blocks=10) == 2  # clamp floor
+    assert recommended_band_bits(2**40, n_blocks=1) <= 24  # clamp ceiling
+
+
+def test_embedding_band_pairs_catches_parallel_vectors(spark):
+    """Recall sanity: a truly near-parallel pair must surface regardless
+    of which band catches it."""
+    import random
+
+    from target_iceberg_spark.operators.dedup import embedding_band_pairs
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    noise = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(20)]
+    rows = [(0, "a", base), (1, "a", near)] + [
+        (i + 2, "a", v) for i, v in enumerate(noise)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = embedding_band_pairs(e, bands=4, bits=4, threshold=0.9).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 1)}
