@@ -40,13 +40,30 @@ from pyspark.sql import DataFrame, SparkSession
 from target_iceberg_spark.functions.vectors import cosine
 
 
+# quantizer-training sample target: ~2^10 points per centroid at k=16;
+# past this, more training data barely moves a COARSE quantizer but the
+# fit cost keeps growing linearly (at 100 TB, fitting on the full corpus
+# would dominate the build by orders of magnitude)
+TRAIN_SAMPLE_ROWS = 20_000
+
+
 def build_ivf(emb: DataFrame, vec_col: str = "embedding", k: int = 16, seed: int = 42):
     """Fit the coarse quantizer and return (assigned_df, centroids):
-    assigned_df = emb + `cluster` column; centroids = ndarray [k, d]."""
+    assigned_df = emb + `cluster` column; centroids = ndarray [k, d].
+
+    The k-means fit runs on a bounded deterministic sample
+    (~TRAIN_SAMPLE_ROWS); assignment then covers the full corpus via
+    one `model.transform` pass — the standard IVF build split."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     with_vec = emb.withColumn("_vec", array_to_vector(F.col(vec_col).cast("array<double>")))
+    n = with_vec.count()
+    train = (
+        with_vec.sample(fraction=min(1.0, TRAIN_SAMPLE_ROWS / n), seed=seed)
+        if n > TRAIN_SAMPLE_ROWS
+        else with_vec
+    )
     # Coarse quantizer, not a clustering result: a few Lloyd iterations
     # with random init partition space well enough for posting lists,
     # at a fraction of the default 20-iteration k-means|| cost.
@@ -57,7 +74,7 @@ def build_ivf(emb: DataFrame, vec_col: str = "embedding", k: int = 16, seed: int
         initMode="random",
         featuresCol="_vec",
         predictionCol="cluster",
-    ).fit(with_vec)
+    ).fit(train)
     assigned = model.transform(with_vec).drop("_vec")
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     return assigned, centroids
@@ -102,7 +119,10 @@ def build_or_load_ivf(
         assigned, centroids = build_ivf(emb, vec_col=vec_col, k=k, seed=seed)
         stage = f"{index_path}__stage_{uuid.uuid4().hex[:8]}"
         try:
-            assigned.write.partitionBy("cluster").parquet(
+            # shuffle to one partition per cluster first: otherwise every
+            # write task emits a file into every cluster directory
+            # (tasks x k tiny files); this yields k well-sized files
+            assigned.repartition(k, "cluster").write.partitionBy("cluster").parquet(
                 os.path.join(stage, "postings")
             )
             spark.createDataFrame(
