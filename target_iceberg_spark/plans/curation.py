@@ -1,0 +1,271 @@
+"""Training-data curation plans: TF-IDF, benchmark decontamination,
+deterministic stratified sampling, a composed keep/drop pipeline, and
+GROUPING SETS reporting (SURVEY.md §2B north star — the operations a
+large-scale LLM-data pipeline runs between ingestion and training).
+
+Everything is built-in expression API; the randomness-free designs
+(md5-ordered sampling, md5 n-gram hashing) keep every query inside the
+strict DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from target_iceberg_spark.functions.textfns import (
+    LANG_MARKERS,
+    marker_hits,
+    ngrams_of,
+    tokens,
+)
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+TFIDF_DOC_LIMIT = 50  # score the full corpus, report top terms for docs < 50
+TFIDF_TOP_TERMS = 3
+DECON_EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" set
+DECON_NGRAM = 5
+STRATA_SAMPLE_N = 20
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+    SELECT doc_id, term,
+           ROUND(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM tf JOIN idf USING (term) CROSS JOIN n
+    WHERE doc_id < {TFIDF_DOC_LIMIT}
+)
+SELECT doc_id, term, tfidf FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rn
+    FROM scored
+) WHERE rn <= {TFIDF_TOP_TERMS}
+""",
+    tags=("text", "curation"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF terms per document: term frequencies and document
+    frequencies over the FULL corpus (two map-side-combinable groupBys),
+    smoothed idf = ln((N+1)/(df+1)), per-doc top-k via window. The
+    1-row corpus count is broadcast; the df table joins on term —
+    at 100 TB both stay shuffle-light (vocab << corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.where(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+def _decon_shingle_sql() -> str:
+    parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(DECON_NGRAM))
+    return f"""
+w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, md5(g) AS gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {DECON_NGRAM - 2}),
+                      i -> {parts.replace("toks[i+0]", "toks[i]")})) AS g
+        FROM w
+    )
+)"""
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH {_decon_shingle_sql()}
+SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc, COUNT(*) AS n_shared
+FROM sh a JOIN sh b ON a.gh = b.gh
+WHERE a.doc_id % {DECON_EVAL_MOD} <> 0 AND b.doc_id % {DECON_EVAL_MOD} = 0
+GROUP BY 1, 2
+""",
+    tags=("text", "curation", "dedup"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count distinct {n}-gram collisions
+    between every training document and a held-out eval set — the
+    standard pre-training hygiene check. Shingles are md5-hashed and
+    the overlap is an equi-join on the hash: work scales with shingle
+    collisions, never |train| x |eval|. At 100 TB the eval side is tiny
+    and broadcastable; here both sides derive from one shingle scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("_toks", tokens("text"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(ngrams_of("_toks", DECON_NGRAM))).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("gh"))
+    )
+    train = sh.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    ev = sh.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    return (
+        train.alias("a")
+        .join(ev.alias("b"), F.col("a.gh") == F.col("b.gh"))
+        .groupBy(
+            F.col("a.doc_id").alias("train_doc"),
+            F.col("b.doc_id").alias("eval_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT lang, doc_id, CAST(rn AS INT) AS strat_rank FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+) WHERE rn <= {STRATA_SAMPLE_N}
+""",
+    tags=("sampling", "curation"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly N docs per language,
+    chosen by md5(doc_id) order — a seedless, engine-portable uniform
+    draw (hash order is uncorrelated with any data attribute), so the
+    same rows are selected on every engine and every run. One window
+    shuffle on the stratum key; no sample() nondeterminism."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("strat_rank"))
+        .where(F.col("strat_rank") <= STRATA_SAMPLE_N)
+    )
+
+
+def _curation_oracle() -> str:
+    en = LANG_MARKERS["en"]
+    lst = ", ".join(f"'{m}'" for m in en)
+    hits = [
+        f"len(list_filter(string_split(lower(text), ' '), t -> t IN "
+        f"({', '.join(chr(39) + m + chr(39) for m in LANG_MARKERS[lang])}))) AS h_{lang}"
+        for lang in LANG_MARKERS
+    ]
+    others = " AND ".join(f"h_en >= h_{o}" for o in LANG_MARKERS if o != "en")
+    return f"""
+WITH f AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_types,
+           md5(lower(text)) AS th,
+           {", ".join(hits)}
+    FROM documents
+),
+k AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY th ORDER BY doc_id) AS keep_rn
+    FROM f
+)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM k
+WHERE keep_rn = 1
+  AND n_tok BETWEEN 20 AND 80 AND n_types * 4 >= n_tok
+  AND h_en > 0 AND {others}
+GROUP BY source ORDER BY source
+"""
+
+
+@register("curation_pipeline", oracle=_curation_oracle(), tags=("curation",))
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop pipeline a pre-training corpus runs:
+    exact-dedup keep rule (first doc per normalized-text hash) AND
+    quality gate (token count + type/token ratio) AND language filter
+    (marker-lexicon English), reported as kept docs + token budget per
+    source. One scan, one dedup window, one combinable groupBy —
+    filters all run before the aggregation shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.withColumn("_toks", tokens("text")).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.size(F.array_distinct(F.col("_toks"))).alias("n_types"),
+        F.md5(F.lower("text")).alias("th"),
+        *[
+            marker_hits("text", lang, token_array="_toks").alias(f"h_{lang}")
+            for lang in LANG_MARKERS
+        ],
+    )
+    w = Window.partitionBy("th").orderBy("doc_id")
+    en_best = (F.col("h_en") > 0) & F.expr(
+        " AND ".join(f"h_en >= h_{o}" for o in LANG_MARKERS if o != "en")
+    )
+    return (
+        f.withColumn("keep_rn", F.row_number().over(w))
+        .where(
+            (F.col("keep_rn") == 1)
+            & F.col("n_tok").between(20, 80)
+            & (F.col("n_types") * 4 >= F.col("n_tok"))
+            & en_best
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+""",
+    tags=("aggregate", "grouping"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the asymmetric set list
+    ((flag, status), (status), ()) that neither rollup nor cube can
+    express. Spark expands to one hash aggregate over an Expand node
+    (each input row feeds every set) — a single shuffle, same as a
+    plain groupBy. Grouping columns are non-null in lineitem, so NULL
+    unambiguously marks the grouped-out dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

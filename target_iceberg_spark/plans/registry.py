@@ -76,6 +76,7 @@ def _load_all() -> None:
         streaming_batch,
         similarity,
         windows_extra,
+        curation,
         dedup,
         multimodal,
         tpch_composite,

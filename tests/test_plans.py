@@ -57,12 +57,13 @@ def test_agg_has_partial_phase(spark, sf_oracle):
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_no_cartesian_products(spark, sf_oracle, name):
     """NO query may plan a cartesian/BNL join — except the deliberate
-    broadcast of a literal one-row probe in the similarity queries."""
+    broadcast of a literal one-row probe (similarity) or one-row
+    corpus-count aggregate (tf-idf)."""
     plan = plan_of(spark, sf_oracle, name)
     assert "CartesianProduct" not in plan, name
     if "BroadcastNestedLoopJoin" in plan:
-        # only acceptable as a broadcast of a tiny probe set
-        assert name in ("sim_cosine_topk", "sim_cosine_topk_batch"), (
+        # only acceptable as a broadcast of a tiny probe/scalar set
+        assert name in ("sim_cosine_topk", "sim_cosine_topk_batch", "text_tfidf"), (
             f"unexpected BNLJ in {name}"
         )
 
