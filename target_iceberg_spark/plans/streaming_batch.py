@@ -189,3 +189,39 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen record per user — the batch twin of the custom
+    stateful streaming dedup (streaming/stateful.py::first_seen_dedup,
+    applyInPandasWithState with per-key state + processing-time
+    timeout). Batch mode is one window shuffle; streaming/batch
+    equivalence is asserted in tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

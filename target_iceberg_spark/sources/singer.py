@@ -73,6 +73,8 @@ class _StreamState:
     schema: StructType
     key_properties: list[str]
     buffer: list[dict[str, Any]] = field(default_factory=list)
+    # per-record time_extracted, parallel to buffer (None when absent)
+    extracted: list[datetime | None] = field(default_factory=list)
     records_written: int = 0
     batches_written: int = 0
     version: int | None = None  # Singer table version (ACTIVATE_VERSION)
@@ -167,6 +169,12 @@ class SingerTarget:
         if msg.get("version") is not None:
             stream.version = int(msg["version"])
         stream.buffer.append(_coerce_record(msg["record"], stream.schema))
+        # RECORD's optional time_extracted feeds _sdc_extracted_at
+        # (SDK metadata, SURVEY §2 A12) when the writer stamps metadata
+        te = msg.get("time_extracted")
+        stream.extracted.append(
+            _coerce_value(te, TimestampType()) if isinstance(te, str) else None
+        )
         if len(stream.buffer) >= self.max_batch_size:
             self._drain(stream)
 
@@ -253,9 +261,29 @@ class SingerTarget:
     def _drain(self, stream: _StreamState) -> None:
         if not stream.buffer:
             return
-        df = self.spark.createDataFrame(stream.buffer, schema=stream.schema)
+        add_meta = getattr(self.writer.config, "add_record_metadata", False)
+        if add_meta and any(e is not None for e in stream.extracted):
+            # attach per-record time_extracted; records lacking it get
+            # the drain time (the SDK's `time_extracted or now` default)
+            from pyspark.sql.types import StructField
+
+            schema = StructType(
+                list(stream.schema.fields)
+                + [StructField("_sdc_extracted_at", TimestampType(), True)]
+            )
+            rows = [
+                {**r, "_sdc_extracted_at": e}
+                for r, e in zip(stream.buffer, stream.extracted)
+            ]
+            df = self.spark.createDataFrame(rows, schema=schema).withColumn(
+                "_sdc_extracted_at",
+                F.coalesce(F.col("_sdc_extracted_at"), F.current_timestamp()),
+            )
+        else:
+            df = self.spark.createDataFrame(stream.buffer, schema=stream.schema)
         n = len(stream.buffer)
         stream.buffer = []
+        stream.extracted = []
         self._write_df(stream, df, n)
 
     def _drain_all(self) -> None:

@@ -389,3 +389,31 @@ def test_delete_where_keeps_null_condition_rows(spark, writer):
     writer.delete_where("vt", "_sdc_table_version < 2")
     kept = {r["id"] for r in writer.read("vt").collect()}
     assert kept == {1, 3}  # NULL row survives; version-1 row deleted
+
+
+def test_time_extracted_feeds_sdc_extracted_at(spark, tmp_path):
+    """A RECORD's time_extracted lands in _sdc_extracted_at (SDK A12);
+    records lacking it default to the drain time, not NULL."""
+    from datetime import datetime
+
+    writer = StreamWriter(
+        spark,
+        WriterConfig(warehouse=str(tmp_path), add_record_metadata=True),
+        mode="parquet",
+    )
+    lines = [
+        json.dumps(USERS_SCHEMA),
+        json.dumps(
+            {
+                "type": "RECORD",
+                "stream": "users",
+                "time_extracted": "2024-02-03T04:05:06Z",
+                "record": {"id": 1, "name": "a", "created_at": None},
+            }
+        ),
+        _record("users", id=2, name="b", created_at=None),
+    ]
+    SingerTarget(spark, writer).run(lines)
+    rows = {r["id"]: r["_sdc_extracted_at"] for r in writer.read("users").collect()}
+    assert rows[1] == datetime(2024, 2, 3, 4, 5, 6)
+    assert rows[2] is not None and rows[2].year >= 2026  # drain-time default

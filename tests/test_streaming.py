@@ -159,3 +159,80 @@ def test_epoch_marker_is_per_checkpoint_not_per_table(spark, sf_smoke, tmp_path)
     run_bounded(spark, str(src2), writer, "ev", str(tmp_path / "ckpt2"))
     n2 = writer.read("ev").count()
     assert n2 == 2 * n1  # the second query's epoch 0 must land
+
+
+def test_stateful_first_seen_dedup_stream_equals_batch(spark, sf_smoke, events_dir, tmp_path):
+    """applyInPandasWithState first-seen dedup: the streaming operator's
+    output matches the batch twin (row_number ascending == 1) on the
+    same bounded input — one row per user, the (ts, event_id)-minimal
+    one."""
+    from target_iceberg_spark.plans.registry import queries
+    from target_iceberg_spark.streaming.stateful import first_seen_dedup
+
+    stream = read_event_stream(spark, events_dir)
+    deduped = first_seen_dedup(
+        stream.select("user_id", "event_id", "ts", "event_type"),
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        state_timeout_ms=None,  # bounded drain: see first_seen_dedup docstring
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.table("first_seen_out").collect()
+    }
+    batch = queries()["stream_dedup_first"](spark, sf_smoke)
+    expect = {(r["user_id"], r["event_id"]) for r in batch.collect()}
+    assert got == expect and got
+
+
+def test_stateful_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch are suppressed by the
+    per-key state (the property plain dropDuplicates-per-batch lacks).
+    maxFilesPerTrigger=1 forces the two files into separate micro-batches
+    of one run; file mtimes fix the batch order."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import first_seen_dedup
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [10, 20], "ts": [100, 200]}
+    ).to_parquet(src / "a.parquet")
+    # batch 2: same event_ids again with different users (+ one new key)
+    pd.DataFrame(
+        {"event_id": [1, 2, 3], "user_id": [99, 99, 30], "ts": [300, 400, 500]}
+    ).to_parquet(src / "b.parquet")
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+    stream = (
+        spark.readStream.schema("event_id LONG, user_id LONG, ts LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = first_seen_dedup(
+        stream, key_col="event_id", order_cols=("ts",), state_timeout_ms=None
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r["user_id"] for r in spark.table("dup_out").collect()}
+    # keys 1/2 keep their batch-1 rows (99s suppressed); 3 emits from batch 2
+    assert rows == {1: 10, 2: 20, 3: 30}
