@@ -45,24 +45,27 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # min over neighbors' labels, partially aggregated BEFORE the
+        # join back to labels (map-side combine shrinks the shuffle)
         neighbor_min = (
             edges.join(labels, edges.d == labels.v)
-            .select(F.col("s").alias("v"), "comp")
+            .groupBy(F.col("s").alias("nv"))
+            .agg(F.min("comp").alias("ncomp"))
         )
+        # one left join folds the neighbor min in AND carries a changed
+        # flag, so convergence is a scan of the checkpointed result
+        # instead of a second join-count job per round
         new_labels = (
-            labels.unionByName(neighbor_min)
-            .groupBy("v")
-            .agg(F.min("comp").alias("comp"))
+            labels.join(neighbor_min, labels.v == neighbor_min.nv, "left")
+            .select(
+                "v",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+                (F.col("ncomp") < F.col("comp")).alias("chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("chg")
+        if new_labels.where("chg").isEmpty():
             break
     else:
         # exhausting max_iter with changes pending means labels are NOT

@@ -40,13 +40,25 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """One column per hash function: s_j = MIN over shingles of
-    md5(j || ':' || shingle). A single map-side-combinable groupBy."""
+    """One column per hash function via the Carter-Wegman family:
+    ONE md5 per shingle yields h1 (hex digits 1-8) and h2 (digits 9-16,
+    forced odd), then g_j = (h1 + j*h2) mod 2^32 and s_j = MIN(g_j).
+    A single map-side-combinable groupBy. One md5 + num_hashes integer
+    ops per row — the naive per-j md5 costs num_hashes digests per
+    shingle occurrence, the dominant map-side CPU at corpus scale.
+    Integer arithmetic is engine-portable, so the DuckDB oracle mirrors
+    it exactly."""
+    h = F.md5(F.col("shingle"))
+    hashed = shingles.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1)).alias("_h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"s{j}")
+        F.min((F.col("_h1") + F.lit(j) * F.col("_h2")) % F.lit(4294967296)).alias(f"s{j}")
         for j in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(
@@ -63,8 +75,13 @@ def lsh_band_keys(
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # ':' separator: signature values are variable-width decimal
+        # strings, so bare concat would alias e.g. (1,23) with (12,3)
         band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_key"))
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(":", *cols)).alias("band_key"),
+            )
         )
     return (
         signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))

@@ -96,20 +96,30 @@ sh AS (
 
 
 def _minhash_ctes(num_hashes: int = NUM_HASHES, bands: int = BANDS) -> str:
+    # bit-exact mirror of operators/dedup.py::minhash_signatures:
+    # one md5 per shingle, Carter-Wegman g_j = (h1 + j*h2) mod 2^32
     mins = ",\n           ".join(
-        f"MIN(md5('{j}:' || shingle)) AS s{j}" for j in range(num_hashes)
+        f"MIN((h1 + {j} * h2) % 4294967296) AS s{j}" for j in range(num_hashes)
     )
     rows = num_hashes // bands
     band_exprs = ",\n           ".join(
-        "md5(" + " || ".join(f"s{b * rows + r}" for r in range(rows)) + f") AS b{b}"
+        "md5("
+        + " || ':' || ".join(f"s{b * rows + r}::VARCHAR" for r in range(rows))
+        + f") AS b{b}"
         for b in range(bands)
     )
     band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
     return f"""{_shingle_cte()},
+shh AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+           (('0x' || substr(md5(shingle), 9, 8))::BIGINT | 1) AS h2
+    FROM sh
+),
 sig AS (
     SELECT doc_id,
            {mins}
-    FROM sh GROUP BY doc_id
+    FROM shh GROUP BY doc_id
 ),
 bands AS (
     SELECT doc_id,
