@@ -269,3 +269,47 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "curation_domain_mix",
+    oracle="""
+WITH s AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+    FROM documents GROUP BY source
+)
+SELECT source, n_docs, src_tokens,
+       ROUND(CAST(src_tokens AS DOUBLE) / SUM(src_tokens) OVER (), 6) AS share,
+       ROUND((1.0 / COUNT(*) OVER ())
+             / (CAST(src_tokens AS DOUBLE) / SUM(src_tokens) OVER ()), 6) AS mix_weight
+FROM s
+ORDER BY source
+""",
+    tags=("curation",),
+)
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source token share and the resampling
+    weight that flattens the mix to uniform (weight = target_share /
+    actual_share — the knob a training-data pipeline turns to re-balance
+    sources). One map-side-combinable groupBy; the share denominators
+    are unpartitioned window aggregates over the tiny per-source frame,
+    so no second scan of the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("src_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("src_tokens").cast("double") / F.sum("src_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return s.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(target / share, 6).alias("mix_weight"),
+    ).orderBy("source")

@@ -79,8 +79,8 @@ def _load_all() -> None:
         curation,
         dedup,
         multimodal,
-        tpch_composite,
         aggregates,
+        tpch_composite,
         joins,
         relational_extra,
         scans,

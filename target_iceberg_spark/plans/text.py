@@ -15,6 +15,7 @@ from target_iceberg_spark.functions.textfns import (
     LANG_MARKERS,
     langid_from_hits,
     marker_hits,
+    ngrams_of,
     token_set_fingerprint,
     tokens,
 )
@@ -183,4 +184,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(token_set_fingerprint("text").alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+tokc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+tstats AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           MAX(c) AS max_tok
+    FROM tokc GROUP BY doc_id
+),
+w AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bgs AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM w
+),
+bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+bstats AS (
+    SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS max_bg
+    FROM bgc GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.distinct_tokens,
+       ROUND(CAST(t.distinct_tokens AS DOUBLE) / t.n_tokens, 6) AS distinct_frac,
+       ROUND(CAST(t.max_tok AS DOUBLE) / t.n_tokens, 6) AS top_tok_frac,
+       ROUND(CAST(b.max_bg AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac,
+       (CAST(b.max_bg AS DOUBLE) / b.n_bigrams > 0.05) AS repetitive
+FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: type-token
+    ratio, top-token fraction, top-bigram fraction, and a repetitive
+    flag (top-bigram share above threshold — the Gopher repetition
+    filter family). Two map-side-combinable double groupBys (token and
+    bigram counts) joined on doc_id; everything stays in whole-stage
+    codegen, and work is linear in corpus token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tstats = (
+        toks.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.max("count").alias("max_tok"),
+        )
+    )
+    bgs = docs.select("doc_id", tokens("text").alias("_toks")).select(
+        "doc_id", F.explode(ngrams_of("_toks", 2)).alias("bg")
+    )
+    bstats = (
+        bgs.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_bigrams"), F.max("count").alias("max_bg"))
+    )
+    bg_frac = F.col("max_bg").cast("double") / F.col("n_bigrams")
+    return tstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.round(F.col("distinct_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+            "distinct_frac"
+        ),
+        F.round(F.col("max_tok").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_tok_frac"
+        ),
+        F.round(bg_frac, 6).alias("top_bigram_frac"),
+        (bg_frac > 0.05).alias("repetitive"),
     )
