@@ -99,3 +99,130 @@ def first_seen_dedup(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_ms: int = 30 * 60 * 1000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Custom event-time sessionization with explicit state control —
+    the applyInPandasWithState face of ``stream_session`` (which uses
+    the built-in ``session_window``). A session closes when a gap of
+    at least ``gap_ms`` separates consecutive events of a key (the
+    built-in's merge rule: next_ts < last_ts + gap extends).
+
+    Per-key state is one OPEN session (start, last_ts, n, sum); closed
+    sessions are emitted as soon as the closing event arrives, and the
+    open session is flushed by an event-time timeout once the watermark
+    passes last_ts + gap — semantics the built-in session_window cannot
+    expose (e.g. to add per-session custom logic such as emitting
+    partial sessions or side outputs).
+
+    Output schema matches the batch twin stream_session:
+    (key, sess_start, n_events, sum_value).
+    """
+    import pandas as pd  # executor-side; imported here for pickling
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} LONG, sess_start TIMESTAMP, n_events LONG, sum_value DOUBLE"
+    )
+
+    def _emit(key: tuple, start_us: int, n: int, sv: float) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "sess_start": [pd.Timestamp(start_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [round(sv, 2)],
+            }
+        )
+
+    def session_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            start_us, _last_us, n, sv = state.get
+            state.remove()
+            yield _emit(key, start_us, n, sv)
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        ts_us = batch[ts_col].astype("int64") // 1000  # ns -> us
+        vals = batch[value_col].fillna(0.0).astype("float64")
+        gap_us = gap_ms * 1000
+        # vectorized sessionization (the lag/cumsum recipe): a row opens
+        # a new session iff it is >= gap after its predecessor; the
+        # predecessor of row 0 is the carried-in open session's last_ts
+        prev = ts_us.shift(1)
+        if state.exists:
+            start_us0, last_us0, n0, sv0 = state.get
+            prev.iloc[0] = last_us0
+            new_sess = (ts_us - prev) >= gap_us
+        else:
+            new_sess = (ts_us - prev) >= gap_us
+            new_sess.iloc[0] = True
+        sid = new_sess.cumsum()  # 0 = continuation of carried session
+        agg = pd.DataFrame(
+            {"sid": sid, "ts_us": ts_us, "val": vals}
+        ).groupby("sid").agg(
+            start=("ts_us", "min"),
+            last=("ts_us", "max"),
+            n=("ts_us", "size"),
+            sv=("val", "sum"),
+        )
+        if state.exists and 0 in agg.index:
+            agg.loc[0, "start"] = start_us0
+            agg.loc[0, "n"] += n0
+            agg.loc[0, "sv"] += sv0
+        elif state.exists:
+            # batch opened with a gap: the carried session closed as-is
+            agg = pd.concat(
+                [
+                    pd.DataFrame(
+                        {"start": [start_us0], "last": [last_us0], "n": [n0], "sv": [sv0]},
+                        index=[-1],
+                    ),
+                    agg,
+                ]
+            )
+        closed = agg.iloc[:-1]
+        if len(closed):
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "sess_start": pd.to_datetime(closed["start"], unit="us"),
+                    "n_events": closed["n"].astype("int64"),
+                    "sum_value": closed["sv"].round(2),
+                }
+            )
+        open_row = agg.iloc[-1]
+        state.update(
+            (int(open_row["start"]), int(open_row["last"]), int(open_row["n"]), float(open_row["sv"]))
+        )
+        # a batch of late rows can put last_ts + gap behind the current
+        # watermark, which setTimeoutTimestamp rejects — clamp forward
+        state.setTimeoutTimestamp(
+            max(int(open_row["last"]) // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            session_fn,
+            outputStructType=out_schema,
+            stateStructType="start_us BIGINT, last_us BIGINT, n BIGINT, sv DOUBLE",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

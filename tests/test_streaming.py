@@ -236,3 +236,62 @@ def test_stateful_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
     rows = {r["event_id"]: r["user_id"] for r in spark.table("dup_out").collect()}
     # keys 1/2 keep their batch-1 rows (99s suppressed); 3 emits from batch 2
     assert rows == {1: 10, 2: 20, 3: 30}
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_smoke, events_dir, tmp_path):
+    """Custom applyInPandasWithState sessionization: every session the
+    watermark has passed is emitted and matches the built-in
+    session_window batch twin (stream_session) exactly; open tail
+    sessions (last_ts + gap > final watermark) are the only ones
+    allowed to be missing."""
+    import datetime as dt
+
+    from target_iceberg_spark.plans.registry import queries
+    from target_iceberg_spark.streaming.stateful import sessionize
+
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        sessionize(stream.select("user_id", "ts", "value"))
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["sess_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("sess_out").collect()
+    }
+
+    batch = queries()["stream_session"](spark, sf_smoke)
+    ev = load_table(spark, sf_smoke, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # watermark after drain
+    gap = dt.timedelta(minutes=30)
+    expect_closed = set()
+    tail = set()
+    # session end = sess_start-anchored last event; recompute ends from
+    # the raw events to classify closed vs open-tail sessions
+    ends = {
+        (r["user_id"], r["sess_start"]): r["sess_end"]
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("last_ts").alias("sess_end"),
+        )
+        .collect()
+    }
+    for r in batch.collect():
+        row = (r["user_id"], r["sess_start"], r["n_events"], r["sum_value"])
+        if ends[(r["user_id"], r["sess_start"])] + gap <= max_ts:
+            expect_closed.add(row)
+        else:
+            tail.add(row)
+    assert expect_closed, "testdata produced no closed sessions"
+    assert expect_closed <= got  # every watermark-passed session emitted
+    assert got <= expect_closed | tail  # nothing invented
