@@ -57,3 +57,30 @@ def salted_agg(
             raise ValueError(f"unsupported combinable op: {op}")
     partial = df.groupBy(*keys, salt).agg(*phase1_aggs)
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str | Column,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the (small) dim side ``buckets``
+    times and route each fact row to one replica by a deterministic salt,
+    so a hot join key spreads over ``buckets`` reducers instead of one.
+
+    AQE's skew-join splitting handles this at runtime for sort-merge
+    joins; explicit salting remains the reproducible-plan tool and the
+    only option when AQE is off or the skew is in a broadcast-ineligible
+    mid-size dim. The salt derives from ``salt_src`` (a row-
+    distinguishing fact column), never rand(), so the result is
+    deterministic and oracle-checkable. Dim replication costs
+    |dim| * buckets rows — keep buckets ~ the reducer fan-out needed for
+    the hottest key, not larger."""
+    salt = F.pmod(F.hash(salt_src), F.lit(buckets))
+    fact_s = fact.withColumn("_salt", salt)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return fact_s.join(dim_s, [key, "_salt"]).drop("_salt")

@@ -77,10 +77,12 @@ def _load_all() -> None:
         similarity,
         windows_extra,
         curation,
+        sketches,
+        skew_join,
         dedup,
-        multimodal,
         aggregates,
         tpch_composite,
+        multimodal,
         joins,
         relational_extra,
         scans,

@@ -1,0 +1,55 @@
+"""Sketch-tier aggregates (SURVEY.md §2B approximate family).
+
+percentile_approx runs a positional Greenwald-Khanna-style sketch that
+is mergeable across partitions — the property that makes it the 100 TB
+tool: each partition ships a bounded sketch, never its values, so
+shuffle volume is O(partitions * sketch), independent of row count
+(exact percentile shuffles every value to sort). Below the sketch's
+accuracy capacity the result degenerates to exact nearest-rank, which
+is what lets the DuckDB oracle (quantile_disc) hash-match at test SF;
+at 100 TB the same query stays cheap and the answer carries the
+documented rank-error bound instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+ACCURACY = 100_000  # >> rows-per-group at test SF => exact nearest-rank
+
+
+@register(
+    "agg_approx_quantile",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.75) AS p75,
+       quantile_disc(value, 0.95) AS p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg", "approx", "sketch"),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantiles per group (p25/p50/p75/p95 of event
+    value). Scalar output columns, one per percentile — array outputs
+    don't survive order-insensitive hashing downstream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("value", 0.25, ACCURACY).alias("p25"),
+            F.percentile_approx("value", 0.50, ACCURACY).alias("p50"),
+            F.percentile_approx("value", 0.75, ACCURACY).alias("p75"),
+            F.percentile_approx("value", 0.95, ACCURACY).alias("p95"),
+        )
+        .orderBy("event_type")
+    )

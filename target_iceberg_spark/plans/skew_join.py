@@ -1,0 +1,47 @@
+"""Skew-salted join plan (SURVEY.md §2B join family, scale tier).
+
+The fact side of a fact-dim join concentrates on hot keys (power-law
+users); operators/skew.py::salted_join spreads each key over `buckets`
+reducers by replicating the dim. The oracle is the UNSALTED plain join
+— salting is a pure physical rewrite, so the result must hash-match
+exactly, which is itself the test that the rewrite is semantics-
+preserving.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.operators.skew import salted_join
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "join_salted",
+    oracle="""
+WITH dim AS (
+    SELECT user_id,
+           COUNT(*) AS user_n_events,
+           ROUND(AVG(value), 4) AS user_avg_value
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, d.user_n_events, d.user_avg_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+""",
+    tags=("join", "skew"),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich each event with its user's aggregate profile through a
+    salted join: the per-user dim is replicated over 8 salt buckets and
+    each fact row routes to one replica via a deterministic hash of its
+    event_id — a hot user's rows land on 8 reducers instead of 1."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_n_events"),
+        F.round(F.avg("value"), 4).alias("user_avg_value"),
+    )
+    return salted_join(
+        ev.select("event_id", "user_id"), dim, "user_id", "event_id", buckets=8
+    ).select("event_id", "user_id", "user_n_events", "user_avg_value")

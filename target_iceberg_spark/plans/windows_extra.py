@@ -163,3 +163,34 @@ def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_seconds(cast(ts as timestamp))").alias("epoch_s"),
         (F.weekday("ts") + F.lit(1)).alias("iso_dow"),
     )
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(source, '([0-9]+)', 1) AS src_num,
+       regexp_matches(text, 'spark (query|table|join)') AS has_spark_phrase,
+       CAST(len(regexp_extract_all(text, '\\b(fast|slow)\\b')) AS INT) AS speed_hits,
+       regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS redacted_head
+FROM documents
+""",
+    tags=("function", "regexp"),
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family — extract / match / count / global replace.
+    Patterns restricted to the syntax subset where Java regex (Spark)
+    and RE2 (DuckDB) agree: char classes, alternation, word boundaries;
+    no backrefs or lookarounds. regexp_count maps to DuckDB
+    len(regexp_extract_all); Spark's regexp_replace is global by
+    default, matching DuckDB's 'g' flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", r"([0-9]+)", 1).alias("src_num"),
+        F.col("text").rlike("spark (query|table|join)").alias("has_spark_phrase"),
+        F.regexp_count("text", F.lit(r"\b(fast|slow)\b")).alias("speed_hits"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
+            "redacted_head"
+        ),
+    )

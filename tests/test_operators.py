@@ -417,3 +417,25 @@ def test_embedding_band_pairs_catches_parallel_vectors(spark):
     e = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
     got = embedding_band_pairs(e, bands=4, bits=4, threshold=0.9).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 1)}
+
+
+def test_salted_join_spreads_key_and_preserves_result(spark):
+    """salted_join == plain join, and the physical plan actually joins
+    on (key, _salt) with the dim exploded buckets-x (guards against the
+    salt being optimized into a no-op)."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.operators.skew import salted_join
+
+    fact = spark.range(1000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).alias("k")
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k LONG, v STRING")
+    out = salted_join(fact, dim, "k", "event_id", buckets=8)
+    plain = fact.join(dim, "k")
+    assert out.count() == 1000
+    assert (
+        out.select("event_id", "k", "v").exceptAll(plain.select("event_id", "k", "v")).isEmpty()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the salt survives into the physical join
