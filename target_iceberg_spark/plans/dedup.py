@@ -25,11 +25,14 @@ from target_iceberg_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from target_iceberg_spark.plans.dedup_sql import (
+    BANDS,
+    NUM_HASHES,
+    _minhash_ctes,
+    _shingle_cte,
+)
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
-
-NUM_HASHES = 16
-BANDS = 4
 EMB_COS_THRESHOLD = 0.4  # test embeddings are random (max pair cos ~0.51)
 
 
@@ -82,55 +85,6 @@ def dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-
-
-def _shingle_cte() -> str:
-    return """
-w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-sh AS (
-    SELECT doc_id,
-           unnest(list_transform(range(1, len(toks) - 1),
-                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-    FROM w
-)"""
-
-
-def _minhash_ctes(num_hashes: int = NUM_HASHES, bands: int = BANDS) -> str:
-    # bit-exact mirror of operators/dedup.py::minhash_signatures:
-    # one md5 per shingle, Carter-Wegman g_j = (h1 + j*h2) mod 2^32
-    mins = ",\n           ".join(
-        f"MIN((h1 + {j} * h2) % 4294967296) AS s{j}" for j in range(num_hashes)
-    )
-    rows = num_hashes // bands
-    band_exprs = ",\n           ".join(
-        "md5("
-        + " || ':' || ".join(f"s{b * rows + r}::VARCHAR" for r in range(rows))
-        + f") AS b{b}"
-        for b in range(bands)
-    )
-    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
-    return f"""{_shingle_cte()},
-shh AS (
-    SELECT doc_id,
-           ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
-           (('0x' || substr(md5(shingle), 9, 8))::BIGINT | 1) AS h2
-    FROM sh
-),
-sig AS (
-    SELECT doc_id,
-           {mins}
-    FROM shh GROUP BY doc_id
-),
-bands AS (
-    SELECT doc_id,
-           {band_exprs}
-    FROM sig
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.doc_id < b.doc_id AND ({band_or})
-)"""
 
 
 @register(

@@ -79,9 +79,11 @@ def _load_all() -> None:
         curation,
         sketches,
         skew_join,
-        dedup,
+        subqueries,
+        dedup_editdist,
         aggregates,
         tpch_composite,
+        dedup,
         multimodal,
         joins,
         relational_extra,

@@ -94,3 +94,33 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_value"),
     )
+
+
+@register(
+    "win_count_distinct",
+    oracle="""
+SELECT user_id, event_id,
+       COUNT(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+       ) AS types_seen
+FROM events
+""",
+    tags=("window", "distinct"),
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count over a window — Spark has no
+    COUNT(DISTINCT) window function; size(collect_set() OVER w) is the
+    idiomatic rewrite (the set is bounded by the distinct-value domain,
+    here 5 event types, so per-row state stays tiny at any scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("types_seen"),
+    )
