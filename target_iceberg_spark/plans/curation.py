@@ -313,3 +313,53 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.round(target / share, 6).alias("mix_weight"),
     ).orderBy("source")
+
+
+@register(
+    "text_perplexity",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+freq AS (
+    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+p AS (
+    SELECT tok, CAST(c AS DOUBLE) / SUM(c) OVER () AS p FROM freq
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(-AVG(ln(p.p)), 4) AS cross_entropy
+FROM toks t JOIN p ON t.tok = p.tok
+GROUP BY t.doc_id
+""",
+    tags=("curation", "quality"),
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the cheap stand-in for
+    the perplexity quality filter every LLM data pipeline runs (docs
+    full of rare tokens score high; perplexity = exp(cross_entropy)).
+    The LM is fit on the corpus itself in the same job: token explode ->
+    combinable frequency groupBy -> probability via one window over the
+    vocab-sized frame -> equi-join back to token occurrences. At 100 TB
+    the vocab frame is millions of rows, not billions — the single
+    unpartitioned window stays trivial; the occurrence join shuffles on
+    the token key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    p = freq.select(
+        "tok",
+        (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy())).alias("p"),
+    )
+    return (
+        toks.join(p, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log("p")), 4).alias("cross_entropy"),
+        )
+    )

@@ -81,6 +81,7 @@ def _load_all() -> None:
         skew_join,
         subqueries,
         dedup_editdist,
+        multimodal_frames,
         aggregates,
         tpch_composite,
         dedup,

@@ -79,3 +79,24 @@ def test_asof_is_single_shuffle(spark, sf_oracle):
 def test_cosine_topk_broadcasts_probe(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "sim_cosine_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q18_large_orders")
+    assert "LeftSemi" in plan  # big-orderkey list joined back, not collected
+    assert "partial_sum" in plan  # the HAVING aggregate map-side combines
+
+
+def test_subquery_exists_decorrelates_to_anti_join(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "subquery_exists")
+    assert "LeftAnti" in plan
+
+
+def test_subquery_in_decorrelates_to_semi_join(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "subquery_in")
+    assert "LeftSemi" in plan
+
+
+def test_salted_join_carries_salt_into_join_key(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "join_salted")
+    assert "_salt" in plan  # salt survives optimization into the join
