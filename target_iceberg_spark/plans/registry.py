@@ -82,6 +82,7 @@ def _load_all() -> None:
         subqueries,
         dedup_editdist,
         multimodal_frames,
+        stream_join,
         aggregates,
         tpch_composite,
         dedup,

@@ -216,3 +216,34 @@ def run_bounded(
         out, writer, stream_name, checkpoint_dir, output_mode=output_mode
     )
     q.awaitTermination()
+
+
+def interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to
+    same-user clicks in the preceding ``interval``.
+
+    Both sides carry a watermark and the join condition bounds
+    click_ts within [purchase_ts - interval, purchase_ts], so Spark
+    derives a finite state-retention window per side (clicks older
+    than watermark - interval are evicted) — the property that keeps
+    stream-stream join state bounded on unbounded streams. Inner join
+    in append mode emits each match exactly once.
+
+    Inputs must be pre-projected: purchases(user_id, purchase_id,
+    purchase_ts), clicks(c_user_id, click_id, click_ts).
+    """
+    import pyspark.sql.functions as F
+
+    p = purchases.withWatermark("purchase_ts", watermark_delay)
+    c = clicks.withWatermark("click_ts", watermark_delay)
+    return p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

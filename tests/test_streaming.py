@@ -295,3 +295,42 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_smoke, even
     assert expect_closed, "testdata produced no closed sessions"
     assert expect_closed <= got  # every watermark-passed session emitted
     assert got <= expect_closed | tail  # nothing invented
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, events_dir, tmp_path):
+    """Watermarked stream-stream inner join drains to exactly the batch
+    interval-join result on bounded input (inner join + availableNow =>
+    every match emitted once)."""
+    from target_iceberg_spark.plans.registry import queries
+    from target_iceberg_spark.streaming.pipeline import interval_join
+
+    ev = read_event_stream(spark, events_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    q = (
+        interval_join(p, c)
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in spark.table("ij_out").collect()
+    }
+    batch = queries()["stream_join_interval"](spark, sf_smoke)
+    want = {
+        (r["user_id"], r["purchase_id"], r["click_id"]) for r in batch.collect()
+    }
+    assert got == want and got
