@@ -32,6 +32,41 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(FLOOR(value / 25) AS INT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS lo,
+       ROUND(MAX(value), 2) AS hi,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY CAST(FLOOR(value / 25) AS INT)
+ORDER BY bucket
+""",
+    tags=("agg", "profiling"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over a measure column — the data-profiling
+    primitive (value distributions, outlier detection) a pipeline runs
+    before setting filter thresholds. floor-division bucketing keeps the
+    whole query one map-side-combinable groupBy with ~20 groups; at any
+    scale the shuffle carries only the per-bucket partials."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.floor(F.col("value") / 25).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @register("agg_group", oracle=AGG_GROUP_ORACLE, tags=("aggregate", "flagship"))
 def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: filter -> hash agg -> sort."""
@@ -209,39 +244,4 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
-    )
-
-
-@register(
-    "agg_histogram",
-    oracle="""
-SELECT CAST(FLOOR(value / 25) AS INT) AS bucket,
-       COUNT(*) AS n,
-       ROUND(MIN(value), 2) AS lo,
-       ROUND(MAX(value), 2) AS hi,
-       ROUND(AVG(value), 4) AS avg_value
-FROM events
-WHERE value IS NOT NULL
-GROUP BY CAST(FLOOR(value / 25) AS INT)
-ORDER BY bucket
-""",
-    tags=("agg", "profiling"),
-)
-def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram over a measure column — the data-profiling
-    primitive (value distributions, outlier detection) a pipeline runs
-    before setting filter thresholds. floor-division bucketing keeps the
-    whole query one map-side-combinable groupBy with ~20 groups; at any
-    scale the shuffle carries only the per-bucket partials."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.where(F.col("value").isNotNull())
-        .groupBy(F.floor(F.col("value") / 25).cast("int").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value"), 2).alias("lo"),
-            F.round(F.max("value"), 2).alias("hi"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
-        .orderBy("bucket")
     )

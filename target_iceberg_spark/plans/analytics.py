@@ -1,0 +1,127 @@
+"""Event-analytics plans: ordered funnel and cohort retention
+(SURVEY.md §2B event-time family).
+
+Both are classic product-analytics shapes a telemetry pipeline runs at
+full scale. Each pass is a combinable per-user aggregate (shuffle on
+user_id) joined to the next stage's filter — never a per-user explode
+of event history, so the plans survive billions of events with
+power-law users.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH s AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s.s_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+    GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click_after,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after
+""",
+    tags=("analytics", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> click -> purchase funnel: each stage is the
+    user's earliest qualifying event strictly after the previous stage.
+    Three combinable groupBys on user_id; stage N+1's scan is filtered
+    by event type before the join, so each pass moves only one event
+    type's volume."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id,
+           date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id,
+           f.cohort_week,
+           date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS act_week
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cohort_week, act_week) / 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM activity
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("analytics", "retention"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week, counted once per (cohort, activity-week offset). Two shuffles
+    on user_id (first-seen agg + distinct) then a combinable count —
+    the DISTINCT collapses per-user event volume before the final
+    aggregate, so hot users cost one row per active week."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", "ts").alias("act_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -83,8 +83,9 @@ def _load_all() -> None:
         dedup_editdist,
         multimodal_frames,
         stream_join,
-        aggregates,
+        analytics,
         tpch_composite,
+        aggregates,
         dedup,
         multimodal,
         joins,

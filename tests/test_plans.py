@@ -63,9 +63,12 @@ def test_no_cartesian_products(spark, sf_oracle, name):
     assert "CartesianProduct" not in plan, name
     if "BroadcastNestedLoopJoin" in plan:
         # only acceptable as a broadcast of a tiny probe/scalar set
-        assert name in ("sim_cosine_topk", "sim_cosine_topk_batch", "text_tfidf"), (
-            f"unexpected BNLJ in {name}"
-        )
+        assert name in (
+            "sim_cosine_topk",
+            "sim_cosine_topk_batch",
+            "text_tfidf",
+            "events_funnel",  # cross of three one-row stage counts
+        ), f"unexpected BNLJ in {name}"
 
 
 def test_asof_is_single_shuffle(spark, sf_oracle):
