@@ -363,3 +363,66 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg(F.log("p")), 4).alias("cross_entropy"),
         )
     )
+
+
+PACK_CAPACITY = 2048
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tokens) / {PACK_CAPACITY}) AS INT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM c
+GROUP BY source, CAST(FLOOR((cum - n_tokens) / {PACK_CAPACITY}) AS INT)
+ORDER BY source, pack_id
+""",
+    tags=("curation", "packing"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: docs are binned into
+    fixed-token-budget packs by their running-token offset within each
+    source shard (deterministic doc_id order). The distributed recipe:
+    packing is sequential by nature, so it runs per shard — one window
+    shuffle on source — and a doc straddling a boundary spills into the
+    pack its START offset falls in (best-effort fill, documented
+    overflow). Output is the per-pack manifest a downstream tokenizer
+    consumes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tokens")) / PACK_CAPACITY)
+            .cast("int")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )

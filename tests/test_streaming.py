@@ -334,3 +334,69 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, events_dir, t
         (r["user_id"], r["purchase_id"], r["click_id"]) for r in batch.collect()
     }
     assert got == want and got
+
+
+def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
+    """Two micro-batches: the open session carried in state is extended
+    by a continuing event, closed by a gap event in the later batch, and
+    an idle key's open session is flushed by the event-time timeout once
+    another key's events advance the watermark."""
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import sessionize
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [int((t0 + pd.Timedelta(minutes=r[1])).value) for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        ).to_parquet(tmp_path / "sess_src" / name)
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # batch 1: user 1 two events (open session), user 2 one event
+    mk("a.parquet", [(1, 0, 1.0), (1, 10, 2.0), (2, 5, 5.0)])
+    # batch 2: user 1 continues at +20min (gap 10 < 30 extends), then a
+    # +120min event closes the carried session; user 2 idle -> its open
+    # session must flush via timeout when the watermark hits +120min
+    mk("b.parquet", [(1, 20, 3.0), (1, 120, 4.0)])
+    import os
+
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # ts arrives as epoch nanos; normalize like read_event_stream does
+    stream = stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp")
+    )
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_xbatch")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["user_id"], r["sess_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("sess_xbatch").collect()
+    }
+    expect = {
+        # user 1: carried session t0..t0+20 (3 events) closed by the gap
+        (1, (t0).to_pydatetime(), 3, 6.0),
+        # user 2: open session flushed by watermark timeout
+        (2, (t0 + pd.Timedelta(minutes=5)).to_pydatetime(), 1, 5.0),
+    }
+    # user 1's +120min tail stays open (timeout beyond final watermark)
+    assert rows == expect
