@@ -89,10 +89,30 @@ def lsh_band_keys(
     )
 
 
-def candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
+def candidate_pairs(
+    band_keys: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing >= 1 band: self-equi-join on
     (band_idx, band_key) — shuffle-partitioned by band key, no cross
-    product. Output columns: id_a, id_b."""
+    product. Output columns: id_a, id_b.
+
+    ``max_bucket_size`` is the 100 TB safety valve: one degenerate band
+    bucket of m members yields m^2/2 pairs (a million boilerplate docs
+    sharing a band => 5*10^11 pairs from ONE key), so production dedup
+    caps bucket size and skips oversized buckets — members of such a
+    bucket are near-identical enough that other bands, or the exact
+    dedup pass, still catch them. The cap costs one extra
+    map-side-combinable count per (band_idx, band_key). None = uncapped
+    (the test-SF default, keeping the DuckDB oracle exact)."""
+    if max_bucket_size is not None:
+        sizes = band_keys.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        band_keys = (
+            band_keys.join(sizes, ["band_idx", "band_key"])
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (

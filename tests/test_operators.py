@@ -439,3 +439,26 @@ def test_salted_join_spreads_key_and_preserves_result(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan  # the salt survives into the physical join
+
+
+def test_candidate_pairs_bucket_cap_skips_degenerate_buckets(spark):
+    """A degenerate band bucket (here 100 members => 4950 pairs) is
+    skipped under max_bucket_size while normal buckets still pair."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.operators.dedup import candidate_pairs
+
+    hot = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_idx"),
+        F.lit("HOT").alias("band_key"),
+    )
+    ok = spark.createDataFrame(
+        [(200, 0, "ok"), (201, 0, "ok")], "doc_id LONG, band_idx INT, band_key STRING"
+    )
+    keys = hot.unionByName(ok)
+    uncapped = candidate_pairs(keys, "doc_id")
+    capped = candidate_pairs(keys, "doc_id", max_bucket_size=10)
+    assert uncapped.count() == 100 * 99 // 2 + 1
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(200, 201)}  # hot bucket skipped, normal bucket kept
