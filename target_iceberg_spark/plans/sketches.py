@@ -53,3 +53,36 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+SELECT user_id, event_type AS top_type, n
+FROM (
+    SELECT user_id, event_type, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type
+)
+WHERE rn = 1
+""",
+    tags=("agg", "mode"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key mode (most frequent event type). Spark 3.4+ has mode()
+    but its tie-break is unspecified; count + row_number with an
+    explicit alphabetical tie-break is deterministic across engines —
+    required for reproducible pipelines and the hash-exact oracle. Two
+    shuffles: combinable (user, type) count, then a window over the
+    per-user handful of type rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
