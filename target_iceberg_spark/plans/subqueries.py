@@ -56,3 +56,25 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "lineitem"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(SUBQUERY_IN_SQL)
+
+
+SUBQUERY_NOT_IN_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey NOT IN (
+    SELECT c_nationkey FROM customer WHERE c_acctbal < -900
+)
+"""
+
+
+@register("subquery_not_in", oracle=SUBQUERY_NOT_IN_SQL, tags=("subquery", "sql"))
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with its full three-valued-logic semantics (any NULL in
+    the subquery result empties the output; NULL probe rows never
+    qualify) — Spark plans a null-aware anti join, which degenerates to
+    a broadcast when the subquery side is small. At scale prefer NOT
+    EXISTS (subquery_exists) unless NULL semantics are actually wanted;
+    keeping both queries makes that trade visible."""
+    for name in ("supplier", "customer"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(SUBQUERY_NOT_IN_SQL)
