@@ -203,3 +203,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "fn_timestamp",
+    oracle="""
+SELECT event_id,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INT)    AS ev_hour,
+       CAST(minute(CAST(ts AS TIMESTAMP)) AS INT)  AS ev_minute,
+       CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+       CAST(isodow(CAST(ts AS DATE)) AS INT)       AS iso_dow
+FROM events
+""",
+    tags=("function", "timestamp"),
+)
+def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp scalar family over the (nanos-sourced) events.ts:
+    clock fields, truncated epoch seconds, ISO day-of-week. Spark's
+    weekday() is Mon=0, DuckDB's isodow Mon=1 — aligned with +1;
+    DuckDB's epoch() is fractional and CAST rounds, so FLOOR matches
+    Spark's truncating unix_seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").alias("ev_hour"),
+        F.minute("ts").alias("ev_minute"),
+        F.expr("unix_seconds(cast(ts as timestamp))").alias("epoch_s"),
+        (F.weekday("ts") + F.lit(1)).alias("iso_dow"),
+    )
