@@ -126,6 +126,7 @@ def write_stream_to_table(
     stream_name: str,
     checkpoint_dir: str,
     output_mode: str | None = None,
+    upsert_keys: list[str] | None = None,
 ) -> StreamingQuery:
     """Sink a streaming DataFrame through the engine writer with
     foreachBatch + checkpointing (availableNow trigger: drain whatever
@@ -143,6 +144,12 @@ def write_stream_to_table(
       - complete: each epoch carries the FULL result — the sink
         OVERWRITES, so re-emission never duplicates rows. No late-row
         dropping: state is unbounded by definition of the mode.
+
+    ``upsert_keys`` switches the sink to last-write-wins MERGE on those
+    key columns (streaming CDC apply): upsert is naturally idempotent —
+    an epoch replay merges the same rows to the same state — so no
+    epoch marker is needed and crash recovery is exactly-once at the
+    row-state level even on the parquet warehouse.
 
     When ``output_mode`` is None the mode is inferred from the plan;
     if the inferred mode is rejected at start (e.g. a batch-side
@@ -170,6 +177,9 @@ def write_stream_to_table(
 
     def _make_sink(mode: str):
         def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if upsert_keys:
+                writer.upsert(batch_df, stream_name, upsert_keys)
+                return
             if mode == "complete":
                 writer.overwrite(batch_df, stream_name)
                 return
@@ -206,14 +216,18 @@ def run_bounded(
     checkpoint_dir: str,
     transform=None,
     output_mode: str | None = None,
+    upsert_keys: list[str] | None = None,
 ) -> None:
     """End-to-end bounded streaming run: file source -> optional
     transform -> writer sink; blocks until the availableNow drain
-    completes. Output mode is inferred from the plan unless given."""
+    completes. Output mode is inferred from the plan unless given;
+    ``upsert_keys`` routes every micro-batch through the keyed MERGE
+    sink instead of append."""
     events = read_event_stream(spark, source_path)
     out = transform(events) if transform is not None else events
     q = write_stream_to_table(
-        out, writer, stream_name, checkpoint_dir, output_mode=output_mode
+        out, writer, stream_name, checkpoint_dir,
+        output_mode=output_mode, upsert_keys=upsert_keys,
     )
     q.awaitTermination()
 

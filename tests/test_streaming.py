@@ -400,3 +400,49 @@ def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
     }
     # user 1's +120min tail stays open (timeout beyond final watermark)
     assert rows == expect
+
+
+def test_streaming_upsert_sink_applies_last_write_wins(spark, tmp_path):
+    """foreachBatch upsert sink (streaming CDC apply): a later
+    micro-batch's row for an existing key REPLACES it instead of
+    appending — one row per key at the end, carrying the newest
+    values."""
+    import os
+
+    import pandas as pd
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+
+    def mk(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [int(pd.Timestamp(r[1]).value) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [r[3] for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(src / name)
+
+    mk("a.parquet", [(1, "2024-01-01 00:00:00", 10, 1.0), (2, "2024-01-01 00:01:00", 20, 2.0)])
+    mk("b.parquet", [(1, "2024-01-01 01:00:00", 10, 9.0), (3, "2024-01-01 01:01:00", 30, 3.0)])
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    from target_iceberg_spark.streaming.pipeline import run_bounded
+
+    writer = StreamWriter(
+        spark, WriterConfig(warehouse=str(tmp_path / "wh")), mode="parquet"
+    )
+    # force two micro-batches so the upsert crosses epochs
+    import target_iceberg_spark.streaming.pipeline as pl
+
+    events = pl.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = pl.write_stream_to_table(
+        events, writer, "cdc", str(tmp_path / "ckpt_cdc"), upsert_keys=["event_id"]
+    )
+    q.awaitTermination()
+    rows = {r["event_id"]: r["value"] for r in writer.read("cdc").collect()}
+    assert rows == {1: 9.0, 2: 2.0, 3: 3.0}  # key 1 updated, not duplicated
