@@ -133,13 +133,20 @@ def sessionize(
         f"{key_col} LONG, sess_start TIMESTAMP, n_events LONG, sum_value DOUBLE"
     )
 
+    def _round2(x):
+        # Spark's round() is half-up; Python/pandas round is half-even.
+        # Match the batch twin (values are non-negative sums).
+        import numpy as np
+
+        return np.floor(np.asarray(x, dtype="float64") * 100.0 + 0.5) / 100.0
+
     def _emit(key: tuple, start_us: int, n: int, sv: float) -> "pd.DataFrame":
         return pd.DataFrame(
             {
                 key_col: [key[0]],
                 "sess_start": [pd.Timestamp(start_us, unit="us")],
                 "n_events": [n],
-                "sum_value": [round(sv, 2)],
+                "sum_value": [float(_round2(sv))],
             }
         )
 
@@ -202,7 +209,7 @@ def sessionize(
                     key_col: key[0],
                     "sess_start": pd.to_datetime(closed["start"], unit="us"),
                     "n_events": closed["n"].astype("int64"),
-                    "sum_value": closed["sv"].round(2),
+                    "sum_value": _round2(closed["sv"]),
                 }
             )
         open_row = agg.iloc[-1]
