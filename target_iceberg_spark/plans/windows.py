@@ -100,10 +100,10 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_count_distinct",
     oracle="""
 SELECT user_id, event_id,
-       COUNT(DISTINCT event_type) OVER (
+       CAST(COUNT(DISTINCT event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS UNBOUNDED PRECEDING
-       ) AS types_seen
+       ) AS INT) AS types_seen
 FROM events
 """,
     tags=("window", "distinct"),
