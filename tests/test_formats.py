@@ -31,3 +31,34 @@ def test_jsonl_round_trip(spark, sf_smoke, tmp_path):
     got = back.groupBy("event_type").count().collect()
     want = ev.groupBy("event_type").count().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_orc_round_trip(spark, sf_smoke, tmp_path):
+    """ORC source/sink parity with the parquet-loaded frame."""
+    from target_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == docs.count()
+    assert dict(back.dtypes) == dict(docs.dtypes)
+
+
+def test_merge_schema_read_across_evolved_files(spark, tmp_path):
+    """Read-side schema evolution: mergeSchema=true unions file schemas
+    (old files surface NULL for columns they predate) — the read-path
+    complement of the writer's additive evolution."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        d + "/f1"
+    )
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(d + "/f2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d + "/f1", d + "/f2")
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in merged.collect()}
+    assert rows[0] == ("a", None) and rows[4] == ("b", 1.5)
