@@ -39,10 +39,35 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_decode",
+    # the fake codec is pure integer arithmetic over the payload's first
+    # 64 bytes (ASCII text in the testdata), so even the Python
+    # mapInPandas stage is value-hash-checkable by mirroring it in SQL
+    oracle="""
+WITH cs AS (
+    SELECT doc_id, text,
+           CAST(list_sum(list_transform(
+               range(1, LEAST(length(text), 64) + 1),
+               i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_bytes,
+       'image/fake' AS kind,
+       CAST(64 + checksum % 512 AS INT) AS width,
+       CAST(64 + (checksum // 7) % 512 AS INT) AS height,
+       checksum
+FROM cs
+""",
+    tags=("multimodal",),
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage over binary payloads via Arrow-
     batched mapInPandas (deterministic fake decoder; real codec path is
-    stubbed — see operators/multimodal.py)."""
+    stubbed — see operators/multimodal.py). The fake decode derives
+    (width, height, checksum) from the payload bytes with integer
+    arithmetic, so the whole Python stage is oracle-checked value-exact
+    — the plumbing can't silently drop or reorder batch columns."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_pipeline(attach_payload(docs))
