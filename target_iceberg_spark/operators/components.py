@@ -38,10 +38,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # seed labels with min(v, min neighbor) — the first propagation
+    # round folded into label init (one combinable groupBy instead of a
+    # full join round); star-shaped dup clusters converge immediately
     labels = (
-        edges.select(F.col("s").alias("v"))
-        .distinct()
-        .withColumn("comp", F.col("v"))
+        edges.groupBy(F.col("s").alias("v"))
+        .agg(F.least(F.min("d"), F.min("s")).alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
