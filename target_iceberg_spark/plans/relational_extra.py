@@ -231,3 +231,29 @@ def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_seconds(cast(ts as timestamp))").alias("epoch_s"),
         (F.weekday("ts") + F.lit(1)).alias("iso_dow"),
     )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+SELECT vec_id,
+       CAST(generate_subscripts(list_slice(embedding, 1, 4), 1) AS INT) AS pos,
+       unnest(list_slice(embedding, 1, 4)) AS component
+FROM embeddings
+WHERE vec_id < 100
+""",
+    tags=("function", "explode"),
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array column -> one row per element with its
+    1-based position (LATERAL VIEW / unnest-with-ordinality shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 100)
+        .select("vec_id", F.posexplode(F.slice("embedding", 1, 4)))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("pos"),  # Spark posexplode is 0-based
+            F.col("col").alias("component"),
+        )
+    )

@@ -175,3 +175,72 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 6).alias("dist"),
         )
     )
+
+
+ANN_RP_BANDS = 4
+ANN_RP_BITS = 4
+
+
+def _ann_rp_oracle() -> str:
+    from target_iceberg_spark.functions.vectors import cosine_sql, sign_bucket_sql
+
+    probe_bkts = " OR ".join(
+        f"{sign_bucket_sql('e.embedding', ANN_RP_BITS, offset=t * ANN_RP_BITS)}"
+        f" = {sign_bucket_sql('p.p', ANN_RP_BITS, offset=t * ANN_RP_BITS)}"
+        for t in range(ANN_RP_BANDS)
+    )
+    cos = f"ROUND({cosine_sql('e.embedding', 'p.p')}, 6)"
+    return f"""
+WITH p AS (
+    SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+)
+SELECT vec_id, cos_sim FROM (
+    SELECT e.vec_id, {cos} AS cos_sim
+    FROM embeddings e, p
+    WHERE e.vec_id <> {PROBE_VEC_ID} AND ({probe_bkts})
+)
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+@register("sim_ann_rp", oracle=_ann_rp_oracle(), tags=("similarity", "ann"))
+def sim_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic banded sign-LSH ANN search — the oracle-checkable
+    ANN variant (MLlib's BRP-LSH and the k-means IVF use seeded
+    randomness, so they get rows-only checks; this one's hash planes
+    are the axis sign bits from functions/vectors.py, reproducible in
+    SQL). Candidates = vectors sharing ANY of the 4 band buckets with
+    the probe (OR-amplified recall); exact cosine + top-k only on the
+    candidate set. At scale the bucket predicate prunes to
+    ~corpus/2^bits per band; the same banded keys, persisted and
+    bucketed, turn the filter scan into a bucket lookup."""
+    from target_iceberg_spark.functions.vectors import cosine, sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_vec"),
+        *[
+            sign_bucket("embedding", ANN_RP_BITS, offset=t * ANN_RP_BITS).alias(
+                f"pb{t}"
+            )
+            for t in range(ANN_RP_BANDS)
+        ],
+    )
+    cand = emb.where(F.col("vec_id") != PROBE_VEC_ID).crossJoin(F.broadcast(probe))
+    band_match = None
+    for t in range(ANN_RP_BANDS):
+        m = (
+            sign_bucket("embedding", ANN_RP_BITS, offset=t * ANN_RP_BITS)
+            == F.col(f"pb{t}")
+        )
+        band_match = m if band_match is None else (band_match | m)
+    return (
+        cand.where(band_match)
+        .select(
+            "vec_id",
+            F.round(cosine("embedding", "probe_vec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
