@@ -66,6 +66,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
         assert name in (
             "sim_cosine_topk",
             "sim_cosine_topk_batch",
+            "sim_ann_rp",  # same broadcast one-row probe as sim_cosine_topk
             "text_tfidf",
             "events_funnel",  # cross of three one-row stage counts
         ), f"unexpected BNLJ in {name}"
