@@ -125,3 +125,46 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+WITH stats AS (
+    SELECT event_type,
+           AVG(value) AS mu,
+           stddev_samp(value) AS sigma
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE e.value IS NOT NULL
+  AND abs((e.value - s.mu) / s.sigma) > 3
+""",
+    tags=("analytics", "anomaly"),
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type (|z| > 3): one
+    combinable stats aggregate over the fact table, broadcast back, and
+    a codegen filter — the profiling step that flags bad telemetry
+    before it poisons training aggregates. The stats frame is
+    group-count-sized, so the enrichment join broadcasts at any corpus
+    scale."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -124,3 +124,36 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("types_seen"),
     )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT user_id, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "navigation"),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (first/last/nth value over the full
+    partition). The frame must be explicitly UNBOUNDED FOLLOWING:
+    last_value over the default frame (up to CURRENT ROW) is a classic
+    silent-wrong-answer trap in every engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )

@@ -18,69 +18,6 @@ from target_iceberg_spark.sources.tables import load_table
 
 
 @register(
-    "win_range_frame",
-    oracle="""
-SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
-       COUNT(*) OVER w AS n_orders_30d
-FROM orders
-WINDOW w AS (
-    PARTITION BY o_custkey
-    ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
-)
-""",
-    tags=("window",),
-)
-def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-30-day spend per customer: a RANGE frame over day
-    offsets (value-based, unlike the ROWS frame in win_running_sum)."""
-    orders = load_table(spark, sf_dir, "orders")
-    day_off = F.datediff(
-        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
-    )
-    w = Window.partitionBy("o_custkey").orderBy(day_off).rangeBetween(-30, 0)
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
-        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
-    )
-
-
-@register(
-    "win_distribution",
-    oracle="""
-SELECT c_custkey,
-       CAST(ntile(4) OVER w AS INT)        AS acctbal_quartile,
-       ROUND(percent_rank() OVER w, 6)     AS pct_rank,
-       ROUND(cume_dist() OVER w, 6)        AS cume,
-       CAST(dense_rank() OVER (PARTITION BY c_mktsegment
-                               ORDER BY c_nationkey) AS INT) AS nation_dense_rank,
-       c_mktsegment
-FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-""",
-    tags=("window",),
-)
-def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window family: ntile quartiles, percent_rank,
-    cume_dist, dense_rank — all exact rationals of row positions, so
-    engine-portable (rounded only for the division results)."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    w2 = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
-    return cust.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("acctbal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.dense_rank().over(w2).alias("nation_dense_rank"),
-        "c_mktsegment",
-    )
-
-
-@register(
     "agg_collect",
     oracle="""
 SELECT event_type,
