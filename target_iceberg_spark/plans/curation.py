@@ -426,3 +426,56 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+MIX_TEMPERATURE = 0.7
+
+
+@register(
+    "curation_mix_temperature",
+    oracle=f"""
+WITH s AS (
+    SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+    FROM documents GROUP BY source
+),
+sh AS (
+    SELECT source, src_tokens,
+           CAST(src_tokens AS DOUBLE) / SUM(src_tokens) OVER () AS share
+    FROM s
+)
+SELECT source, src_tokens,
+       ROUND(share, 6) AS share,
+       ROUND(pow(share, 1.0 / {MIX_TEMPERATURE})
+             / SUM(pow(share, 1.0 / {MIX_TEMPERATURE})) OVER (), 6) AS t_share,
+       ROUND((pow(share, 1.0 / {MIX_TEMPERATURE})
+             / SUM(pow(share, 1.0 / {MIX_TEMPERATURE})) OVER ()) / share, 6)
+           AS resample_weight
+FROM sh
+ORDER BY source
+""",
+    tags=("curation", "mixing"),
+)
+def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the Pile/ROOTS recipe):
+    sampling share ∝ natural_share^(1/T). T<1 upsamples small sources
+    less aggressively than uniform; resample_weight = t_share / share
+    is the per-source multiplier a sampler applies. Same single-scan +
+    tiny-frame-window shape as curation_domain_mix."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("src_tokens")
+    )
+    share = F.col("src_tokens").cast("double") / F.sum("src_tokens").over(w)
+    sh = s.select("source", "src_tokens", share.alias("share"))
+    powed = F.pow(F.col("share"), 1.0 / MIX_TEMPERATURE)
+    t_share = powed / F.sum(powed).over(w)
+    return sh.select(
+        "source",
+        "src_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(t_share, 6).alias("t_share"),
+        F.round(t_share / F.col("share"), 6).alias("resample_weight"),
+    ).orderBy("source")

@@ -263,3 +263,46 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bg_frac, 6).alias("top_bigram_frac"),
         (bg_frac > 0.05).alias("repetitive"),
     )
+
+
+NGRAM_TOP_K = 20
+
+
+@register(
+    "text_ngram_topk",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+    FROM w
+)
+SELECT g AS ngram,
+       COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bg
+GROUP BY g
+ORDER BY n_occurrences DESC, ngram
+LIMIT {NGRAM_TOP_K}
+""",
+    tags=("text", "boilerplate"),
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k bigrams with document frequency — the phrase
+    mining pass behind boilerplate/blocklist construction (headers,
+    license banners, navigation chrome surface here first). One
+    combinable groupBy over the exploded bigrams, then
+    TakeOrderedAndProject for the top-k — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", tokens("text").alias("_t")).select(
+        "doc_id", F.explode(ngrams_of("_t", 2)).alias("ngram")
+    )
+    return (
+        bg.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(NGRAM_TOP_K)
+    )
