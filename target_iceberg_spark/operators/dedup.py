@@ -299,34 +299,47 @@ def embedding_band_pairs(
     """
     from target_iceberg_spark.functions.vectors import cosine, sign_bucket
 
-    e = e.select(
-        id_col,
-        block_col,
-        vec_col,
+    # long-form (id, block, band_idx, bucket) keys -> ONE self-equi-join
+    # for candidate generation (the lsh_band_keys/candidate_pairs shape):
+    # the embedding table is scanned once for keys and the join shuffles
+    # only the compact key rows — never the vectors — vs the naive
+    # one-join-per-band form (bands x 2 corpus scans + per-band cosine).
+    band_structs = F.array(
         *[
-            sign_bucket(vec_col, bits, offset=t * bits).alias(f"_bkt{t}")
+            F.struct(
+                F.lit(t).alias("band_idx"),
+                sign_bucket(vec_col, bits, offset=t * bits).alias("bucket"),
+            )
             for t in range(bands)
-        ],
+        ]
     )
-    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
-    per_band = []
-    for t in range(bands):
-        a, b = e.alias("a"), e.alias("b")
-        per_band.append(
-            a.join(
-                b,
-                (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-                & (F.col(f"a._bkt{t}") == F.col(f"b._bkt{t}"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("vec_a"),
-                F.col(f"b.{id_col}").alias("vec_b"),
-                cos.alias("cos_sim"),
-            )
-            .where(F.col("cos_sim") >= threshold)
+    keys = e.select(
+        F.col(id_col), F.col(block_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, block_col, "bk.band_idx", "bk.bucket")
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-    out = per_band[0]
-    for df in per_band[1:]:
-        out = out.unionAll(df)
-    return out.distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+        .distinct()  # pairs colliding in several bands dedupe BEFORE the cosine
+    )
+    vecs = e.select(F.col(id_col), F.col(vec_col))
+    return (
+        pairs.join(vecs.alias("va"), F.col("vec_a") == F.col(f"va.{id_col}"))
+        .join(vecs.alias("vb"), F.col("vec_b") == F.col(f"vb.{id_col}"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine(F.col(f"va.{vec_col}"), F.col(f"vb.{vec_col}")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

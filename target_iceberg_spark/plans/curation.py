@@ -166,8 +166,6 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_oracle() -> str:
-    en = LANG_MARKERS["en"]
-    lst = ", ".join(f"'{m}'" for m in en)
     hits = [
         f"len(list_filter(string_split(lower(text), ' '), t -> t IN "
         f"({', '.join(chr(39) + m + chr(39) for m in LANG_MARKERS[lang])}))) AS h_{lang}"

@@ -282,9 +282,12 @@ class SingerTarget:
         else:
             df = self.spark.createDataFrame(stream.buffer, schema=stream.schema)
         n = len(stream.buffer)
+        # clear the buffer only AFTER the write succeeds: a transient
+        # write failure must leave the records buffered so the caller
+        # can retry the drain (at-least-once, never silent loss)
+        self._write_df(stream, df, n)
         stream.buffer = []
         stream.extracted = []
-        self._write_df(stream, df, n)
 
     def _drain_all(self) -> None:
         for stream in self.streams.values():

@@ -129,16 +129,19 @@ def sessionize(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_type = events.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} LONG, sess_start TIMESTAMP, n_events LONG, sum_value DOUBLE"
+        f"{key_col} {key_type}, sess_start TIMESTAMP, n_events LONG, sum_value DOUBLE"
     )
 
     def _round2(x):
-        # Spark's round() is half-up; Python/pandas round is half-even.
-        # Match the batch twin (values are non-negative sums).
+        # Spark's round() is half-away-from-zero; Python/pandas round is
+        # half-even. Sign-aware floor matches the batch twin for
+        # positive AND negative sums (refunds, deltas).
         import numpy as np
 
-        return np.floor(np.asarray(x, dtype="float64") * 100.0 + 0.5) / 100.0
+        a = np.asarray(x, dtype="float64")
+        return np.sign(a) * np.floor(np.abs(a) * 100.0 + 0.5) / 100.0
 
     def _emit(key: tuple, start_us: int, n: int, sv: float) -> "pd.DataFrame":
         return pd.DataFrame(
@@ -173,7 +176,14 @@ def sessionize(
         prev = ts_us.shift(1)
         if state.exists:
             start_us0, last_us0, n0, sv0 = state.get
+            # Admissible LATE rows (ts < carried last_us0 but newer than
+            # the watermark) must not rewind the open session: the
+            # effective predecessor for the gap test is the running max
+            # of event time seen so far, i.e. max(prev_row, last_us0)
+            # for every row (rows are ts-sorted, so the running max is
+            # last_us0 until rows pass it).
             prev.iloc[0] = last_us0
+            prev = prev.clip(lower=last_us0)
             new_sess = (ts_us - prev) >= gap_us
         else:
             new_sess = (ts_us - prev) >= gap_us
@@ -188,7 +198,11 @@ def sessionize(
             sv=("val", "sum"),
         )
         if state.exists and 0 in agg.index:
-            agg.loc[0, "start"] = start_us0
+            # a late row can extend the session BACKWARD (session_window
+            # merges any event within gap of the interval) and must not
+            # shrink its end
+            agg.loc[0, "start"] = min(start_us0, agg.loc[0, "start"])
+            agg.loc[0, "last"] = max(last_us0, agg.loc[0, "last"])
             agg.loc[0, "n"] += n0
             agg.loc[0, "sv"] += sv0
         elif state.exists:

@@ -417,3 +417,35 @@ def test_time_extracted_feeds_sdc_extracted_at(spark, tmp_path):
     rows = {r["id"]: r["_sdc_extracted_at"] for r in writer.read("users").collect()}
     assert rows[1] == datetime(2024, 2, 3, 4, 5, 6)
     assert rows[2] is not None and rows[2].year >= 2026  # drain-time default
+
+
+def test_drain_preserves_buffer_when_write_fails(spark, tmp_path):
+    """A transient write failure must NOT lose buffered records: the
+    buffer is cleared only after the write succeeds, so a retry drains
+    the same records (at-least-once)."""
+    writer = StreamWriter(
+        spark, WriterConfig(warehouse=str(tmp_path)), mode="parquet"
+    )
+    target = SingerTarget(spark, writer)
+    target.process_line(json.dumps(USERS_SCHEMA))
+    target.process_line(_record("users", id=1, name="a", created_at=None))
+
+    orig_append = writer.append
+    calls = {"n": 0}
+
+    def flaky_append(df, stream):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient warehouse failure")
+        return orig_append(df, stream)
+
+    writer.append = flaky_append
+    stream = target.streams["users"]
+    try:
+        target._drain(stream)
+    except OSError:
+        pass
+    assert len(stream.buffer) == 1  # records survived the failure
+    target._drain(stream)  # retry succeeds
+    assert len(stream.buffer) == 0
+    assert {r["id"] for r in writer.read("users").collect()} == {1}

@@ -446,3 +446,68 @@ def test_streaming_upsert_sink_applies_last_write_wins(spark, tmp_path):
     q.awaitTermination()
     rows = {r["event_id"]: r["value"] for r in writer.read("cdc").collect()}
     assert rows == {1: 9.0, 2: 2.0, 3: 3.0}  # key 1 updated, not duplicated
+
+
+def test_stateful_sessionize_late_event_does_not_rewind_session(spark, tmp_path):
+    """With a non-zero watermark delay, an admissible late event (older
+    than the carried session's last_ts) merges INTO the open session
+    without rewinding it: a following event within gap of the TRUE
+    last_ts must extend, not split, and the late event can stretch the
+    session backward."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import sessionize
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def mk(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [int((t0 + pd.Timedelta(minutes=r[1])).value) for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        ).to_parquet(tmp_path / "late_sess" / name)
+
+    src = tmp_path / "late_sess"
+    src.mkdir()
+    # batch 1: open session for user 1 with last_ts = +0min
+    mk("a.parquet", [(1, 0, 1.0)])
+    # batch 2: late event at -4min (admissible: watermark delay 10min),
+    # then +26min (26 < 30 gap from TRUE last 0min — must EXTEND), then
+    # +120min closes the session; separate user 9 advances watermark
+    mk("b.parquet", [(1, -4, 2.0), (1, 26, 3.0), (1, 120, 4.0), (9, 180, 0.0)])
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream = stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp")
+    )
+    q = (
+        sessionize(stream, watermark_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ls"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["sess_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("late_sess_out").collect()
+    }
+    # user 1's first session: stretched back to -4min, extended to
+    # +26min (NOT split at the late event), 3 events, sum 6.0; the
+    # +120min tail then flushes by timeout (watermark reaches +170min
+    # via user 9, past 120+30)
+    merged = (1, (t0 - pd.Timedelta(minutes=4)).to_pydatetime(), 3, 6.0)
+    tail = (1, (t0 + pd.Timedelta(minutes=120)).to_pydatetime(), 1, 4.0)
+    assert {r for r in got if r[0] == 1} == {merged, tail}, got
