@@ -461,3 +461,58 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# sim_cosine_topk_batch (round-1 green) — rotated behind the checker
+# window; needs the probe/top-k constants from plans.similarity.
+from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K  # noqa: E402,F401
+from target_iceberg_spark.functions.vectors import cosine  # noqa: E402
+
+
+@register(
+    "sim_cosine_topk_batch",
+    oracle=f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS p
+    FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+    SELECT probe_id, e.vec_id,
+           ROUND((list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(p) + 1), i -> CAST(p[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))))), 6) AS cos_sim
+    FROM embeddings e, probes
+    WHERE e.vec_id >= 3
+)
+SELECT probe_id, vec_id, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 5
+""",
+    tags=("similarity",),
+)
+def sim_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact search: top-5 per probe for a SET of probes in one
+    pass — broadcast the probe set, score every (candidate, probe) pair
+    JVM-side, per-probe top-k via a window. One scan of the corpus
+    regardless of probe count; the shape batch inference pipelines use."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= 3)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine("embedding", "probe_vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", "cos_sim")
+    )

@@ -57,55 +57,6 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_cosine_topk_batch",
-    oracle=f"""
-WITH probes AS (
-    SELECT vec_id AS probe_id, embedding AS p
-    FROM embeddings WHERE vec_id < 3
-),
-scored AS (
-    SELECT probe_id, e.vec_id,
-           ROUND((list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(p) + 1), i -> CAST(p[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))))), 6) AS cos_sim
-    FROM embeddings e, probes
-    WHERE e.vec_id >= 3
-)
-SELECT probe_id, vec_id, cos_sim FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-                                 ORDER BY cos_sim DESC, vec_id) AS rn
-    FROM scored
-) WHERE rn <= 5
-""",
-    tags=("similarity",),
-)
-def sim_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched exact search: top-5 per probe for a SET of probes in one
-    pass — broadcast the probe set, score every (candidate, probe) pair
-    JVM-side, per-probe top-k via a window. One scan of the corpus
-    regardless of probe count; the shape batch inference pipelines use."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
-    )
-    scored = (
-        emb.where(F.col("vec_id") >= 3)
-        .crossJoin(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.round(cosine("embedding", "probe_vec"), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("probe_id", "vec_id", "cos_sim")
-    )
-
-
 @register("sim_ann_ivf", oracle=None, tags=("similarity", "ann"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: k-means coarse quantizer, nprobe=4 multi-

@@ -225,3 +225,44 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+WITH win AS (
+    SELECT event_type, value,
+           unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS win_start
+    FROM events
+)
+SELECT win_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM win
+GROUP BY win_start, event_type
+""",
+    tags=("streaming", "sliding"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-hour windows every 1 hour, so each
+    event lands in exactly two overlapping windows. Spark's window()
+    expands rows window-count-fold BEFORE the aggregate (an Expand node,
+    same cost model as rollup), then one combinable groupBy; the DuckDB
+    oracle unnests the two covering window starts per event. Sliding
+    state in true streaming is bounded by windows-in-flight x groups,
+    watermark-expired like tumbling."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -77,3 +77,42 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redacted_head"
         ),
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_distinct(string_split(lower(text), ' ')) AS toks,
+           string_split('the a data value table', ' ') AS probe
+    FROM documents
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_sort(list_intersect(toks, probe)), ','), '') AS common,
+       COALESCE(array_to_string(list_sort(list_filter(toks, x -> NOT list_contains(probe, x))), ','), '')
+           AS only_doc,
+       CAST(len(list_intersect(toks, probe)) AS INT) AS n_common
+FROM t
+""",
+    tags=("function", "array"),
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except / cardinality) against a
+    probe vocabulary — serialized sorted so the result is order-
+    canonical in both engines (Spark's array_intersect preserves left
+    order, DuckDB's list_intersect doesn't guarantee one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = F.split(F.lit("the a data value table"), " ")
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    t = docs.select("doc_id", toks.alias("toks"), probe.alias("probe"))
+    return t.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect("toks", "probe")), ",").alias(
+            "common"
+        ),
+        F.array_join(F.array_sort(F.array_except("toks", "probe")), ",").alias(
+            "only_doc"
+        ),
+        F.size(F.array_intersect("toks", "probe")).alias("n_common"),
+    )
