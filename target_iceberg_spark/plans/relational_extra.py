@@ -464,8 +464,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # sim_cosine_topk_batch (round-1 green) — rotated behind the checker
-# window; needs the probe/top-k constants from plans.similarity.
-from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K  # noqa: E402,F401
+# window (probe set and per-probe k are hardcoded in its oracle).
 from target_iceberg_spark.functions.vectors import cosine  # noqa: E402
 
 
@@ -495,8 +494,6 @@ def sim_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — broadcast the probe set, score every (candidate, probe) pair
     JVM-side, per-probe top-k via a window. One scan of the corpus
     regardless of probe count; the shape batch inference pipelines use."""
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")

@@ -166,56 +166,62 @@ def sessionize(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             return
-        batch = batch.sort_values(ts_col, kind="mergesort")
-        ts_us = batch[ts_col].astype("int64") // 1000  # ns -> us
-        vals = batch[value_col].fillna(0.0).astype("float64")
         gap_us = gap_ms * 1000
-        # vectorized sessionization (the lag/cumsum recipe): a row opens
-        # a new session iff it is >= gap after its predecessor; the
-        # predecessor of row 0 is the carried-in open session's last_ts
-        prev = ts_us.shift(1)
+        # Represent the batch AND the carried open session as one sorted
+        # row sequence, then run the plain lag/cumsum sessionization —
+        # this reproduces session_window semantics exactly for late rows
+        # too: the carried session becomes two synthetic rows (its start
+        # carrying the accumulated n/sum, its end an empty marker), rows
+        # inside the carried interval and the interval-end marker are
+        # forced continuations, and a chain of late rows merges into the
+        # carried session only if it reaches within gap of its START.
+        frame = pd.DataFrame(
+            {
+                "ts_us": batch[ts_col].astype("int64") // 1000,  # ns -> us
+                "val": batch[value_col].fillna(0.0).astype("float64"),
+                "cnt": 1,
+                "synth": 0,  # 0 = real row, 1 = interval start, 2 = interval end
+            }
+        )
         if state.exists:
             start_us0, last_us0, n0, sv0 = state.get
-            # Admissible LATE rows (ts < carried last_us0 but newer than
-            # the watermark) must not rewind the open session: the
-            # effective predecessor for the gap test is the running max
-            # of event time seen so far, i.e. max(prev_row, last_us0)
-            # for every row (rows are ts-sorted, so the running max is
-            # last_us0 until rows pass it).
-            prev.iloc[0] = last_us0
-            prev = prev.clip(lower=last_us0)
-            new_sess = (ts_us - prev) >= gap_us
-        else:
-            new_sess = (ts_us - prev) >= gap_us
-            new_sess.iloc[0] = True
-        sid = new_sess.cumsum()  # 0 = continuation of carried session
-        agg = pd.DataFrame(
-            {"sid": sid, "ts_us": ts_us, "val": vals}
-        ).groupby("sid").agg(
+            synth = pd.DataFrame(
+                {
+                    "ts_us": [start_us0, last_us0],
+                    "val": [sv0, 0.0],
+                    "cnt": [n0, 0],
+                    "synth": [1, 2],
+                }
+            )
+            frame = pd.concat([frame, synth], ignore_index=True)
+        # stable sort; at ts ties the interval-start sorts first and the
+        # interval-end last, so forced continuations chain correctly
+        frame = frame.sort_values(["ts_us", "synth"], kind="mergesort").reset_index(
+            drop=True
+        )
+        prev = frame["ts_us"].shift(1)
+        new_sess = (frame["ts_us"] - prev) >= gap_us
+        new_sess.iloc[0] = True
+        if state.exists:
+            # rows inside the carried interval [start0, last0] and the
+            # interval-end marker are continuations of the carried
+            # session regardless of lag distance; the interval-START row
+            # keeps its lag test — that is the decision point for
+            # whether a chain of earlier late rows reaches within gap of
+            # the session (merge) or not (their own closed session)
+            forced = (frame["synth"] != 1) & (
+                (frame["synth"] == 2)
+                | ((frame["ts_us"] >= start_us0) & (frame["ts_us"] <= last_us0))
+            )
+            new_sess = new_sess & ~forced
+        sid = new_sess.cumsum()
+        agg = frame.assign(sid=sid).groupby("sid").agg(
             start=("ts_us", "min"),
             last=("ts_us", "max"),
-            n=("ts_us", "size"),
+            n=("cnt", "sum"),
             sv=("val", "sum"),
         )
-        if state.exists and 0 in agg.index:
-            # a late row can extend the session BACKWARD (session_window
-            # merges any event within gap of the interval) and must not
-            # shrink its end
-            agg.loc[0, "start"] = min(start_us0, agg.loc[0, "start"])
-            agg.loc[0, "last"] = max(last_us0, agg.loc[0, "last"])
-            agg.loc[0, "n"] += n0
-            agg.loc[0, "sv"] += sv0
-        elif state.exists:
-            # batch opened with a gap: the carried session closed as-is
-            agg = pd.concat(
-                [
-                    pd.DataFrame(
-                        {"start": [start_us0], "last": [last_us0], "n": [n0], "sv": [sv0]},
-                        index=[-1],
-                    ),
-                    agg,
-                ]
-            )
+        agg = agg[agg["n"] > 0]  # a sid of only the empty end marker
         closed = agg.iloc[:-1]
         if len(closed):
             yield pd.DataFrame(

@@ -511,3 +511,66 @@ def test_stateful_sessionize_late_event_does_not_rewind_session(spark, tmp_path)
     merged = (1, (t0 - pd.Timedelta(minutes=4)).to_pydatetime(), 3, 6.0)
     tail = (1, (t0 + pd.Timedelta(minutes=120)).to_pydatetime(), 1, 4.0)
     assert {r for r in got if r[0] == 1} == {merged, tail}, got
+
+
+def test_stateful_sessionize_deep_late_event_forms_own_session(spark, tmp_path):
+    """An admissible late event MORE than gap before the carried
+    session's start must NOT merge into it (session_window merges only
+    events within gap of the interval): it forms its own closed
+    session, and the carried session is unaffected."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import sessionize
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def mk(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [int((t0 + pd.Timedelta(minutes=r[1])).value) for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        ).to_parquet(tmp_path / "dl_src" / name)
+
+    src = tmp_path / "dl_src"
+    src.mkdir()
+    # batch 1: open session [12:00] for user 1
+    mk("a.parquet", [(1, 0, 1.0)])
+    # batch 2: deep-late event at -60min (gap 30 => disconnected), a
+    # continuation at +10min, then +120min closes the carried session;
+    # user 9 pushes the final watermark to +90min (delay 2h)
+    mk("b.parquet", [(1, -60, 5.0), (1, 10, 2.0), (1, 120, 4.0), (9, 210, 0.0)])
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream = stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp")
+    )
+    q = (
+        sessionize(stream, watermark_delay="2 hours")
+        .writeStream.format("memory")
+        .queryName("dl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["sess_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("dl_out").collect()
+    }
+    u1 = {r for r in got if r[0] == 1}
+    # the deep-late event is its own session; the carried session keeps
+    # start 12:00 and absorbs only the +10min continuation
+    late = (1, (t0 - pd.Timedelta(minutes=60)).to_pydatetime(), 1, 5.0)
+    main = (1, t0.to_pydatetime(), 2, 3.0)
+    assert late in u1 and main in u1, got
