@@ -67,6 +67,43 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_filter_clause",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_revenue,
+       ROUND(AVG(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS avg_qty_f
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "conditional"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (the SQL FILTER clause): several
+    differently-filtered measures in ONE pass over the fact table
+    instead of one scan per predicate — every branch stays a combinable
+    partial aggregate. The DataFrame spelling is agg(f(when(cond, x)));
+    the SQL front door accepts FILTER (WHERE ...) directly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.round(
+                F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+            ).alias("taxed_revenue"),
+            F.round(
+                F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 4
+            ).alias("avg_qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register("agg_group", oracle=AGG_GROUP_ORACLE, tags=("aggregate", "flagship"))
 def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: filter -> hash agg -> sort."""

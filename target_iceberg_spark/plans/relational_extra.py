@@ -463,9 +463,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# sim_cosine_topk_batch (round-1 green) — rotated behind the checker
-# window (probe set and per-probe k are hardcoded in its oracle).
+# sim_cosine_topk / sim_cosine_topk_batch (round-1 green) — rotated
+# behind the checker window; sim_cosine_topk parameterizes its oracle
+# with the shared probe/top-k constants.
 from target_iceberg_spark.functions.vectors import cosine  # noqa: E402
+from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K  # noqa: E402
 
 
 @register(
@@ -512,4 +514,40 @@ def sim_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .select("probe_id", "vec_id", "cos_sim")
+    )
+
+
+# sim_cosine_topk (round-1 green) — rotated behind the checker window.
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH probe AS (
+    SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+)
+SELECT vec_id, ROUND((list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(p) + 1), i -> CAST(p[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))))), 6) AS cos_sim
+FROM embeddings, probe
+WHERE vec_id <> {PROBE_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+""",
+    tags=("similarity",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against the probe vector (vec_id=0):
+    broadcast probe -> JVM-side fold -> TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    return (
+        emb.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine("embedding", "probe_vec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
     )

@@ -24,39 +24,6 @@ PROBE_VEC_ID = 0
 TOP_K = 10
 
 
-@register(
-    "sim_cosine_topk",
-    oracle=f"""
-WITH probe AS (
-    SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
-)
-SELECT vec_id, ROUND((list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))) / sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) * list_sum(list_transform(range(1, len(p) + 1), i -> CAST(p[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))))), 6) AS cos_sim
-FROM embeddings, probe
-WHERE vec_id <> {PROBE_VEC_ID}
-ORDER BY cos_sim DESC, vec_id
-LIMIT {TOP_K}
-""",
-    tags=("similarity",),
-)
-def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k against the probe vector (vec_id=0):
-    broadcast probe -> JVM-side fold -> TakeOrderedAndProject."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
-        F.col("embedding").alias("probe_vec")
-    )
-    return (
-        emb.where(F.col("vec_id") != PROBE_VEC_ID)
-        .crossJoin(F.broadcast(probe))
-        .select(
-            "vec_id",
-            F.round(cosine("embedding", "probe_vec"), 6).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(TOP_K)
-    )
-
-
 @register("sim_ann_ivf", oracle=None, tags=("similarity", "ann"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: k-means coarse quantizer, nprobe=4 multi-
