@@ -16,7 +16,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from target_iceberg_spark.functions.vectors import cosine
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 

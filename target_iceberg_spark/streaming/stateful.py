@@ -122,6 +122,17 @@ def sessionize(
     expose (e.g. to add per-session custom logic such as emitting
     partial sessions or side outputs).
 
+    Documented divergence from the built-in: sessions are emitted
+    EAGERLY (on the closing event / timeout), while session_window
+    holds every session until the watermark passes its end + gap. With
+    a large watermark delay, a deep-late fragment emitted in batch N
+    therefore cannot merge with an admissible late row arriving in
+    batch N+1 that would have bridged it — the built-in would emit one
+    merged session, this operator two. Within a single batch (and for
+    all in-order streams) the semantics match exactly; matching the
+    late-bridging case too would require multi-session state held
+    until watermark finality, trading the eager emission away.
+
     Output schema matches the batch twin stream_session:
     (key, sess_start, n_events, sum_value).
     """
@@ -180,7 +191,7 @@ def sessionize(
                 "ts_us": batch[ts_col].astype("int64") // 1000,  # ns -> us
                 "val": batch[value_col].fillna(0.0).astype("float64"),
                 "cnt": 1,
-                "synth": 0,  # 0 = real row, 1 = interval start, 2 = interval end
+                "synth": 0,  # -1 = interval start, 0 = real row, 2 = interval end
             }
         )
         if state.exists:
@@ -190,12 +201,15 @@ def sessionize(
                     "ts_us": [start_us0, last_us0],
                     "val": [sv0, 0.0],
                     "cnt": [n0, 0],
-                    "synth": [1, 2],
+                    "synth": [-1, 2],
                 }
             )
             frame = pd.concat([frame, synth], ignore_index=True)
-        # stable sort; at ts ties the interval-start sorts first and the
-        # interval-end last, so forced continuations chain correctly
+        # stable sort; at ts ties the interval-start sorts FIRST (synth
+        # -1) and the interval-end last (synth 2) — a real row tying the
+        # session start must land after the start marker or the forced-
+        # continuation mask would chain a disconnected deep-late session
+        # through it into the carried one
         frame = frame.sort_values(["ts_us", "synth"], kind="mergesort").reset_index(
             drop=True
         )
@@ -209,7 +223,7 @@ def sessionize(
             # keeps its lag test — that is the decision point for
             # whether a chain of earlier late rows reaches within gap of
             # the session (merge) or not (their own closed session)
-            forced = (frame["synth"] != 1) & (
+            forced = (frame["synth"] != -1) & (
                 (frame["synth"] == 2)
                 | ((frame["ts_us"] >= start_us0) & (frame["ts_us"] <= last_us0))
             )
@@ -221,7 +235,9 @@ def sessionize(
             n=("cnt", "sum"),
             sv=("val", "sum"),
         )
-        agg = agg[agg["n"] > 0]  # a sid of only the empty end marker
+        # purely defensive: the end marker is always a forced
+        # continuation, so an n==0 group cannot actually occur
+        agg = agg[agg["n"] > 0]
         closed = agg.iloc[:-1]
         if len(closed):
             yield pd.DataFrame(

@@ -574,3 +574,62 @@ def test_stateful_sessionize_deep_late_event_forms_own_session(spark, tmp_path):
     late = (1, (t0 - pd.Timedelta(minutes=60)).to_pydatetime(), 1, 5.0)
     main = (1, t0.to_pydatetime(), 2, 3.0)
     assert late in u1 and main in u1, got
+
+
+def test_stateful_sessionize_tie_at_session_start_does_not_bridge(spark, tmp_path):
+    """A real event at EXACTLY the carried session's start ts must not
+    act as a bridge between a disconnected deep-late row and the
+    carried session: the late row stays its own closed session."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import sessionize
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def mk(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [int((t0 + pd.Timedelta(minutes=r[1])).value) for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        ).to_parquet(tmp_path / "tie_src" / name)
+
+    src = tmp_path / "tie_src"
+    src.mkdir()
+    # batch 1: carried session [12:00, 12:10]
+    mk("a.parquet", [(1, 0, 1.0), (1, 10, 1.0)])
+    # batch 2: deep-late at -60min, duplicate-ts row at exactly 12:00,
+    # closer at +120min; user 9 advances the watermark
+    mk("b.parquet", [(1, -60, 9.0), (1, 0, 1.0), (1, 120, 4.0), (9, 300, 0.0)])
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream = stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp")
+    )
+    q = (
+        sessionize(stream, watermark_delay="2 hours")
+        .writeStream.format("memory")
+        .queryName("tie_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tie"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    u1 = {
+        (r["sess_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("tie_out").collect()
+        if r["user_id"] == 1
+    }
+    late = ((t0 - pd.Timedelta(minutes=60)).to_pydatetime(), 1, 9.0)
+    main = (t0.to_pydatetime(), 3, 3.0)  # carried 2 events + the tie row
+    assert late in u1 and main in u1, u1
