@@ -95,6 +95,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py; rows-only here — a batch SQL oracle cannot
     express watermark state). Excluded from bench (multi-run setup)."""
     import os
+    import shutil
     import tempfile
 
     import pandas as pd
@@ -142,7 +143,14 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     write_file("1.parquet", [(100, "2024-01-01 00:30:00"), (101, "2024-01-01 05:30:00")])
     run_once()
-    return spark.read.parquet(out_dir)
+    # materialize the handful of finalized windows so the temp workspace
+    # can be deleted (each invocation used to leak a late_data_* dir);
+    # this tiny driver-side collect is the query's diagnostic output,
+    # not a data path
+    out = spark.read.parquet(out_dir)
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
