@@ -1,17 +1,20 @@
 #!/usr/bin/env python
 """Benchmark runner — executes every registered query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE SMALL JSON line (≤ ~200 bytes
+so bounded tail-capture harnesses never truncate it):
 
-  {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1,
-   "warm_total_sec": M, "queries_warm": {name: sec, ...}}
+  {"metric": "total_query_sec", "value": N, "unit": "sec", "sf": 0.1,
+   "warm_total_sec": M, "n_queries": K, "detail": "BENCH_DETAIL.json"}
 
-`value`/`queries` are COLD first-run times (include one-shot codegen
+`value` is the COLD first-run total (includes one-shot codegen
 compile, which lands on queries essentially at random and adds ±15 s
-of run-to-run noise at sf0.1); `warm_total_sec`/`queries_warm` are an
-immediate second run of the same plan — steady-state execution cost,
-the stable number for round-over-round comparison.
+of run-to-run noise at sf0.1); `warm_total_sec` is an immediate
+second run of every plan — steady-state execution cost, the stable
+number for round-over-round comparison.
+
+Per-query cold/warm timings go to BENCH_DETAIL.json next to this
+script (kept in-repo for round-over-round diffing), NOT to stdout.
 
 Each query is fully materialized through the `noop` sink (df.count()
 would let Catalyst prune projections and under-measure).
@@ -59,16 +62,34 @@ def main() -> None:
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     warm_total = round(sum(t for t in warm.values() if t >= 0), 3)
+    failed = sorted(n for n, t in warm.items() if t < 0)
+
+    # Per-query detail goes to a side file (and stderr) — NOT the stdout
+    # JSON line, which bounded tail-capture harnesses would truncate.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    detail = {
+        "sf": sf,
+        "total_cold_sec": total,
+        "total_warm_sec": warm_total,
+        "queries_cold": times,
+        "queries_warm": warm,
+    }
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(f"bench: per-query detail written to {detail_path}", file=sys.stderr)
+
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
                 "warm_total_sec": warm_total,
-                "queries_warm": warm,
+                "n_queries": len(times),
+                "n_failed": len(failed),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -29,7 +29,6 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
-import tempfile
 import uuid
 from dataclasses import dataclass
 
@@ -89,16 +88,91 @@ class IVFIndex:
     centroids: np.ndarray
 
 
-def index_cache_path(source_file: str, vec_col: str, k: int, seed: int) -> str:
-    """Deterministic on-disk location for the index built over one
-    source file. The key folds in the file's size + mtime so a
-    regenerated corpus invalidates the cached index."""
-    st = os.stat(source_file)
-    key = hashlib.md5(
-        f"{os.path.abspath(source_file)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|{vec_col}|{k}|{seed}".encode()
-    ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "target_iceberg_spark_ivf", key)
+def index_root() -> str:
+    """Root directory for persisted IVF indexes.
+
+    Resolution order:
+      1. ``$SPARK_GRAFT_IVF_ROOT`` — on a cluster this should point INTO
+         THE WAREHOUSE (shared filesystem / object store) so every
+         executor and every driver sees the same index, exactly like any
+         other table the engine writes.
+      2. Default: a per-user cache dir (``$XDG_CACHE_HOME`` or
+         ``~/.cache``) created with mode 0700 — never the world-writable
+         shared temp dir, where another local user could pre-create a
+         poisoned index at the predictable path.
+    """
+    root = os.environ.get("SPARK_GRAFT_IVF_ROOT")
+    if not root:
+        cache_home = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        root = os.path.join(cache_home, "target_iceberg_spark", "ivf")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
+
+
+def corpus_fingerprint(source: str) -> str:
+    """Content identity of the corpus at ``source`` (file or directory
+    of part files): md5 over every data file's bytes, folded in sorted
+    relative-path order so part-file enumeration order never matters.
+
+    This is the engine-portable fallback key. On an Iceberg table the
+    right key is the table's current SNAPSHOT ID — O(1) from metadata,
+    exact, and already content-addressed; pass it via ``corpus_key`` in
+    :func:`index_cache_path`. Hashing bytes is O(corpus) but runs only
+    on cache lookup-or-build, not per search, and replaces the previous
+    size+mtime key, which went stale-silently under touch/copy and
+    differed per machine."""
+    digest = hashlib.md5()
+    source = os.path.abspath(source)
+    if os.path.isdir(source):
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(source)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+    else:
+        files = [source]
+    for path in files:
+        digest.update(os.path.relpath(path, source).encode())
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                digest.update(chunk)
+    return digest.hexdigest()[:16]
+
+
+def index_cache_path(
+    source_file: str,
+    vec_col: str,
+    k: int,
+    seed: int,
+    corpus_key: str | None = None,
+) -> str:
+    """Deterministic location for the index built over one corpus,
+    keyed by corpus CONTENT (or a caller-supplied ``corpus_key``, e.g.
+    an Iceberg snapshot id) plus the build parameters — a regenerated
+    corpus or changed quantizer invalidates the cache on any machine."""
+    fp = corpus_key if corpus_key is not None else corpus_fingerprint(source_file)
+    key = hashlib.md5(f"{fp}|{vec_col}|{k}|{seed}".encode()).hexdigest()[:16]
+    return os.path.join(index_root(), key)
+
+
+def _prune_stale_indexes(keep_path: str, source: str) -> None:
+    """Drop sibling index dirs built from the same source path but a
+    different (stale) content key, so regenerated corpora don't
+    accumulate dead indexes without bound."""
+    root = os.path.dirname(keep_path)
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if path == keep_path or not os.path.isdir(path):
+            continue
+        meta = os.path.join(path, "_META")
+        try:
+            if os.path.exists(meta) and open(meta).read().strip() == source:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def build_or_load_ivf(
@@ -108,12 +182,15 @@ def build_or_load_ivf(
     vec_col: str = "embedding",
     k: int = 16,
     seed: int = 42,
+    source: str | None = None,
 ) -> IVFIndex:
     """Load the persisted index at ``index_path``, building it first if
     absent. The build writes posting lists partitioned by cluster id
     (searches prune to the probed clusters' files) and the centroid
     table, staged to a temp dir + atomic rename so concurrent builders
-    never expose a half-written index."""
+    never expose a half-written index. Pass ``source`` (the corpus path
+    the index was built from) to record provenance in ``_META`` and
+    prune stale sibling indexes of the same corpus after a rebuild."""
     marker = os.path.join(index_path, "_BUILT")
     if not os.path.exists(marker):
         assigned, centroids = build_ivf(emb, vec_col=vec_col, k=k, seed=seed)
@@ -129,6 +206,9 @@ def build_or_load_ivf(
                 [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
                 "cluster int, centroid array<double>",
             ).coalesce(1).write.parquet(os.path.join(stage, "centroids"))
+            if source is not None:
+                with open(os.path.join(stage, "_META"), "w") as fh:
+                    fh.write(os.path.abspath(source))
             open(os.path.join(stage, "_BUILT"), "w").close()
             os.makedirs(os.path.dirname(index_path), exist_ok=True)
             try:
@@ -138,6 +218,8 @@ def build_or_load_ivf(
         finally:
             if os.path.isdir(stage):
                 shutil.rmtree(stage, ignore_errors=True)
+        if source is not None:
+            _prune_stale_indexes(index_path, os.path.abspath(source))
     rows = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
     centroids = np.vstack(
         [np.asarray(r["centroid"]) for r in sorted(rows, key=lambda r: r["cluster"])]

@@ -28,6 +28,7 @@ from target_iceberg_spark.operators.dedup import (
 from target_iceberg_spark.plans.dedup_sql import (
     BANDS,
     NUM_HASHES,
+    _minhash_capped_ctes,
     _minhash_ctes,
     _shingle_cte,
 )
@@ -101,6 +102,37 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
     )
+
+
+# Small enough to bind at test SF (a handful of size-3 buckets exist at
+# sf0.01, so the capped result observably differs from dedup_minhash);
+# at corpus scale the cap is set orders of magnitude higher and only
+# skips degenerate boilerplate buckets.
+MINHASH_BUCKET_CAP = 2
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=f"WITH {_minhash_capped_ctes(MINHASH_BUCKET_CAP)}\n"
+    "SELECT id_a, id_b FROM capped_cand",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates with the degenerate-bucket safety valve
+    engaged (operators/dedup.py::candidate_pairs max_bucket_size): a
+    band bucket of m members emits m^2/2 pairs, so one million-doc
+    boilerplate bucket at 100 TB would alone produce ~5*10^11 pairs;
+    capping occupancy bounds candidate work per bucket while the other
+    bands — or the exact-dedup pass — still catch the skipped members.
+    The oracle mirrors the cap (bucket-count CTE <= cap), so the gate
+    verifies the valve's exact semantics, not just its existence."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", NUM_HASHES)
+    keys = lsh_band_keys(sig, "doc_id", NUM_HASHES, BANDS)
+    from target_iceberg_spark.operators.dedup import candidate_pairs
+
+    return candidate_pairs(keys, "doc_id", max_bucket_size=MINHASH_BUCKET_CAP)
 
 
 @register(

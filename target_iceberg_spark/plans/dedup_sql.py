@@ -57,3 +57,36 @@ cand AS (
     FROM bands a JOIN bands b
       ON a.doc_id < b.doc_id AND ({band_or})
 )"""
+
+
+def _minhash_capped_ctes(
+    cap: int, num_hashes: int = NUM_HASHES, bands: int = BANDS
+) -> str:
+    """Mirror of operators/dedup.py::candidate_pairs with
+    ``max_bucket_size`` set: long-form (doc, band_idx, band_key) keys,
+    per-bucket occupancy count, buckets above the cap skipped, then the
+    same distinct self-equi-join. Appends ``capped_cand`` after the
+    shared MinHash CTEs."""
+    long_form = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
+        for b in range(bands)
+    )
+    return f"""{_minhash_ctes(num_hashes, bands)},
+bl AS (
+    {long_form}
+),
+bsz AS (
+    SELECT band_idx, band_key, COUNT(*) AS bucket_n
+    FROM bl GROUP BY band_idx, band_key
+),
+blc AS (
+    SELECT bl.doc_id, bl.band_idx, bl.band_key
+    FROM bl JOIN bsz USING (band_idx, band_key)
+    WHERE bsz.bucket_n <= {cap}
+),
+capped_cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM blc a JOIN blc b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)"""

@@ -69,12 +69,27 @@ def _load_all() -> None:
     oracle-parity suite, tests/test_oracle_parity.py, which runs the
     identical comparison for every registered query).
     """
+    # Round-3 window (first 50): multimodal_decode's first driver row,
+    # the families rewritten since their round-1 rows (dedup/Carter-
+    # Wegman, components-backed clusters, IVF persistence, band join),
+    # and the remaining round-1-row relational tier. Rotated out (covered
+    # by round-2 driver rows and/or local parity): windows, text, udfs,
+    # streaming, curation, sketches, subqueries, analytics, composites,
+    # functions_scalar (unchanged since round 1).
     from target_iceberg_spark.plans import (  # noqa: F401
+        multimodal,
+        dedup,
+        text_extra,
+        similarity,
+        joins,
+        relational_extra,
+        scans,
+        aggregates,
+        functions_scalar,
         windows,
         text,
         udfs,
         streaming_batch,
-        similarity,
         windows_extra,
         curation,
         sketches,
@@ -85,13 +100,6 @@ def _load_all() -> None:
         stream_join,
         analytics,
         tpch_composite,
-        aggregates,
-        dedup,
-        multimodal,
-        joins,
-        relational_extra,
-        scans,
-        functions_scalar,
     )
 
 

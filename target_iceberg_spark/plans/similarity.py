@@ -42,14 +42,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    source = os.path.join(sf_dir, "embeddings.parquet")
     index = build_or_load_ivf(
         spark,
         emb,
-        index_cache_path(
-            os.path.join(sf_dir, "embeddings.parquet"), "embedding", 16, 42
-        ),
+        index_cache_path(source, "embedding", 16, 42),
         k=16,
         seed=42,
+        source=source,
     )
     probe_vec = [
         float(x)
