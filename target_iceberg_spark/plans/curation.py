@@ -426,6 +426,8 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Smoothing exponent α (shares raised to α directly): α < 1 flattens
+# the mix toward uniform (upsamples small sources), α = 1 is natural.
 MIX_TEMPERATURE = 0.7
 
 
@@ -443,10 +445,10 @@ sh AS (
 )
 SELECT source, src_tokens,
        ROUND(share, 6) AS share,
-       ROUND(pow(share, 1.0 / {MIX_TEMPERATURE})
-             / SUM(pow(share, 1.0 / {MIX_TEMPERATURE})) OVER (), 6) AS t_share,
-       ROUND((pow(share, 1.0 / {MIX_TEMPERATURE})
-             / SUM(pow(share, 1.0 / {MIX_TEMPERATURE})) OVER ()) / share, 6)
+       ROUND(pow(share, {MIX_TEMPERATURE})
+             / SUM(pow(share, {MIX_TEMPERATURE})) OVER (), 6) AS t_share,
+       ROUND((pow(share, {MIX_TEMPERATURE})
+             / SUM(pow(share, {MIX_TEMPERATURE})) OVER ()) / share, 6)
            AS resample_weight
 FROM sh
 ORDER BY source
@@ -454,11 +456,14 @@ ORDER BY source
     tags=("curation", "mixing"),
 )
 def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled domain mixing (the Pile/ROOTS recipe):
-    sampling share ∝ natural_share^(1/T). T<1 upsamples small sources
-    less aggressively than uniform; resample_weight = t_share / share
-    is the per-source multiplier a sampler applies. Same single-scan +
-    tiny-frame-window shape as curation_domain_mix."""
+    """Temperature-scaled domain mixing (the Pile/ROOTS /
+    multilingual-BERT exponential-smoothing recipe): sampling share ∝
+    natural_share^α with α = MIX_TEMPERATURE = 0.7 < 1, which FLATTENS
+    the distribution — small sources are upsampled toward (but not all
+    the way to) uniform; α=1 keeps natural proportions, α=0 is uniform.
+    resample_weight = t_share / share is the per-source multiplier a
+    sampler applies. Same single-scan + tiny-frame-window shape as
+    curation_domain_mix."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -468,7 +473,7 @@ def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     share = F.col("src_tokens").cast("double") / F.sum("src_tokens").over(w)
     sh = s.select("source", "src_tokens", share.alias("share"))
-    powed = F.pow(F.col("share"), 1.0 / MIX_TEMPERATURE)
+    powed = F.pow(F.col("share"), MIX_TEMPERATURE)
     t_share = powed / F.sum(powed).over(w)
     return sh.select(
         "source",

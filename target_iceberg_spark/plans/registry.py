@@ -103,9 +103,20 @@ def _load_all() -> None:
     )
 
 
+# Hoisted to the front of the registry (ahead of module import order):
+# queries whose SEMANTICS changed after their last external driver row
+# was recorded, so the stale row must be refreshed this round.
+#   - stream_late_data: now emits BOTH finalized windows (was 1 row)
+#   - curation_mix_temperature: exponent direction fixed (shares^0.7,
+#     flattening) — r2 row hashed the inverted mix
+_HOIST: tuple[str, ...] = ("stream_late_data", "curation_mix_temperature")
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    hoisted = {n: _REGISTRY[n] for n in _HOIST if n in _REGISTRY}
+    rest = {n: s for n, s in _REGISTRY.items() if n not in hoisted}
+    return {**hoisted, **rest}
 
 
 def queries() -> dict[str, Builder]:

@@ -88,12 +88,17 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_late_data", oracle=None, tags=("streaming", "watermark"), bench=False)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data policy, exercised on the REAL streaming path:
-    two bounded runs over a shared checkpoint — the first advances the
-    watermark past an old window, the second delivers a late event into
-    it plus an on-time one. Returns the emitted finalized windows; the
-    late event must not be counted (asserted row-for-row in
-    tests/test_streaming.py; rows-only here — a batch SQL oracle cannot
-    express watermark state). Excluded from bench (multi-run setup)."""
+    three bounded runs over a shared checkpoint — run 1 advances the
+    watermark past an old window, run 2 delivers a too-late event into
+    it (dropped), an admissible one into a still-open window (counted),
+    and a watermark-pusher; run 3 flushes the newly-finalized window.
+    Returns BOTH finalized windows, so the result discriminates every
+    policy outcome: (00:00, n=10) proves the too-late event was dropped
+    (11 would mean it leaked in), (05:00, n=2) proves the
+    within-watermark event was counted. Exact rows pinned in
+    tests/test_streaming.py::test_watermark_drops_late_events;
+    rows-only for the external harness — a batch SQL oracle cannot
+    express watermark state. Excluded from bench (multi-run setup)."""
     import os
     import shutil
     import tempfile
@@ -141,7 +146,23 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [(99, "2024-01-01 05:00:00")],
     )
     run_once()
-    write_file("1.parquet", [(100, "2024-01-01 00:30:00"), (101, "2024-01-01 05:30:00")])
+    # run 2: a too-late event (00:30, behind the 04:00 watermark —
+    # dropped), an admissible one (05:30, inside the open 05:00 window)
+    # and a pusher (07:30) that moves the watermark to 06:30, past the
+    # 05:00 window's end
+    write_file(
+        "1.parquet",
+        [
+            (100, "2024-01-01 00:30:00"),
+            (101, "2024-01-01 05:30:00"),
+            (102, "2024-01-01 07:30:00"),
+        ],
+    )
+    run_once()
+    # run 3: one event whose own window stays open (watermark ends at
+    # 07:30 < its 09:00 window end) — it exists to run a batch under the
+    # 06:30 watermark, guaranteeing the 05:00 window flushes finalized
+    write_file("2.parquet", [(103, "2024-01-01 08:30:00")])
     run_once()
     # materialize the handful of finalized windows so the temp workspace
     # can be deleted (each invocation used to leak a late_data_* dir);

@@ -233,16 +233,28 @@ class SingerTarget:
         self._drain(stream)
         # gzip et al. are handled by the text source via file extension
         paths = [p.removeprefix("file://") for p in manifest]
-        df = (
+        parsed = (
             self.spark.read.text(paths)
             .where(F.col("value") != "")
             .select(F.from_json("value", stream.schema).alias("r"))
-            .where(F.col("r").isNotNull())  # per-record validation (A2)
-            .select("r.*")
         )
-        # count() is a second pass over the files; acceptable for stats
-        # parity with the buffered path (manifests are bounded per batch)
-        self._write_df(stream, df, df.count())
+        # One aggregation pass counts raw non-empty lines AND rows that
+        # survived the schema parse. A malformed line becomes a NULL
+        # struct under from_json; silently filtering it would shrink the
+        # table with no signal — the buffered RECORD path (and the
+        # reference SDK) fails loudly on malformed records, so the bulk
+        # path must too (at-least-once, never silent loss).
+        stats = parsed.agg(
+            F.count(F.lit(1)).alias("raw"), F.count("r").alias("ok")
+        ).first()
+        if stats["ok"] < stats["raw"]:
+            raise ValueError(
+                f"BATCH for stream {name!r}: {stats['raw'] - stats['ok']} of "
+                f"{stats['raw']} lines in {paths} failed to parse under the "
+                "stream schema"
+            )
+        df = parsed.where(F.col("r").isNotNull()).select("r.*")
+        self._write_df(stream, df, stats["ok"])
 
     def _write_df(self, stream: _StreamState, df: DataFrame, n_records: int) -> None:
         if stream.version is not None:

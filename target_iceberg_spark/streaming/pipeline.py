@@ -39,15 +39,17 @@ from target_iceberg_spark.writer import StreamWriter
 def read_event_stream(
     spark: SparkSession,
     path: str,
-    schema_ddl: str = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-        "event_type STRING, value DOUBLE, props STRING"
-    ),
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream of events parquet (ts arrives as epoch-nanos
-    long — same nanos workaround as the batch loader) normalized to a
-    timestamp `ts` column.
+    """File-source stream of events parquet normalized to a timestamp
+    `ts` column.
+
+    File streaming sources require an explicit schema, and the events
+    table has shipped with two physical layouts for `ts` (epoch-nanos
+    INT64 and native timestamp[us]) — so probe the directory's on-disk
+    schema with a batch read (driver-side footer read, no data scan)
+    and normalize either layout, mirroring the batch loader
+    (sources/tables.py).
 
     ``path`` must be a DIRECTORY (Spark file-source contract — new
     files appearing there become new micro-batches). For a single
@@ -61,13 +63,19 @@ def read_event_stream(
             "(symlink it into a directory)"
         )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(schema_ddl)
+    probed = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(probed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in probed.fields).get(
+        "ts", ""
+    )
     # Watermarks require TIMESTAMP (ltz), not TIMESTAMP_NTZ — under the
     # UTC session timezone the wall-clock values are identical.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":  # legacy epoch-nanos layout
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

@@ -34,23 +34,25 @@ def first_seen_dedup(
     events: DataFrame,
     key_col: str = "event_id",
     order_cols: tuple[str, ...] = ("ts", "event_id"),
-    state_timeout_ms: int | None = 600_000,
+    state_timeout_ms: int | None = None,
 ) -> DataFrame:
     """First-seen dedup over a stream: one output row per distinct key.
 
     Per-key state is a single "seen" marker. Within a micro-batch the
     deterministic winner is the minimum of ``order_cols``; across
     batches the first-arriving batch wins (at-least-once upstream =>
-    first-seen-wins is the standard idempotency rule). State expires
-    ``state_timeout_ms`` after the key's last sighting — a late
-    duplicate arriving after expiry re-emits, which is the documented
-    trade of bounded state for unbounded streams.
+    first-seen-wins is the standard idempotency rule).
 
-    ``state_timeout_ms=None`` disables expiry (state grows with the
-    distinct-key count). Required for bounded ``availableNow`` drains:
-    with pending processing-time timeouts MicroBatchExecution keeps
-    scheduling catch-up batches until every timeout fires, so a
-    drain-and-stop run with a long timeout never terminates.
+    ``state_timeout_ms`` (default None = no expiry; state grows with
+    the distinct-key count) is an explicit opt-in for long-lived
+    continuous streams: state then expires that many ms after the key's
+    last sighting — a late duplicate arriving after expiry re-emits,
+    the documented trade of bounded state for unbounded streams. It
+    MUST stay None for bounded ``availableNow`` drain-and-stop runs
+    (run_bounded / the repo's standard pipelines): with pending
+    processing-time timeouts MicroBatchExecution keeps scheduling
+    catch-up batches until every timeout fires, so a bounded drain with
+    a timeout never terminates. The safe default is therefore None.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -134,7 +136,10 @@ def sessionize(
     until watermark finality, trading the eager emission away.
 
     Output schema matches the batch twin stream_session:
-    (key, sess_start, n_events, sum_value).
+    (key, sess_start, n_events, sum_value). A session whose events ALL
+    carry NULL value emits sum_value NULL — matching Spark's SUM (which
+    ignores NULLs and returns NULL over an empty set) — via a non-null
+    count tracked in state.
     """
     import pandas as pd  # executor-side; imported here for pickling
 
@@ -154,13 +159,18 @@ def sessionize(
         a = np.asarray(x, dtype="float64")
         return np.sign(a) * np.floor(np.abs(a) * 100.0 + 0.5) / 100.0
 
-    def _emit(key: tuple, start_us: int, n: int, sv: float) -> "pd.DataFrame":
+    def _emit(
+        key: tuple, start_us: int, n: int, sv: float, nn: int
+    ) -> "pd.DataFrame":
         return pd.DataFrame(
             {
                 key_col: [key[0]],
                 "sess_start": [pd.Timestamp(start_us, unit="us")],
                 "n_events": [n],
-                "sum_value": [float(_round2(sv))],
+                # all-NULL session => NULL sum (Spark SUM semantics)
+                "sum_value": pd.array(
+                    [float(_round2(sv)) if nn > 0 else None], dtype="Float64"
+                ),
             }
         )
 
@@ -170,9 +180,9 @@ def sessionize(
         state: GroupState,
     ) -> Iterator["pd.DataFrame"]:
         if state.hasTimedOut:
-            start_us, _last_us, n, sv = state.get
+            start_us, _last_us, n, sv, nn = state.get
             state.remove()
-            yield _emit(key, start_us, n, sv)
+            yield _emit(key, start_us, n, sv, nn)
             return
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
@@ -190,16 +200,18 @@ def sessionize(
             {
                 "ts_us": batch[ts_col].astype("int64") // 1000,  # ns -> us
                 "val": batch[value_col].fillna(0.0).astype("float64"),
+                "nnc": batch[value_col].notna().astype("int64"),
                 "cnt": 1,
                 "synth": 0,  # -1 = interval start, 0 = real row, 2 = interval end
             }
         )
         if state.exists:
-            start_us0, last_us0, n0, sv0 = state.get
+            start_us0, last_us0, n0, sv0, nn0 = state.get
             synth = pd.DataFrame(
                 {
                     "ts_us": [start_us0, last_us0],
                     "val": [sv0, 0.0],
+                    "nnc": [nn0, 0],
                     "cnt": [n0, 0],
                     "synth": [-1, 2],
                 }
@@ -234,6 +246,7 @@ def sessionize(
             last=("ts_us", "max"),
             n=("cnt", "sum"),
             sv=("val", "sum"),
+            nn=("nnc", "sum"),
         )
         # purely defensive: the end marker is always a forced
         # continuation, so an n==0 group cannot actually occur
@@ -245,12 +258,25 @@ def sessionize(
                     key_col: key[0],
                     "sess_start": pd.to_datetime(closed["start"], unit="us"),
                     "n_events": closed["n"].astype("int64"),
-                    "sum_value": _round2(closed["sv"]),
+                    # all-NULL session => NULL sum (Spark SUM semantics)
+                    "sum_value": pd.array(
+                        [
+                            float(_round2(s)) if k > 0 else None
+                            for s, k in zip(closed["sv"], closed["nn"])
+                        ],
+                        dtype="Float64",
+                    ),
                 }
             )
         open_row = agg.iloc[-1]
         state.update(
-            (int(open_row["start"]), int(open_row["last"]), int(open_row["n"]), float(open_row["sv"]))
+            (
+                int(open_row["start"]),
+                int(open_row["last"]),
+                int(open_row["n"]),
+                float(open_row["sv"]),
+                int(open_row["nn"]),
+            )
         )
         # a batch of late rows can put last_ts + gap behind the current
         # watermark, which setTimeoutTimestamp rejects — clamp forward
@@ -264,7 +290,9 @@ def sessionize(
         .applyInPandasWithState(
             session_fn,
             outputStructType=out_schema,
-            stateStructType="start_us BIGINT, last_us BIGINT, n BIGINT, sv DOUBLE",
+            stateStructType=(
+                "start_us BIGINT, last_us BIGINT, n BIGINT, sv DOUBLE, nn BIGINT"
+            ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

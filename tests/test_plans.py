@@ -68,6 +68,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_cosine_topk_batch",
             "sim_ann_rp",  # same broadcast one-row probe as sim_cosine_topk
             "text_tfidf",
+            "text_pmi_bigrams",  # cross of the one-row token/bigram totals
             "events_funnel",  # cross of three one-row stage counts
         ), f"unexpected BNLJ in {name}"
 

@@ -129,17 +129,32 @@ def test_watermark_drops_late_events(spark, tmp_path):
         + [(99, "2024-01-01 05:00:00")],
     )
     run_once()
-    # run 2: one LATE event back in the finalized 00:00 window + one on-time
-    write_file("1.parquet", [(100, "2024-01-01 00:30:00"), (101, "2024-01-01 05:30:00")])
+    # run 2: one LATE event back in the finalized 00:00 window (dropped),
+    # one admissible into the open 05:00 window (counted), one pusher
+    # that moves the watermark to 06:30 past the 05:00 window's end
+    write_file(
+        "1.parquet",
+        [
+            (100, "2024-01-01 00:30:00"),
+            (101, "2024-01-01 05:30:00"),
+            (102, "2024-01-01 07:30:00"),
+        ],
+    )
+    run_once()
+    # run 3: a batch under the 06:30 watermark flushes the finalized
+    # 05:00 window; 08:30's own window (and 07:00's) stay open
+    write_file("2.parquet", [(103, "2024-01-01 08:30:00")])
     run_once()
 
     got = {
-        r["win_start"].hour: r["n_events"]
+        r["win_start"].hour: (r["n_events"], r["sum_value"])
         for r in spark.read.parquet(out_dir).collect()
     }
-    # the 00:00 window finalized with 10 events — the late event_id=100
-    # from run 2 must NOT be counted
-    assert got[0] == 10
+    # exact finalized-window contents: the 00:00 window holds 10 events
+    # (the too-late event_id=100 must NOT be counted — 11 means the
+    # watermark leaked), the 05:00 window holds its on-time event plus
+    # the admissible run-2 event; no other window may have finalized
+    assert got == {0: (10, 10.0), 5: (2, 2.0)}
 
 
 def test_epoch_marker_is_per_checkpoint_not_per_table(spark, sf_smoke, tmp_path):
