@@ -1,0 +1,103 @@
+"""Distributed embedding-column analytics beyond similarity search:
+nearest-centroid classification (the Rocchio classifier), the building
+block of embedding-space corpus diagnostics — cluster purity checks,
+label-noise detection, and domain assignment in training-data
+pipelines.
+
+Spark-first shape: centroids are a BOUNDED table (labels x dims), so
+they reduce map-side via posexplode + avg, re-assemble into arrays,
+and BROADCAST; every vector then scores all centroids in one
+whole-stage-codegen pass over zip_with/aggregate folds — no N x dims
+x labels shuffle, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "emb_centroid_classify",
+    oracle="""
+WITH idx AS (
+    SELECT vec_id, label, embedding,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM embeddings
+),
+pos AS (
+    SELECT vec_id, label, pos, embedding[pos] AS val FROM idx
+),
+cent AS (
+    SELECT label AS clabel, pos, AVG(val) AS cval
+    FROM pos GROUP BY label, pos
+),
+dist AS (
+    SELECT p.vec_id, p.label, c.clabel,
+           ROUND(SUM((p.val - c.cval) * (p.val - c.cval)), 6) AS d2
+    FROM pos p JOIN cent c ON p.pos = c.pos
+    GROUP BY p.vec_id, p.label, c.clabel
+),
+pred AS (
+    SELECT vec_id, label, clabel,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+    FROM dist
+)
+SELECT label, clabel AS pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1
+GROUP BY label, clabel
+ORDER BY label, pred
+""",
+    tags=("embeddings", "classify"),
+)
+def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification confusion matrix: fit
+    per-label centroids over the embedding column, assign every vector
+    to its nearest centroid by squared L2, and count (true label,
+    predicted label) pairs.
+
+    Scale shape: the centroid fit is a map-side-combinable avg over
+    posexplode (labels x dims rows total — bounded, not corpus-sized);
+    the fitted centroid-array table (10 rows here, always <= labels)
+    broadcasts, and scoring is one codegen stage per vector computing
+    all label distances via zip_with + aggregate folds — work is
+    O(N * labels * dims) FLOPs with zero extra shuffle; the row_number
+    argmin partitions by vec_id (N rows x labels, one window shuffle).
+    Distances are rounded to 6 before the argmin on BOTH engines so
+    ulp-level sum-order noise cannot flip a ranking; ties (which the
+    well-separated synthetic blobs never produce) break on the lower
+    label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("p", "v"))
+    cent = pos.groupBy(F.col("label").alias("clabel"), "p").agg(
+        F.avg("v").alias("cv")
+    )
+    cent_arr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("embedding", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "label", "clabel", d2.alias("d2"))
+    )
+    win = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("label", "pred")
+    )

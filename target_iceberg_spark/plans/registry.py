@@ -78,6 +78,7 @@ def _load_all() -> None:
     # functions_scalar (unchanged since round 1).
     from target_iceberg_spark.plans import (  # noqa: F401
         multimodal,
+        embeddings,
         dedup,
         text_extra,
         similarity,
@@ -104,12 +105,21 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries whose SEMANTICS changed after their last external driver row
-# was recorded, so the stale row must be refreshed this round.
-#   - stream_late_data: now emits BOTH finalized windows (was 1 row)
-#   - curation_mix_temperature: exponent direction fixed (shares^0.7,
-#     flattening) — r2 row hashed the inverted mix
-_HOIST: tuple[str, ...] = ("stream_late_data", "curation_mix_temperature")
+# queries with NO current external driver evidence — brand-new this
+# round, or semantics changed after their last driver row was recorded
+# (stream_late_data now emits BOTH finalized windows;
+# curation_mix_temperature's exponent direction was fixed to shares^0.7
+# flattening — its r2 row hashed the inverted mix).
+_HOIST: tuple[str, ...] = (
+    "stream_late_data",
+    "curation_mix_temperature",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "emb_centroid_classify",
+    "text_vocab_coverage",
+    "text_scrub",
+)
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -15,7 +15,7 @@ whole-stage-codegen expressions with an exact DuckDB mirror.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from target_iceberg_spark.functions.textfns import ngrams_of, tokens
 from target_iceberg_spark.plans.registry import register
@@ -90,4 +90,125 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("pmi"),
         )
+    )
+
+
+VOCAB_TOP_K = 50
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+u AS (SELECT unnest(toks) AS tok FROM t),
+c AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+r AS (
+    SELECT tok, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk,
+           SUM(c * 1.0) OVER (ORDER BY c DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c * 1.0) OVER () AS w
+    FROM c
+)
+SELECT CAST(rk AS INTEGER) AS rk, tok, CAST(c AS BIGINT) AS c,
+       ROUND(cum / w, 6) AS cum_share
+FROM r WHERE rk <= {VOCAB_TOP_K}
+ORDER BY rk
+""",
+    tags=("text", "curation"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction diagnostic: the top-K corpus tokens by
+    frequency with each rank's CUMULATIVE share of all token
+    occurrences — the curve a tokenizer-vocab or stopword-list decision
+    reads off (how much of the corpus do the first K types cover?).
+
+    One token-count groupBy (map-side combinable, vocabulary-sized
+    output bounded by Zipf, not corpus rows); the ranking and the two
+    running sums share a single tiny-frame window over the vocab table,
+    so at 100 TB the only corpus-sized work is the one explode+count
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rank_w = Window.orderBy(F.desc("c"), "tok")
+    all_w = Window.partitionBy()
+    return (
+        cnt.select(
+            F.row_number().over(rank_w).alias("rk"),
+            "tok",
+            F.col("c").cast("long").alias("c"),
+            F.round(
+                F.sum(F.col("c") * 1.0).over(
+                    rank_w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.sum(F.col("c") * 1.0).over(all_w),
+                6,
+            ).alias("cum_share"),
+        )
+        .where(F.col("rk") <= VOCAB_TOP_K)
+        .orderBy("rk")
+    )
+
+
+# Stand-in denylist: with the synthetic corpus carrying no real PII,
+# these high-frequency terms play the role of the scrub dictionary
+# (emails/phones/secrets in a real pipeline).
+SCRUB_DENYLIST = ("customer", "order", "value")
+
+
+@register(
+    "text_scrub",
+    oracle=f"""
+WITH t AS (
+    SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+),
+s AS (
+    SELECT source, len(toks) AS n_toks,
+           len(list_filter(toks,
+               x -> NOT list_contains({list(SCRUB_DENYLIST)!r}, x))) AS n_kept
+    FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks - n_kept) AS BIGINT) AS removed_tokens,
+       ROUND(AVG((n_toks - n_kept) * 1.0 / n_toks), 6) AS avg_removed_ratio
+FROM s
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "curation"),
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing audit (the PII/boilerplate-removal stage of a
+    training-data pipeline): drop every token in a broadcast denylist
+    and report, per source, how many documents were touched and what
+    fraction of each document was removed.
+
+    The token filter is a codegen array lambda (F.filter + isin over a
+    literal list — the denylist ships inside the plan, no join); the
+    per-source rollup is one map-side-combinable groupBy. Linear in
+    corpus tokens at any scale. A production denylist too large for a
+    plan literal becomes a broadcast join against the exploded token
+    table instead — same aggregate shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    kept = F.filter(toks, lambda x: ~x.isin(*SCRUB_DENYLIST))
+    per_doc = docs.select(
+        "source", F.size(toks).alias("n_toks"), F.size(kept).alias("n_kept")
+    )
+    removed = F.col("n_toks") - F.col("n_kept")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(removed).cast("long").alias("removed_tokens"),
+            F.round(F.avg(removed * 1.0 / F.col("n_toks")), 6).alias(
+                "avg_removed_ratio"
+            ),
+        )
+        .orderBy("source")
     )

@@ -70,6 +70,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "text_tfidf",
             "text_pmi_bigrams",  # cross of the one-row token/bigram totals
             "events_funnel",  # cross of three one-row stage counts
+            "emb_centroid_classify",  # cross of the <=labels-row centroid table
         ), f"unexpected BNLJ in {name}"
 
 

@@ -55,9 +55,14 @@ ROUND2_GREEN = {
 
 # Queries whose OUTPUT changed in round 3 after their last driver row —
 # the stale row no longer reflects the code, so they must re-enter the
-# window regardless of ledger membership (kept in sync with
-# registry._HOIST).
+# window regardless of ledger membership.
 STALE_IN_R3 = {"stream_late_data", "curation_mix_temperature"}
+
+# Brand-new in round 3 (no driver row yet).
+NEW_IN_R3 = {
+    "q7_volume_shipping", "q8_market_share", "q14_promo_revenue",
+    "emb_centroid_classify", "text_vocab_coverage", "text_scrub",
+}
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN) - STALE_IN_R3
 
@@ -72,8 +77,8 @@ def test_unverified_queries_inside_checker_window():
     )
 
 
-def test_stale_queries_rehoisted():
-    assert STALE_IN_R3 == set(_HOIST)
+def test_unevidenced_queries_are_hoisted():
+    assert STALE_IN_R3 | NEW_IN_R3 == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = STALE_IN_R3 - set(names)
-    assert not missing, f"stale-evidence queries outside the window: {missing}"
+    missing = (STALE_IN_R3 | NEW_IN_R3) - set(names)
+    assert not missing, f"unevidenced queries outside the window: {missing}"
