@@ -168,3 +168,59 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "events_transitions",
+    oracle="""
+WITH t AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+c AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c
+ORDER BY prev_type, next_type
+""",
+    tags=("analytics", "markov"),
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each consecutive (prev, next) event-type pair, the
+    global count and the row-normalized transition probability — the
+    user-journey model behind next-action prediction and bot-pattern
+    detection.
+
+    One shuffle partitions each user's history for the LAG ordering
+    (ties broken on event_id for engine-stable sequences), then a
+    map-side-combinable pair count; the transition matrix is
+    |event types|^2 rows — bounded — so the normalizing window runs on
+    a tiny frame regardless of corpus size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")

@@ -482,3 +482,93 @@ def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_share, 6).alias("t_share"),
         F.round(t_share / F.col("share"), 6).alias("resample_weight"),
     ).orderBy("source")
+
+
+# Per-tier keep rates expressed as 8-hex-digit md5-prefix thresholds:
+# P(keep) = int(threshold, 16) / 2^32. Lexicographic comparison of the
+# fixed-width lowercase-hex prefix IS numeric comparison, and md5 hex
+# is identical across engines — a seedless, portable Bernoulli draw
+# with NO window shuffle (contrast rank-based sampling, which would
+# funnel the corpus through |tiers| partitions).
+RESAMPLE_MID_THRESHOLD = "80000000"  # ~0.5
+RESAMPLE_LOW_THRESHOLD = "19999999"  # ~0.1
+
+
+@register(
+    "curation_quality_resample",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_types,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+    FROM documents
+),
+t AS (
+    SELECT *,
+           CASE WHEN n_tok BETWEEN 20 AND 80 AND n_types * 4 >= n_tok
+                THEN 'high'
+                WHEN n_tok >= 10 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM f
+),
+k AS (
+    SELECT *,
+           CASE tier WHEN 'high' THEN TRUE
+                     WHEN 'mid'  THEN h < '{RESAMPLE_MID_THRESHOLD}'
+                     ELSE             h < '{RESAMPLE_LOW_THRESHOLD}'
+           END AS keep
+    FROM t
+)
+SELECT source, tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM k
+GROUP BY source, tier
+ORDER BY source, tier
+""",
+    tags=("curation", "sampling"),
+)
+def curation_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling (the
+    keep-the-good-data stage: high-quality docs kept wholesale,
+    mid-quality thinned to ~50%, junk to ~10%): each document draws a
+    portable Bernoulli from its md5(doc_id) hex prefix compared against
+    a per-tier threshold, and the audit reports docs/kept/tokens per
+    (source, tier).
+
+    Scale shape: pure scan + codegen expressions + one
+    map-side-combinable groupBy — no window, no join, no shuffle wider
+    than the (sources x tiers)-row final aggregate. The same predicate
+    applied as a filter (instead of an audit aggregate) IS the
+    production sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_types = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    tier = (
+        F.when((n_tok.between(20, 80)) & (n_types * 4 >= n_tok), "high")
+        .when(n_tok >= 10, "mid")
+        .otherwise("low")
+    )
+    keep = (
+        F.when(F.col("tier") == "high", F.lit(True))
+        .when(F.col("tier") == "mid", F.col("h") < RESAMPLE_MID_THRESHOLD)
+        .otherwise(F.col("h") < RESAMPLE_LOW_THRESHOLD)
+    )
+    return (
+        docs.select(
+            "source", n_tok.alias("n_tok"), tier.alias("tier"), h.alias("h")
+        )
+        .withColumn("keep", keep)
+        .groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source", "tier")
+    )

@@ -67,9 +67,11 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N * labels * dims) FLOPs with zero extra shuffle; the row_number
     argmin partitions by vec_id (N rows x labels, one window shuffle).
     Distances are rounded to 6 before the argmin on BOTH engines so
-    ulp-level sum-order noise cannot flip a ranking; ties (which the
-    well-separated synthetic blobs never produce) break on the lower
-    label."""
+    ulp-level sum-order noise cannot flip a ranking, and exact rounded
+    ties break on the lower label — the argmin is engine-portable even
+    on the synthetic embeddings, whose labels are only weakly
+    cluster-correlated (the confusion matrix is dense; that is a
+    property of the data, not the operator)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pos = emb.select("label", F.posexplode("embedding").alias("p", "v"))
     cent = pos.groupBy(F.col("label").alias("clabel"), "p").agg(

@@ -119,6 +119,8 @@ _HOIST: tuple[str, ...] = (
     "emb_centroid_classify",
     "text_vocab_coverage",
     "text_scrub",
+    "events_transitions",
+    "curation_quality_resample",
 )
 
 
