@@ -71,6 +71,12 @@ class WriterConfig:
     catalog: str = "lakehouse"
     add_record_metadata: bool = False  # reference target.py:16 (default False)
     partition_by: tuple[str, ...] = field(default_factory=tuple)
+    # Sort-order clustering (the Iceberg SORT ORDER analogue): rows are
+    # range-partitioned then sorted on these columns before every write,
+    # so each parquet file covers a tight, near-disjoint min/max range
+    # and range predicates skip whole files/row groups at scan time —
+    # the data-skipping lever that matters most at 100 TB.
+    sort_by: tuple[str, ...] = field(default_factory=tuple)
 
 
 class StreamWriter:
@@ -155,11 +161,28 @@ class StreamWriter:
         return df
 
     # -- writes ----------------------------------------------------------
+    def _clustered(self, df: DataFrame, n_files: int | None = None) -> DataFrame:
+        """Apply the configured sort-order clustering: range-partition on
+        the sort keys (globally ordered file ranges, like an Iceberg
+        SORT ORDER's distribution), then sort within each partition so
+        every file's pages are ordered too. No-op when ``sort_by`` is
+        unset. ``n_files`` pins the partition count (compaction); by
+        default Spark's range partitioner picks it from
+        spark.sql.shuffle.partitions."""
+        if not self.config.sort_by:
+            return df
+        cols = [F.col(c) for c in self.config.sort_by]
+        if n_files is not None:
+            df = df.repartitionByRange(n_files, *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        return df.sortWithinPartitions(*cols)
+
     def append(self, df: DataFrame, stream: str) -> None:
         """Append-only batch commit (reference sinks.py:88-100: load-or-
         create then table.append). Duplicate keys are persisted as-is,
         matching the reference's unused key_properties."""
-        df = self._with_metadata(df)
+        df = self._clustered(self._with_metadata(df))
         if self.mode == "iceberg":
             ident = self.table_identifier(stream)
             if not self.table_exists(stream):
@@ -301,10 +324,12 @@ class StreamWriter:
         else:
             self._swap_write(df, stream)
 
-    def _swap_write(self, df: DataFrame, stream: str) -> None:
+    def _swap_write(
+        self, df: DataFrame, stream: str, n_files: int | None = None
+    ) -> None:
         path = self.table_path(stream)
         tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("overwrite")
+        writer = self._clustered(df, n_files=n_files).write.mode("overwrite")
         if self.config.partition_by:
             writer = writer.partitionBy(*self.config.partition_by)
         writer.parquet(tmp)
@@ -334,8 +359,12 @@ class StreamWriter:
             if f.endswith(".parquet")
         )
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-        df = self.read(stream).coalesce(int(n_files))
-        self._swap_write(df, stream)
+        df = self.read(stream)
+        if not self.config.sort_by:
+            df = df.coalesce(int(n_files))
+        # sort_by: _swap_write re-clusters by range at exactly n_files,
+        # so compaction preserves the table's sort-order clustering
+        self._swap_write(df, stream, n_files=int(n_files))
         return sum(
             1
             for dirpath, _, files in os.walk(path)
