@@ -121,6 +121,7 @@ _HOIST: tuple[str, ...] = (
     "text_scrub",
     "events_transitions",
     "curation_quality_resample",
+    "stream_join_left",
 )
 
 

@@ -57,3 +57,50 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+@register(
+    "stream_join_left",
+    oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       c.event_id AS click_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+""",
+    tags=("streaming", "join", "interval", "outer"),
+)
+def stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join: every purchase appears, with NULL click
+    columns when no same-user click landed in the preceding hour — the
+    attribution query that must not drop unattributed conversions.
+
+    Same equi-join-on-user + residual-range physical shape as the inner
+    form. The streaming twin (streaming/pipeline.py::interval_join_left)
+    is Spark's watermarked stream-stream LEFT join, where the unmatched
+    left rows are held in state and emitted with NULLs only once the
+    watermark passes their join window — the state-finalization
+    semantics this batch twin's results pin down on bounded input."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

@@ -269,3 +269,38 @@ def interval_join(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def interval_join_left(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every purchase is
+    emitted — matched rows as soon as the match arrives, UNMATCHED rows
+    with NULL click columns only once the watermark passes the end of
+    their join window (before that, a matching click could still
+    arrive, so the row must wait in state). This is the semantic
+    difference from the inner join: outer results are
+    watermark-finalized, which means a bounded availableNow drain needs
+    a final watermark-advancing batch for trailing unmatched purchases
+    to flush (tests/test_streaming.py exercises exactly that).
+
+    Both sides require watermarks for Spark to accept the outer join
+    and to bound the join state, same retention math as interval_join.
+
+    Inputs must be pre-projected: purchases(user_id, purchase_id,
+    purchase_ts), clicks(c_user_id, click_id, click_ts).
+    """
+    import pyspark.sql.functions as F
+
+    p = purchases.withWatermark("purchase_ts", watermark_delay)
+    c = clicks.withWatermark("click_ts", watermark_delay)
+    return p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

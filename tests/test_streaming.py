@@ -648,3 +648,84 @@ def test_stateful_sessionize_tie_at_session_start_does_not_bridge(spark, tmp_pat
     late = ((t0 - pd.Timedelta(minutes=60)).to_pydatetime(), 1, 9.0)
     main = (t0.to_pydatetime(), 3, 3.0)  # carried 2 events + the tie row
     assert late in u1 and main in u1, u1
+
+
+def test_stream_stream_left_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: a matched purchase emits
+    its match; an unmatched purchase is held in state and emitted with
+    NULL click columns only once the click-side watermark passes its
+    join window."""
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.pipeline import (
+        interval_join_left,
+        read_event_stream,
+    )
+
+    src = tmp_path / "lj_src"
+    src.mkdir()
+
+    def write_file(name, rows):  # rows: (event_id, ts, event_type)
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [int(pd.Timestamp(r[1]).value) for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": [r[2] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(src / name)
+
+    def run_once():
+        ev = read_event_stream(spark, str(src))
+        p = ev.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        c = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        q = (
+            interval_join_left(p, c)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "lj_ckpt"))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(tmp_path / "lj_out"))
+            .start()
+        )
+        q.awaitTermination()
+
+    # C1 matches P1 (within the preceding hour); P2 has no click
+    write_file(
+        "0.parquet",
+        [
+            (1, "2024-01-01 00:30:00", "click"),
+            (2, "2024-01-01 01:00:00", "purchase"),
+            (3, "2024-01-01 02:00:00", "purchase"),
+        ],
+    )
+    run_once()
+    # the join's GLOBAL watermark is the min over both sides, so BOTH
+    # sides need later events: P4+C9 (a matched pair) move the purchase
+    # watermark to 06:00 and the click watermark to 05:00 — global
+    # 05:00, past P2's join window
+    write_file(
+        "1.parquet",
+        [(9, "2024-01-01 05:00:00", "click"), (4, "2024-01-01 06:00:00", "purchase")],
+    )
+    run_once()
+    # one more click batch advances the click side; global watermark
+    # min(06:00, 09:00) = 06:00 > 02:00 flushes P2 as unmatched
+    write_file("2.parquet", [(10, "2024-01-01 09:00:00", "click")])
+    run_once()
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(str(tmp_path / "lj_out")).collect()
+    }
+    assert got == {(2, 1), (4, 9), (3, None)}
