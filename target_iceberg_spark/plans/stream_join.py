@@ -20,6 +20,30 @@ from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
 
+def _attribution_join(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared purchase→click attribution shape for the inner and left
+    variants: same projections, same equi+range condition, differing
+    only in join type (mirrors streaming/pipeline.py::interval_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        how,
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 @register(
     "stream_join_interval",
     oracle="""
@@ -40,23 +64,7 @@ WHERE p.event_type = 'purchase'
 )
 def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases attributed to same-user clicks within the prior hour."""
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    return p.join(
-        c,
-        (F.col("c_user_id") == F.col("user_id"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    return _attribution_join(spark, sf_dir, "inner")
 
 
 @register(
@@ -80,27 +88,9 @@ def stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns when no same-user click landed in the preceding hour — the
     attribution query that must not drop unattributed conversions.
 
-    Same equi-join-on-user + residual-range physical shape as the inner
-    form. The streaming twin (streaming/pipeline.py::interval_join_left)
-    is Spark's watermarked stream-stream LEFT join, where the unmatched
-    left rows are held in state and emitted with NULLs only once the
+    The streaming twin (streaming/pipeline.py::interval_join_left) is
+    Spark's watermarked stream-stream LEFT join, where unmatched left
+    rows are held in state and emitted with NULLs only once the global
     watermark passes their join window — the state-finalization
     semantics this batch twin's results pin down on bounded input."""
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    return p.join(
-        c,
-        (F.col("c_user_id") == F.col("user_id"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-        "left",
-    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    return _attribution_join(spark, sf_dir, "left")

@@ -235,7 +235,10 @@ class SingerTarget:
         paths = [p.removeprefix("file://") for p in manifest]
         parsed = (
             self.spark.read.text(paths)
-            .where(F.col("value") != "")
+            # trim: a whitespace-only separator line is blank, not a
+            # malformed record — without it the loud-fail check below
+            # would reject the whole batch over a stray " \n"
+            .where(F.trim(F.col("value")) != "")
             .select(F.from_json("value", stream.schema).alias("r"))
         )
         # One aggregation pass counts raw non-empty lines AND rows that

@@ -49,7 +49,12 @@ def read_event_stream(
     INT64 and native timestamp[us]) — so probe the directory's on-disk
     schema with a batch read (driver-side footer read, no data scan)
     and normalize either layout, mirroring the batch loader
-    (sources/tables.py).
+    (sources/tables.py). An EMPTY directory (stream started before the
+    producer's first file — the normal bootstrap order) cannot be
+    probed, so it falls back to the current writer layout
+    (timestamp[us]); a directory must be layout-HOMOGENEOUS — mixed
+    nanos/µs files cannot be described by one file-source schema in
+    either layout.
 
     ``path`` must be a DIRECTORY (Spark file-source contract — new
     files appearing there become new micro-batches). For a single
@@ -63,7 +68,15 @@ def read_event_stream(
             "(symlink it into a directory)"
         )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probed = spark.read.parquet(path).schema
+    try:
+        probed = spark.read.parquet(path).schema
+    except Exception:  # no files yet: assume the current producer layout
+        from pyspark.sql.types import StructType
+
+        probed = StructType.fromDDL(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
     reader = spark.readStream.schema(probed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -245,8 +258,9 @@ def interval_join(
     clicks: DataFrame,
     interval: str = "1 hour",
     watermark_delay: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each purchase matched to
+    """Watermarked stream-stream join: each purchase matched to
     same-user clicks in the preceding ``interval``.
 
     Both sides carry a watermark and the join condition bounds
@@ -256,6 +270,14 @@ def interval_join(
     stream-stream join state bounded on unbounded streams. Inner join
     in append mode emits each match exactly once.
 
+    ``how="leftOuter"`` additionally emits every UNMATCHED purchase
+    with NULL click columns — but only once the join's GLOBAL watermark
+    (the MIN across both sides' watermarks) passes the end of its join
+    window, since until then a matching click could still arrive. A
+    bounded availableNow drain therefore needs later events on BOTH
+    input sides for trailing unmatched rows to flush
+    (tests/test_streaming.py pins exactly that).
+
     Inputs must be pre-projected: purchases(user_id, purchase_id,
     purchase_ts), clicks(c_user_id, click_id, click_ts).
     """
@@ -268,6 +290,7 @@ def interval_join(
         (F.col("c_user_id") == F.col("user_id"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
+        how,
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 
@@ -277,30 +300,6 @@ def interval_join_left(
     interval: str = "1 hour",
     watermark_delay: str = "0 seconds",
 ) -> DataFrame:
-    """Watermarked stream-stream LEFT OUTER join: every purchase is
-    emitted — matched rows as soon as the match arrives, UNMATCHED rows
-    with NULL click columns only once the watermark passes the end of
-    their join window (before that, a matching click could still
-    arrive, so the row must wait in state). This is the semantic
-    difference from the inner join: outer results are
-    watermark-finalized, which means a bounded availableNow drain needs
-    a final watermark-advancing batch for trailing unmatched purchases
-    to flush (tests/test_streaming.py exercises exactly that).
-
-    Both sides require watermarks for Spark to accept the outer join
-    and to bound the join state, same retention math as interval_join.
-
-    Inputs must be pre-projected: purchases(user_id, purchase_id,
-    purchase_ts), clicks(c_user_id, click_id, click_ts).
-    """
-    import pyspark.sql.functions as F
-
-    p = purchases.withWatermark("purchase_ts", watermark_delay)
-    c = clicks.withWatermark("click_ts", watermark_delay)
-    return p.join(
-        c,
-        (F.col("c_user_id") == F.col("user_id"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-        "leftOuter",
-    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    """LEFT OUTER form of :func:`interval_join` (see its docstring for
+    the watermark-finalization semantics of unmatched emission)."""
+    return interval_join(purchases, clicks, interval, watermark_delay, "leftOuter")

@@ -139,7 +139,12 @@ def sessionize(
     (key, sess_start, n_events, sum_value). A session whose events ALL
     carry NULL value emits sum_value NULL — matching Spark's SUM (which
     ignores NULLs and returns NULL over an empty set) — via a non-null
-    count tracked in state.
+    count tracked in state. NOTE: adding that count widened the state
+    schema from 4 to 5 fields, which is CHECKPOINT-BREAKING — a query
+    restarted on a checkpoint written by the 4-field version fails
+    Spark's state-schema compatibility check and must start from a
+    fresh checkpoint (open-session state is rebuilt from the source on
+    replay).
     """
     import pandas as pd  # executor-side; imported here for pickling
 
