@@ -122,6 +122,7 @@ _HOIST: tuple[str, ...] = (
     "events_transitions",
     "curation_quality_resample",
     "stream_join_left",
+    "sim_ann_pq",
 )
 
 

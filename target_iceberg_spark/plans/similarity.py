@@ -161,3 +161,58 @@ def sim_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(TOP_K)
     )
+
+
+PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly (C >> top-k)
+
+
+@register("sim_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py), the standard
+    shortlist + re-rank shape: vectors compress to M=8 one-byte codes
+    (32x smaller than the float vectors); the probe's M x K lookup
+    table makes each candidate's asymmetric distance M codegen table
+    lookups over its codes — the CORPUS SCAN never reads a float
+    vector, which is what lets a 100 TB search working set fit in
+    memory. The ADC top-C shortlist (C=50) then joins back to the
+    vector table for an exact euclidean re-rank of just C rows, washing
+    out quantization error in the final top-k. Codebook fit is seeded
+    k-means on a bounded sample (driver-side constant cost, like the
+    IVF quantizer); encode is one vectorized Arrow pass. Rows-only
+    check (seeded centroids aren't SQL-reproducible); recall vs brute
+    force is unit-tested (tests/test_operators.py)."""
+    import numpy as np
+
+    from target_iceberg_spark.functions.vectors import dot, sq_norm
+    from target_iceberg_spark.operators.pq import (
+        adc_distance_expr,
+        encode_pq,
+        fit_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m=8, k=16, seed=42)
+    coded = encode_pq(emb.select("vec_id", "embedding"), books).select(
+        "vec_id", "pq_codes"
+    )
+    probe = np.asarray(
+        emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    shortlist = (
+        coded.where(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", adc_distance_expr(probe, books).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(PQ_SHORTLIST)
+    )
+    p = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    exact = F.sqrt(sq_norm("embedding") - 2 * dot("embedding", "p") + sq_norm("p"))
+    return (
+        emb.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .crossJoin(F.broadcast(p))
+        .select("vec_id", F.round(exact, 6).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(TOP_K)
+    )

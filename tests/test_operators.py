@@ -475,3 +475,52 @@ def test_sim_ann_rp_recall_vs_bruteforce(spark, sf_oracle):
     exact = {r["vec_id"] for r in specs["sim_cosine_topk"].builder(spark, sf_oracle).collect()}
     ann = {r["vec_id"] for r in specs["sim_ann_rp"].builder(spark, sf_oracle).collect()}
     assert len(ann & exact) >= 3  # >=30% recall on random vectors
+
+
+def test_ann_pq_recall_vs_brute_force(spark, sf_smoke):
+    """PQ/ADC top-10 must recover most of the true euclidean top-10
+    (8 subspaces x 16 centroids on 64-dim: quantization error is small
+    relative to inter-point distances)."""
+    from target_iceberg_spark.functions.vectors import dot, sq_norm
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.sources.tables import load_table
+
+    pq = all_specs()["sim_ann_pq"].builder(spark, sf_smoke).toPandas()
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    dist = F.sqrt(sq_norm("embedding") - 2 * dot("embedding", "p") + sq_norm("p"))
+    truth = (
+        emb.crossJoin(F.broadcast(probe))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", dist.alias("d"))
+        .orderBy("d")
+        .limit(10)
+        .toPandas()
+    )
+    recall = len(set(truth.vec_id) & set(pq.vec_id)) / 10
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_smoke):
+    """Codes are M ints in [0, K); same seed => identical codebooks and
+    codes across invocations."""
+    import numpy as np
+
+    from target_iceberg_spark.operators.pq import encode_pq, fit_pq_codebooks
+    from target_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    b1 = fit_pq_codebooks(emb, m=8, k=16, seed=42)
+    b2 = fit_pq_codebooks(emb, m=8, k=16, seed=42)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    codes = (
+        encode_pq(emb, b1).select("vec_id", "pq_codes").orderBy("vec_id").toPandas()
+    )
+    arr = np.asarray(list(codes.pq_codes))
+    assert arr.shape[1] == 8
+    assert arr.min() >= 0 and arr.max() < 16
+    codes2 = (
+        encode_pq(emb, b2).select("vec_id", "pq_codes").orderBy("vec_id").toPandas()
+    )
+    assert np.array_equal(arr, np.asarray(list(codes2.pq_codes)))

@@ -71,6 +71,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "text_pmi_bigrams",  # cross of the one-row token/bigram totals
             "events_funnel",  # cross of three one-row stage counts
             "emb_centroid_classify",  # cross of the <=labels-row centroid table
+            "sim_ann_pq",  # broadcast one-row probe for the exact re-rank
         ), f"unexpected BNLJ in {name}"
 
 

@@ -63,6 +63,7 @@ NEW_IN_R3 = {
     "q7_volume_shipping", "q8_market_share", "q14_promo_revenue",
     "emb_centroid_classify", "text_vocab_coverage", "text_scrub",
     "events_transitions", "curation_quality_resample", "stream_join_left",
+    "sim_ann_pq",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN) - STALE_IN_R3
