@@ -123,6 +123,10 @@ _HOIST: tuple[str, ...] = (
     "curation_quality_resample",
     "stream_join_left",
     "sim_ann_pq",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive",
 )
 
 
