@@ -107,3 +107,42 @@ def test_subquery_in_decorrelates_to_semi_join(spark, sf_oracle):
 def test_salted_join_carries_salt_into_join_key(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "join_salted")
     assert "_salt" in plan  # salt survives optimization into the join
+
+
+def test_q13_left_join_survives_to_physical_plan(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q13_customer_distribution")
+    assert "LeftOuter" in plan  # join-condition filter didn't turn it inner
+    assert "o_orderpriority" in plan.split("PushedFilters:")[2]  # orders scan
+
+
+def test_q17_decorrelates_to_two_scans_no_bnlj(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q17_small_quantity")
+    assert plan.count("Scan parquet") == 3  # lineitem x2 + part, no re-agg per row
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunctive_filters_push_into_both_scans(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q19_disjunctive")
+    pushed = plan.split("PushedFilters:")
+    assert any("p_brand" in p.splitlines()[0] for p in pushed[1:])  # part side
+    assert any("l_quantity" in p.splitlines()[0] for p in pushed[1:])  # fact side
+
+
+def test_q8_broadcasts_all_dims(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4  # part, region, both nation roles
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_classify_broadcasts_centroids(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "emb_centroid_classify")
+    # the centroid table reaches the probe side as a broadcast, and the
+    # argmin is one window (vec_id partition), not a join per label
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Window [") == 1  # the operator itself, once
+
+
+def test_quality_resample_has_no_join_or_window(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "curation_quality_resample")
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
