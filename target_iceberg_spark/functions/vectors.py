@@ -50,6 +50,18 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / F.sqrt(sq_norm(a) * sq_norm(b))
 
 
+def l2_dist(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance via the expanded form |a|^2 - 2a.b + |b|^2
+    (one fold per term, no per-element subtraction array). The expansion
+    can go fractionally NEGATIVE under floating-point cancellation when
+    a ~= b (true dist^2 ~1e-18 rounds to ~-1e-14), and sqrt(negative) is
+    NaN — which sorts LAST ascending, silently dropping a near-duplicate
+    best match from any top-k. Clamp at zero before the sqrt."""
+    return F.sqrt(
+        F.greatest(sq_norm(a) - 2 * dot(a, b) + sq_norm(b), F.lit(0.0))
+    )
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB SQL that mirrors :func:`cosine` OPERATION-FOR-OPERATION —
     same element order, same double promotions, same dot/sqrt(na*nb)

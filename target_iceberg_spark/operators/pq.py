@@ -48,14 +48,33 @@ def fit_pq_codebooks(
     deterministic sample; returns ndarray [M, K, d/M].
 
     Plain Lloyd's iterations in numpy — the sample is bounded
-    (PQ_TRAIN_SAMPLE_ROWS), so the fit is a driver-side constant cost
-    exactly like the IVF quantizer fit; at 100 TB you fit once on a
-    sample and reuse the codebooks for every encode/search."""
-    frac_rows = emb.select(vec_col).limit(PQ_TRAIN_SAMPLE_ROWS).collect()
+    (PQ_TRAIN_SAMPLE_ROWS) and DETERMINISTIC (seeded Bernoulli sample,
+    not an unordered limit() whose rows depend on task completion
+    order), so the fit is a driver-side constant cost exactly like the
+    IVF quantizer fit; at 100 TB you fit once on a sample and reuse the
+    codebooks for every encode/search."""
+    total = emb.count()
+    if total > PQ_TRAIN_SAMPLE_ROWS:
+        # no trailing limit(): a limit over the sample would re-introduce
+        # task-completion-order dependence; the seeded fraction alone is
+        # deterministic for fixed partition contents and bounded (~5%
+        # over target)
+        frac = min(1.0, PQ_TRAIN_SAMPLE_ROWS * 1.05 / total)
+        sample = emb.select(vec_col).sample(fraction=frac, seed=seed)
+    else:
+        sample = emb.select(vec_col)
+    frac_rows = sample.collect()
+    if not frac_rows:
+        raise ValueError("cannot fit PQ codebooks on an empty corpus")
     x = np.asarray([r[0] for r in frac_rows], dtype=np.float64)
     n, d = x.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < k:
+        raise ValueError(
+            f"PQ fit needs at least k={k} training vectors, got {n} — "
+            "lower k or supply more data"
+        )
     sub = d // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, k, sub))
@@ -99,6 +118,11 @@ def encode_pq(
             if len(pdf) == 0:
                 continue
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if x.shape[1] != m * sub:
+                raise ValueError(
+                    f"vector dim {x.shape[1]} != codebook dim {m * sub} "
+                    f"(m={m} x sub={sub}) — wrong codebooks for this corpus"
+                )
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
                 xs = x[:, j * sub : (j + 1) * sub]

@@ -183,7 +183,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     force is unit-tested (tests/test_operators.py)."""
     import numpy as np
 
-    from target_iceberg_spark.functions.vectors import dot, sq_norm
+    from target_iceberg_spark.functions.vectors import l2_dist
     from target_iceberg_spark.operators.pq import (
         adc_distance_expr,
         encode_pq,
@@ -205,14 +205,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc", "vec_id")
         .limit(PQ_SHORTLIST)
     )
-    p = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
-        F.col("embedding").alias("p")
-    )
-    exact = F.sqrt(sq_norm("embedding") - 2 * dot("embedding", "p") + sq_norm("p"))
+    # probe as a plan literal — already collected above, no second scan
+    p = F.array(*[F.lit(float(v)) for v in probe])
     return (
         emb.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
-        .crossJoin(F.broadcast(p))
-        .select("vec_id", F.round(exact, 6).alias("dist"))
+        .select("vec_id", F.round(l2_dist("embedding", p), 6).alias("dist"))
         .orderBy("dist", "vec_id")
         .limit(TOP_K)
     )

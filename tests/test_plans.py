@@ -109,10 +109,22 @@ def test_salted_join_carries_salt_into_join_key(spark, sf_oracle):
     assert "_salt" in plan  # salt survives optimization into the join
 
 
+def pushed_filter_lists(plan: str) -> list[str]:
+    """The bracketed list after each 'PushedFilters:' — and ONLY the
+    bracketed list. Asserting on the whole post-split chunk is vacuous:
+    it also contains the scan's ReadSchema (which names every read
+    column whether or not its filter pushed) and the rest of the plan
+    text."""
+    out = []
+    for chunk in plan.split("PushedFilters: [")[1:]:
+        out.append(chunk.split("]")[0])
+    return out
+
+
 def test_q13_left_join_survives_to_physical_plan(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q13_customer_distribution")
     assert "LeftOuter" in plan  # join-condition filter didn't turn it inner
-    assert "o_orderpriority" in plan.split("PushedFilters:")[2]  # orders scan
+    assert any("o_orderpriority" in f for f in pushed_filter_lists(plan))
 
 
 def test_q17_decorrelates_to_two_scans_no_bnlj(spark, sf_oracle):
@@ -123,9 +135,9 @@ def test_q17_decorrelates_to_two_scans_no_bnlj(spark, sf_oracle):
 
 def test_q19_disjunctive_filters_push_into_both_scans(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q19_disjunctive")
-    pushed = plan.split("PushedFilters:")
-    assert any("p_brand" in p.splitlines()[0] for p in pushed[1:])  # part side
-    assert any("l_quantity" in p.splitlines()[0] for p in pushed[1:])  # fact side
+    filters = pushed_filter_lists(plan)
+    assert any("p_brand" in f for f in filters)  # part side
+    assert any("l_quantity" in f for f in filters)  # fact side
 
 
 def test_q8_broadcasts_all_dims(spark, sf_oracle):
