@@ -127,6 +127,7 @@ _HOIST: tuple[str, ...] = (
     "q15_top_supplier",
     "q17_small_quantity",
     "q19_disjunctive",
+    "text_hashing_vectorizer",
 )
 
 

@@ -212,3 +212,62 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+HASH_BUCKETS = 64
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                % {HASH_BUCKETS} AS INT) AS bucket
+    FROM t
+),
+c AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY doc_id, bucket)
+SELECT doc_id, bucket, CAST(tf AS BIGINT) AS tf,
+       ROUND(tf / sqrt(SUM(tf * tf) OVER (PARTITION BY doc_id)), 6) AS w
+FROM c
+ORDER BY doc_id, bucket
+""",
+    tags=("text", "features"),
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing-trick vectorizer, MLlib HashingTF's
+    shape, Weinberger et al. 2009): each token maps to one of
+    HASH_BUCKETS dimensions via an md5-derived bucket — no vocabulary
+    table, no fit step, memory O(B) per doc — and the output is the
+    sparse (doc, bucket, tf, l2-normalized weight) long form a
+    downstream classifier consumes.
+
+    The bucket hash is md5-hex-prefix mod B, identical in both engines
+    (Spark conv(hex,16,10) == DuckDB '0x'-cast), so even the hash
+    placement is oracle-exact. One explode + combinable groupBy; the
+    normalizing window partitions per doc over <= B rows. Linear in
+    corpus tokens at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % HASH_BUCKETS
+    ).cast("int")
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_doc = Window.partitionBy("doc_id")
+    return c.select(
+        "doc_id",
+        "bucket",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(
+            F.col("tf") / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(per_doc)), 6
+        ).alias("w"),
+    ).orderBy("doc_id", "bucket")

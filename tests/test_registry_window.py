@@ -64,7 +64,7 @@ NEW_IN_R3 = {
     "emb_centroid_classify", "text_vocab_coverage", "text_scrub",
     "events_transitions", "curation_quality_resample", "stream_join_left",
     "sim_ann_pq", "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity", "q19_disjunctive",
+    "q17_small_quantity", "q19_disjunctive", "text_hashing_vectorizer",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN) - STALE_IN_R3
