@@ -76,7 +76,7 @@ def test_asof_rejects_column_collision(spark):
 
 def test_ann_lsh_recall_vs_brute_force(spark, sf_smoke):
     """LSH neighbors must recover most of the true euclidean top-10."""
-    from target_iceberg_spark.functions.vectors import dot, sq_norm
+    from target_iceberg_spark.functions.vectors import l2_dist
     from target_iceberg_spark.plans.registry import all_specs
 
     ann = all_specs()["sim_ann_lsh"].builder(spark, sf_smoke).toPandas()
@@ -84,9 +84,7 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_smoke):
 
     emb = load_table(spark, sf_smoke, "embeddings")
     probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
-    dist = F.sqrt(
-        sq_norm("embedding") - 2 * dot("embedding", "p") + sq_norm("p")
-    )
+    dist = l2_dist("embedding", "p")
     truth = (
         emb.crossJoin(F.broadcast(probe))
         .where(F.col("vec_id") != 0)
@@ -481,14 +479,14 @@ def test_ann_pq_recall_vs_brute_force(spark, sf_smoke):
     """PQ/ADC top-10 must recover most of the true euclidean top-10
     (8 subspaces x 16 centroids on 64-dim: quantization error is small
     relative to inter-point distances)."""
-    from target_iceberg_spark.functions.vectors import dot, sq_norm
+    from target_iceberg_spark.functions.vectors import l2_dist
     from target_iceberg_spark.plans.registry import all_specs
     from target_iceberg_spark.sources.tables import load_table
 
     pq = all_specs()["sim_ann_pq"].builder(spark, sf_smoke).toPandas()
     emb = load_table(spark, sf_smoke, "embeddings")
     probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
-    dist = F.sqrt(sq_norm("embedding") - 2 * dot("embedding", "p") + sq_norm("p"))
+    dist = l2_dist("embedding", "p")
     truth = (
         emb.crossJoin(F.broadcast(probe))
         .where(F.col("vec_id") != 0)
