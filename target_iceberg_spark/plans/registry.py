@@ -128,6 +128,8 @@ _HOIST: tuple[str, ...] = (
     "q17_small_quantity",
     "q19_disjunctive",
     "text_hashing_vectorizer",
+    "scan_jsonl",
+    "scan_csv",
 )
 
 

@@ -137,3 +137,77 @@ def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(positive)
         .subtract(near_nations)
     )
+
+
+def _derived_source_dir(sf_dir: str, fmt: str) -> str:
+    """Per-(sf_dir, format) cache dir for a non-parquet copy of the
+    nation table, derived once from the parquet testdata under a
+    content-independent fixed key (nation is a 25-row static dim) and
+    reused by every later run — same per-user cache root discipline as
+    the IVF index."""
+    import os
+
+    from target_iceberg_spark.operators.ivf import index_root
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(index_root(), "..", "sources", f"nation_{key}.{fmt}")
+
+
+@register(
+    "scan_jsonl",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""",
+    tags=("scan", "json"),
+    bench=False,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines SOURCE path end-to-end: the nation dim is written
+    once as .jsonl (Spark's json writer), then read back with an
+    explicit schema — schema-on-read without inference jobs, the way a
+    production JSONL feed should be consumed — and must match the
+    parquet-derived oracle row-for-row. Excluded from bench (does a
+    one-time file materialization)."""
+    import os
+
+    src = os.path.abspath(_derived_source_dir(sf_dir, "jsonl"))
+    if not os.path.isdir(src):
+        load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
+            "overwrite"
+        ).json(src + "__tmp")
+        os.rename(src + "__tmp", src)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(src)
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "scan_csv",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""",
+    tags=("scan", "csv"),
+    bench=False,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV SOURCE path end-to-end: headered CSV written once from the
+    nation dim, read back with an explicit schema (no inference pass —
+    at scale schema inference is a full extra scan) and checked against
+    the parquet-derived oracle. Excluded from bench (one-time file
+    materialization)."""
+    import os
+
+    src = os.path.abspath(_derived_source_dir(sf_dir, "csv"))
+    if not os.path.isdir(src):
+        load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", "true").csv(src + "__tmp")
+        os.rename(src + "__tmp", src)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true")
+        .csv(src)
+        .orderBy("n_nationkey")
+    )

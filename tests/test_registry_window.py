@@ -65,6 +65,7 @@ NEW_IN_R3 = {
     "events_transitions", "curation_quality_resample", "stream_join_left",
     "sim_ann_pq", "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity", "q19_disjunctive", "text_hashing_vectorizer",
+    "scan_jsonl", "scan_csv",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN) - STALE_IN_R3
