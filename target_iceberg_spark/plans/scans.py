@@ -153,6 +153,22 @@ def _derived_source_dir(sf_dir: str, fmt: str) -> str:
     return os.path.join(index_root(), "..", "sources", f"nation_{key}.{fmt}")
 
 
+def _publish_dir(tmp: str, dst: str) -> None:
+    """Atomic-rename publish tolerant of a concurrent winner: if another
+    run published ``dst`` between our existence check and the rename
+    (same-content derivation, so either copy is fine), drop our tmp."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, dst)
+    except OSError:
+        if os.path.isdir(dst):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+
+
 @register(
     "scan_jsonl",
     oracle="""
@@ -175,7 +191,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
             "overwrite"
         ).json(src + "__tmp")
-        os.rename(src + "__tmp", src)
+        _publish_dir(src + "__tmp", src)
     return (
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .json(src)
@@ -204,7 +220,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
             "overwrite"
         ).option("header", "true").csv(src + "__tmp")
-        os.rename(src + "__tmp", src)
+        _publish_dir(src + "__tmp", src)
     return (
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true")
