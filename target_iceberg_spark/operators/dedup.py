@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from target_iceberg_spark.functions.hashing import hex_int
 from target_iceberg_spark.functions.textfns import ngrams_of, tokens
 
 
@@ -51,8 +52,8 @@ def minhash_signatures(
     h = F.md5(F.col("shingle"))
     hashed = shingles.select(
         F.col(id_col),
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("_h1"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1)).alias("_h2"),
+        hex_int(h, 1, 8).cast("long").alias("_h1"),
+        hex_int(h, 9, 8).cast("long").bitwiseOR(F.lit(1)).alias("_h2"),
     )
     aggs = [
         F.min((F.col("_h1") + F.lit(j) * F.col("_h2")) % F.lit(4294967296)).alias(f"s{j}")
@@ -198,7 +199,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     Spark ('conv') and DuckDB ('0x..'::INTEGER)."""
     sh = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     th = sh.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+        "h", hex_int(F.md5("tok"), 1, 4).cast("int")
     )
     bit_sums = th.groupBy(id_col).agg(
         *[

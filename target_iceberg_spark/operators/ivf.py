@@ -103,10 +103,9 @@ def index_root() -> str:
     """
     root = os.environ.get("SPARK_GRAFT_IVF_ROOT")
     if not root:
-        cache_home = os.environ.get("XDG_CACHE_HOME") or os.path.join(
-            os.path.expanduser("~"), ".cache"
-        )
-        root = os.path.join(cache_home, "target_iceberg_spark", "ivf")
+        from target_iceberg_spark.cache import cache_root
+
+        return cache_root("ivf")
     os.makedirs(root, mode=0o700, exist_ok=True)
     return root
 

@@ -139,34 +139,53 @@ def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _derived_source_dir(sf_dir: str, fmt: str) -> str:
-    """Per-(sf_dir, format) cache dir for a non-parquet copy of the
-    nation table, derived once from the parquet testdata under a
-    content-independent fixed key (nation is a 25-row static dim) and
-    reused by every later run — same per-user cache root discipline as
-    the IVF index."""
-    import os
+def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize (once) and return a non-parquet copy of the nation
+    table for source-path queries.
 
-    from target_iceberg_spark.operators.ivf import index_root
-
-    key = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(index_root(), "..", "sources", f"nation_{key}.{fmt}")
-
-
-def _publish_dir(tmp: str, dst: str) -> None:
-    """Atomic-rename publish tolerant of a concurrent winner: if another
-    run published ``dst`` between our existence check and the rename
-    (same-content derivation, so either copy is fine), drop our tmp."""
+    Cache discipline mirrors the IVF index: per-user cache root (shared
+    ``cache.py::cache_root``, not a ``..`` sibling of another
+    artifact's dir), CONTENT-keyed via the parquet file's fingerprint —
+    the driver regenerates testdata between rounds, so a path-only key
+    would silently serve stale rows against a fresh oracle — staged in
+    a per-process-unique tmp (two concurrent derivations must not share
+    a staging dir: an overwrite would clobber the other's in-flight
+    files and publish a partial copy), and published by atomic rename
+    tolerant of a same-content concurrent winner."""
     import os
     import shutil
+    import uuid
 
-    try:
-        os.rename(tmp, dst)
-    except OSError:
-        if os.path.isdir(dst):
-            shutil.rmtree(tmp, ignore_errors=True)
+    from target_iceberg_spark.cache import cache_root
+    from target_iceberg_spark.operators.ivf import corpus_fingerprint
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    fp = corpus_fingerprint(os.path.join(sf_dir, "nation.parquet"))
+    src = os.path.join(cache_root("sources"), f"nation_{key}_{fp}.{fmt}")
+    if not os.path.isdir(src):
+        tmp = f"{src}__tmp_{uuid.uuid4().hex[:8]}"
+        writer = load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(tmp)
         else:
-            raise
+            writer.json(tmp)
+        try:
+            os.rename(tmp, src)
+        except OSError:
+            if os.path.isdir(src):  # concurrent same-content winner
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+        # drop copies derived from a previous testdata generation
+        parent = os.path.dirname(src)
+        for name in os.listdir(parent):
+            if (
+                name.startswith(f"nation_{key}_")
+                and name.endswith(f".{fmt}")
+                and name != os.path.basename(src)
+            ):
+                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    return src
 
 
 @register(
@@ -184,14 +203,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     production JSONL feed should be consumed — and must match the
     parquet-derived oracle row-for-row. Excluded from bench (does a
     one-time file materialization)."""
-    import os
-
-    src = os.path.abspath(_derived_source_dir(sf_dir, "jsonl"))
-    if not os.path.isdir(src):
-        load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
-            "overwrite"
-        ).json(src + "__tmp")
-        _publish_dir(src + "__tmp", src)
+    src = _derived_nation_source(spark, sf_dir, "jsonl")
     return (
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .json(src)
@@ -213,14 +225,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale schema inference is a full extra scan) and checked against
     the parquet-derived oracle. Excluded from bench (one-time file
     materialization)."""
-    import os
-
-    src = os.path.abspath(_derived_source_dir(sf_dir, "csv"))
-    if not os.path.isdir(src):
-        load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
-            "overwrite"
-        ).option("header", "true").csv(src + "__tmp")
-        _publish_dir(src + "__tmp", src)
+    src = _derived_nation_source(spark, sf_dir, "csv")
     return (
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true")

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.functions.hashing import hex_int, hex_int_sql
 from target_iceberg_spark.functions.textfns import ngrams_of, tokens
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -226,8 +227,7 @@ WITH t AS (
 ),
 b AS (
     SELECT doc_id,
-           CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
-                % {HASH_BUCKETS} AS INT) AS bucket
+           CAST({hex_int_sql("md5(tok)")} % {HASH_BUCKETS} AS INT) AS bucket
     FROM t
 ),
 c AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY doc_id, bucket)
@@ -253,10 +253,7 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus tokens at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    bucket = (
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
-        % HASH_BUCKETS
-    ).cast("int")
+    bucket = (hex_int(F.md5("tok")).cast("bigint") % HASH_BUCKETS).cast("int")
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
