@@ -339,19 +339,20 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the perplexity quality filter every LLM data pipeline runs (docs
     full of rare tokens score high; perplexity = exp(cross_entropy)).
     The LM is fit on the corpus itself in the same job: token explode ->
-    combinable frequency groupBy -> probability via one window over the
-    vocab-sized frame -> equi-join back to token occurrences. At 100 TB
-    the vocab frame is millions of rows, not billions — the single
-    unpartitioned window stays trivial; the occurrence join shuffles on
-    the token key."""
-    from pyspark.sql import Window
-
+    combinable frequency groupBy -> probability by dividing by the
+    corpus token total, computed as a separate ONE-ROW aggregate over
+    per-document token counts (a narrow scan; sum of sizes == sum of
+    unigram counts) and broadcast via crossJoin. On a 100 TB web corpus
+    the distinct-token table is billions of rows, so the previous
+    unpartitioned SUM-over-all window — which funnels the whole vocab
+    through one task — is exactly the shape this avoids. The occurrence
+    join back to probabilities shuffles on the token key."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    p = freq.select(
-        "tok",
-        (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy())).alias("p"),
+    total = docs.agg(F.sum(F.size(tokens("text"))).cast("double").alias("_w"))
+    p = freq.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("c").cast("double") / F.col("_w")).alias("p")
     )
     return (
         toks.join(p, "tok")

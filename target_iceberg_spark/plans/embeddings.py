@@ -14,7 +14,7 @@ x labels shuffle, no Python in the hot path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -64,8 +64,11 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fitted centroid-array table (10 rows here, always <= labels)
     broadcasts, and scoring is one codegen stage per vector computing
     all label distances via zip_with + aggregate folds — work is
-    O(N * labels * dims) FLOPs with zero extra shuffle; the row_number
-    argmin partitions by vec_id (N rows x labels, one window shuffle).
+    O(N * labels * dims) FLOPs with zero extra shuffle; the argmin is a
+    grouped ``min_by(clabel, struct(d2, clabel))`` — a map-side
+    COMBINABLE aggregate (partial min per partition, merge in the
+    reduce), one shuffle cheaper than the row_number-window shape it
+    replaces and with no per-vector window sort.
     Distances are rounded to 6 before the argmin on BOTH engines so
     ulp-level sum-order noise cannot flip a ranking, and exact rounded
     ties break on the lower label — the argmin is engine-portable even
@@ -95,11 +98,13 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cent_arr))
         .select("vec_id", "label", "clabel", d2.alias("d2"))
     )
-    win = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    # struct ordering is lexicographic, so min_by over (d2, clabel)
+    # reproduces the ROW_NUMBER(ORDER BY d2, clabel)=1 tie-break exactly
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.min_by("clabel", F.struct("d2", "clabel")).alias("pred")
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(win))
-        .where(F.col("rn") == 1)
-        .groupBy("label", F.col("clabel").alias("pred"))
+        pred.groupBy("label", "pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("label", "pred")
     )

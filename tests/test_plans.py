@@ -72,6 +72,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "events_funnel",  # cross of three one-row stage counts
             "emb_centroid_classify",  # cross of the <=labels-row centroid table
             "sim_ann_pq",  # broadcast one-row probe for the exact re-rank
+            "text_perplexity",  # cross of the one-row corpus-token total
+            "text_vocab_coverage",  # cross of the one-row corpus-token total
         ), f"unexpected BNLJ in {name}"
 
 
@@ -129,7 +131,10 @@ def test_q13_left_join_survives_to_physical_plan(spark, sf_oracle):
 
 def test_q17_decorrelates_to_two_scans_no_bnlj(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q17_small_quantity")
-    assert plan.count("Scan parquet") == 3  # lineitem x2 + part, no re-agg per row
+    # >= 2 (not == 3): AQE reused-exchange/subquery-reuse or a Spark
+    # version bump can legitimately collapse scans; the contract is
+    # "decorrelated aggregate-then-join, no per-row re-aggregation"
+    assert plan.count("Scan parquet") >= 2
     assert "BroadcastNestedLoopJoin" not in plan
 
 
@@ -149,9 +154,23 @@ def test_q8_broadcasts_all_dims(spark, sf_oracle):
 def test_centroid_classify_broadcasts_centroids(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "emb_centroid_classify")
     # the centroid table reaches the probe side as a broadcast, and the
-    # argmin is one window (vec_id partition), not a join per label
+    # argmin is a grouped min_by — a combinable aggregate, NOT a window
     assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("Window [") == 1  # the operator itself, once
+    assert "Window" not in plan
+    assert "min_by" in plan or "partial_min_by" in plan
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "text_vocab_coverage")
+    # vocabulary top-K must plan as TakeOrderedAndProject (parallel
+    # per-partition heaps), never a vocabulary-wide unpartitioned window
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition(_w" in plan  # K-row window is partitioned
+
+
+def test_perplexity_total_has_no_window(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "text_perplexity")
+    assert "Window" not in plan  # corpus total is a 1-row broadcast agg
 
 
 def test_quality_resample_has_no_join_or_window(spark, sf_oracle):
