@@ -9,12 +9,17 @@ so bounded tail-capture harnesses never truncate it):
 
 `value` is the COLD first-run total (includes one-shot codegen
 compile, which lands on queries essentially at random and adds ±15 s
-of run-to-run noise at sf0.1); `warm_total_sec` is an immediate
-second run of every plan — steady-state execution cost, the stable
-number for round-over-round comparison.
+of run-to-run noise at sf0.1); `warm_total_sec` is the sum of
+PER-QUERY MEDIANS over three immediate re-runs of every plan —
+steady-state execution cost with single-run GC/JIT excursions voted
+out (round 3 showed individual warm runs excursing 6x+ in a 114-query
+single-JVM session; the median of 3 keeps each query within ~2x of
+its isolated timing), the stable number for round-over-round
+comparison.
 
-Per-query cold/warm timings go to BENCH_DETAIL.json next to this
-script (kept in-repo for round-over-round diffing), NOT to stdout.
+Per-query cold/median/all-3-warm timings go to BENCH_DETAIL.json next
+to this script (kept in-repo for round-over-round diffing), NOT to
+stdout.
 
 Each query is fully materialized through the `noop` sink (df.count()
 would let Catalyst prune projections and under-measure).
@@ -43,7 +48,10 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    WARM_RUNS = 3  # median of 3 votes out one-off GC/JIT excursions
+
     times: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {}
     warm: dict[str, float] = {}
     specs = {n: s for n, s in specs.items() if s.bench}
     for name, spec in sorted(specs.items()):
@@ -51,10 +59,16 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
-            # warm run: rebuilt plan, codegen/JIT already compiled
-            t0 = time.perf_counter()
-            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warm[name] = round(time.perf_counter() - t0, 3)
+            # warm runs: rebuilt plan each time, codegen/JIT compiled
+            runs = []
+            for _ in range(WARM_RUNS):
+                t0 = time.perf_counter()
+                spec.builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            warm_runs[name] = runs
+            warm[name] = sorted(runs)[len(runs) // 2]
         except Exception as exc:  # a broken query must not kill the bench
             times.setdefault(name, -1.0)
             warm[name] = -1.0
@@ -72,8 +86,10 @@ def main() -> None:
         "sf": sf,
         "total_cold_sec": total,
         "total_warm_sec": warm_total,
+        "warm_runs_per_query": WARM_RUNS,
         "queries_cold": times,
-        "queries_warm": warm,
+        "queries_warm": warm,  # per-query median of warm_runs
+        "queries_warm_runs": warm_runs,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

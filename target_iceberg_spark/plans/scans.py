@@ -176,15 +176,33 @@ def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
                 raise
-        # drop copies derived from a previous testdata generation
+        # Drop copies derived from a previous testdata generation.
+        # Match the EXACT layout `nation_<key>_<32-hex-md5>.<fmt>`: a
+        # bare startswith prefix would let key 'sf0.1' delete
+        # 'sf0.1_alt''s fresh copy (key is a path basename, so it may
+        # itself contain underscores). Sweep abandoned `__tmp_` staging
+        # dirs too (a crash between write and rename leaks them), but
+        # only when old enough that no concurrent derivation can still
+        # be mid-write or mid-publish.
+        import re
+        import time
+
         parent = os.path.dirname(src)
+        exact = re.compile(
+            rf"^nation_{re.escape(key)}_[0-9a-f]{{32}}\.{re.escape(fmt)}$"
+        )
+        stale_tmp_age = 3600.0
         for name in os.listdir(parent):
-            if (
-                name.startswith(f"nation_{key}_")
-                and name.endswith(f".{fmt}")
-                and name != os.path.basename(src)
-            ):
-                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+            full = os.path.join(parent, name)
+            if exact.fullmatch(name) and name != os.path.basename(src):
+                shutil.rmtree(full, ignore_errors=True)
+            elif "__tmp_" in name:
+                try:
+                    old = time.time() - os.path.getmtime(full) > stale_tmp_age
+                except OSError:
+                    continue  # already gone (concurrent sweep)
+                if old:
+                    shutil.rmtree(full, ignore_errors=True)
     return src
 
 

@@ -30,6 +30,7 @@ batch/stream construction equivalence at sf0.001.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -70,7 +71,12 @@ def read_event_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         probed = spark.read.parquet(path).schema
-    except Exception:  # no files yet: assume the current producer layout
+    except AnalysisException:
+        # AnalysisException only — that's the genuine "no files yet"
+        # signal (UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND). Anything
+        # else (permissions, corrupt footer, transient FS error) must
+        # SURFACE, not silently start the stream with an assumed
+        # layout that may be wrong for the files actually there.
         from pyspark.sql.types import StructType
 
         probed = StructType.fromDDL(
