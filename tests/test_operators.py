@@ -74,15 +74,18 @@ def test_asof_rejects_column_collision(spark):
 # -- ANN recall ----------------------------------------------------------
 
 
-def test_ann_lsh_recall_vs_brute_force(spark, sf_smoke):
-    """LSH neighbors must recover most of the true euclidean top-10."""
+def test_ann_lsh_recall_vs_brute_force(spark, sf_oracle):
+    """Recall@10 pinned at the driver's scale (sf0.01, seed 42): the
+    BRP-LSH query's candidate set measured 0.9 there; 0.8 is the CI
+    floor so a silent bucketing/join regression fails loudly while
+    honest data-regeneration jitter passes."""
     from target_iceberg_spark.functions.vectors import l2_dist
     from target_iceberg_spark.plans.registry import all_specs
 
-    ann = all_specs()["sim_ann_lsh"].builder(spark, sf_smoke).toPandas()
+    ann = all_specs()["sim_ann_lsh"].builder(spark, sf_oracle).toPandas()
     from target_iceberg_spark.sources.tables import load_table
 
-    emb = load_table(spark, sf_smoke, "embeddings")
+    emb = load_table(spark, sf_oracle, "embeddings")
     probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
     dist = l2_dist("embedding", "p")
     truth = (
@@ -95,7 +98,7 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_smoke):
     )
     got = set(ann[ann.probe_id == 0].neighbor_id)
     recall = len(set(truth.vec_id) & got) / 10
-    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    assert recall >= 0.8, f"LSH recall collapsed: {recall}"
 
 
 # -- SimHash -------------------------------------------------------------
@@ -220,16 +223,17 @@ def test_asof_nearest_keeps_null_payload_probes(spark):
     assert out.count() == 2  # the NULL-note probe row must not vanish
 
 
-def test_ann_ivf_recall_vs_brute_force(spark, sf_smoke):
-    """IVF multi-probe must recover a good share of the true cosine
-    top-10 (random data spreads neighbors across clusters, so the bar
-    is recall>=0.4 with nprobe=4 of k=16)."""
+def test_ann_ivf_recall_vs_brute_force(spark, sf_oracle):
+    """Recall@10 pinned at the driver's scale (sf0.01, seed 42): the
+    IVF query's nprobe=8 of k=16 measured 1.0 there; 0.8 is the CI
+    floor so a silent recall collapse (quantizer/posting/pruning bug)
+    fails loudly while honest data-regeneration jitter passes."""
     from target_iceberg_spark.functions.vectors import cosine
     from target_iceberg_spark.plans.registry import all_specs
     from target_iceberg_spark.sources.tables import load_table
 
-    ivf = all_specs()["sim_ann_ivf"].builder(spark, sf_smoke).toPandas()
-    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = all_specs()["sim_ann_ivf"].builder(spark, sf_oracle).toPandas()
+    emb = load_table(spark, sf_oracle, "embeddings")
     probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
     truth = (
         emb.crossJoin(F.broadcast(probe))
@@ -240,7 +244,7 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_smoke):
         .toPandas()
     )
     recall = len(set(truth.vec_id) & set(ivf.vec_id)) / len(ivf)
-    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    assert recall >= 0.8, f"IVF recall collapsed: {recall}"
 
 
 def test_connected_components_chain_and_triangle(spark):
@@ -475,16 +479,17 @@ def test_sim_ann_rp_recall_vs_bruteforce(spark, sf_oracle):
     assert len(ann & exact) >= 3  # >=30% recall on random vectors
 
 
-def test_ann_pq_recall_vs_brute_force(spark, sf_smoke):
-    """PQ/ADC top-10 must recover most of the true euclidean top-10
-    (8 subspaces x 16 centroids on 64-dim: quantization error is small
-    relative to inter-point distances)."""
+def test_ann_pq_recall_vs_brute_force(spark, sf_oracle):
+    """Recall@10 pinned at the driver's scale (sf0.01, seed 42): the
+    PQ query's ADC shortlist C=100 + exact re-rank measured 0.9 there;
+    0.8 is the CI floor so a codebook/encode/ADC regression fails
+    loudly while honest data-regeneration jitter passes."""
     from target_iceberg_spark.functions.vectors import l2_dist
     from target_iceberg_spark.plans.registry import all_specs
     from target_iceberg_spark.sources.tables import load_table
 
-    pq = all_specs()["sim_ann_pq"].builder(spark, sf_smoke).toPandas()
-    emb = load_table(spark, sf_smoke, "embeddings")
+    pq = all_specs()["sim_ann_pq"].builder(spark, sf_oracle).toPandas()
+    emb = load_table(spark, sf_oracle, "embeddings")
     probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
     dist = l2_dist("embedding", "p")
     truth = (
@@ -496,7 +501,7 @@ def test_ann_pq_recall_vs_brute_force(spark, sf_smoke):
         .toPandas()
     )
     recall = len(set(truth.vec_id) & set(pq.vec_id)) / 10
-    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    assert recall >= 0.8, f"PQ recall collapsed: {recall}"
 
 
 def test_pq_encode_shape_and_determinism(spark, sf_smoke):
