@@ -69,14 +69,14 @@ def _load_all() -> None:
     oracle-parity suite, tests/test_oracle_parity.py, which runs the
     identical comparison for every registered query).
     """
-    # Round-3 window (first 50): multimodal_decode's first driver row,
-    # the families rewritten since their round-1 rows (dedup/Carter-
-    # Wegman, components-backed clusters, IVF persistence, band join),
-    # and the remaining round-1-row relational tier. Rotated out (covered
-    # by round-2 driver rows and/or local parity): windows, text, udfs,
-    # streaming, curation, sketches, subqueries, analytics, composites,
-    # functions_scalar (unchanged since round 1).
+    # Round-4 window (first 50): the new 22/22-coverage TPC-H tier
+    # (tpch_more) plus everything whose output or plan changed since
+    # its last driver row — all hoisted explicitly below. Everything
+    # else carries a driver-green row from rounds 1-3 and stays covered
+    # by the local oracle-parity suite (tests/test_oracle_parity.py,
+    # the identical comparison for every registered query).
     from target_iceberg_spark.plans import (  # noqa: F401
+        tpch_more,
         multimodal,
         embeddings,
         dedup,
@@ -106,30 +106,28 @@ def _load_all() -> None:
 
 # Hoisted to the front of the registry (ahead of module import order):
 # queries with NO current external driver evidence — brand-new this
-# round, or semantics changed after their last driver row was recorded
-# (stream_late_data now emits BOTH finalized windows;
-# curation_mix_temperature's exponent direction was fixed to shares^0.7
-# flattening — its r2 row hashed the inverted mix).
+# round (the 11 new TPC-H shapes), output changed since the last
+# driver row (sim_ann_ivf nprobe 4->8, sim_ann_pq shortlist 50->100),
+# or plan rewritten this round with identical output, re-checked out
+# of caution (text_vocab_coverage / text_perplexity window
+# elimination, emb_centroid_classify min_by argmin).
 _HOIST: tuple[str, ...] = (
-    "stream_late_data",
-    "curation_mix_temperature",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "emb_centroid_classify",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_speed",
+    "q16_supplier_variety",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
     "text_vocab_coverage",
-    "text_scrub",
-    "events_transitions",
-    "curation_quality_resample",
-    "stream_join_left",
+    "text_perplexity",
+    "emb_centroid_classify",
+    "sim_ann_ivf",
     "sim_ann_pq",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_disjunctive",
-    "text_hashing_vectorizer",
-    "scan_jsonl",
-    "scan_csv",
 )
 
 

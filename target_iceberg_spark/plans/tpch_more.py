@@ -1,0 +1,660 @@
+"""TPC-H Q1/Q2/Q4/Q6/Q9/Q11/Q12/Q16/Q20/Q21/Q22 shapes — completing
+22/22 TPC-H coverage over the synthetic star schema.
+
+The synthetic schema is TPC-H-ish but trimmed: no partsupp table, no
+l_commitdate/l_receiptdate/l_shipmode, no c_phone/comments. Queries
+whose spec text needs those are ADAPTED — same plan shape, same
+operator stress (correlated min, multi-EXISTS on one fact, scalar
+threshold subquery, NOT-IN exclusion), different surface predicate —
+and each docstring says exactly what was substituted:
+
+  - supply cost       -> per-(part,supplier) MIN unit price from lineitem
+  - commit<receipt    -> shipped > N days after the order date
+  - ship mode         -> lateness bucket (FAST/MEDIUM/SLOW)
+  - phone country code-> c_nationkey
+  - supplier complaint-> negative s_acctbal
+
+At 100 TB each keeps the canonical scale shape: predicates push into
+parquet scans, dims broadcast, fact-fact joins hash on orderkey,
+aggregates are map-side combinable, and every correlated subquery is
+decorrelated to an aggregate-then-join (never a per-row re-execution).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("tpch",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — runs UNmodified on this
+    schema. The canonical full-scan aggregate: one pass, 8 aggregates
+    over ~6 groups, everything map-side combinable, the shipdate
+    predicate pushed into the scan. At 100 TB this is the query that
+    proves partial aggregation works: the shuffle carries 6 rows per
+    map task, not 6 billion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("tpch",),
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (revenue-change forecast) — runs unmodified. The
+    all-predicates-pushed single-scan aggregate: shipdate range,
+    discount band and quantity cap all reach the parquet reader as
+    PushedFilters (asserted in tests/test_plans.py), so at 100 TB
+    row-group min/max stats skip most of the table before a single
+    row is materialized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+LATE_DAYS = 90  # "late": shipped > 90 days after the order date
+
+
+@register(
+    "q4_order_priority",
+    oracle=f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("tpch",),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking). ADAPTED: the spec's
+    "l_commitdate < l_receiptdate" lateness test becomes "shipped more
+    than LATE_DAYS after the order date" (this schema carries no
+    commit/receipt dates). The shape is intact: a quarter of orders,
+    EXISTS-correlated to the fact table, decorrelated to a LEFT SEMI
+    join on l_orderkey whose band condition references both sides —
+    never a per-order subquery execution. At scale the semi join
+    hashes on orderkey and the date-range predicate prunes the orders
+    scan first."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    late = window.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_ship_speed",
+    oracle=f"""
+SELECT speed,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+    SELECT o_orderpriority,
+           CASE WHEN l_shipdate >= o_orderdate + INTERVAL 180 DAY THEN 'SLOW'
+                WHEN l_shipdate >= o_orderdate + INTERVAL {LATE_DAYS} DAY THEN 'MEDIUM'
+                ELSE 'FAST' END AS speed
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+) t
+GROUP BY speed
+ORDER BY speed
+""",
+    tags=("tpch",),
+)
+def q12_ship_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs priority). ADAPTED: the
+    schema has no l_shipmode, so the grouping key is a derived
+    ship-speed bucket (FAST/MEDIUM/SLOW by days between order and
+    ship) — same shape: fact-fact join on orderkey, conditional
+    aggregation splitting priorities into high/low counts per group.
+    The CASE runs codegen-side; the only shuffle hashes on
+    l_orderkey; the priority split is two combinable conditional
+    sums, not two query passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    speed = (
+        F.when(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+            "SLOW",
+        )
+        .when(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"),
+            "MEDIUM",
+        )
+        .otherwise("FAST")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(speed.alias("speed"), high.alias("_high"))
+        .groupBy("speed")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("speed")
+    )
+
+
+COST_FACTOR = 0.6  # supply-cost proxy: 60% of retail price
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           l_extendedprice * (1 - l_discount)
+             - {COST_FACTOR} * p_retailprice * l_quantity AS amount
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    tags=("tpch",),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit). ADAPTED: no partsupp, so
+    supply cost is proxied as COST_FACTOR * p_retailprice (the spec's
+    ps_supplycost * l_quantity term keeps its place in the profit
+    expression). Shape intact: a 5-way star join where the p_name
+    LIKE filter prunes part before the join, part/supplier/nation
+    broadcast, and the two fact shuffles hash on partkey/orderkey;
+    profit-per-(nation, year) is one combinable aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        COST_FACTOR
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part.where(F.col("p_name").like("%red%")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q11_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+Q11_FRACTION = 0.002
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH v AS (
+    SELECT l_partkey AS partkey,
+           SUM(l_extendedprice * l_quantity) AS raw_value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name IN {Q11_NATIONS!r}
+    GROUP BY l_partkey
+)
+SELECT partkey, ROUND(raw_value, 2) AS value
+FROM v
+WHERE raw_value > (SELECT SUM(raw_value) * {Q11_FRACTION} FROM v)
+ORDER BY value DESC, partkey
+""",
+    tags=("tpch",),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification). ADAPTED: no
+    partsupp, so a part's held value is its shipped volume
+    (sum of l_extendedprice * l_quantity) from suppliers in the three
+    target nations. Shape intact — the defining feature is the HAVING
+    threshold that compares each group against a SCALAR aggregate of
+    ALL groups: computed as a one-row aggregate over the per-part
+    frame, broadcast via crossJoin (never a per-group re-scan). The
+    per-part frame is built once; Spark computes the total from its
+    shuffle output rather than re-reading the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    v = (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            nation.where(F.col("n_name").isin(*Q11_NATIONS)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value"))
+    )
+    threshold = v.agg((F.sum("raw_value") * Q11_FRACTION).alias("_thr"))
+    return (
+        v.crossJoin(F.broadcast(threshold))
+        .where(F.col("raw_value") > F.col("_thr"))
+        .select("partkey", F.round("raw_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+@register(
+    "q16_supplier_variety",
+    oracle=f"""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN {Q16_SIZES!r}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("tpch",),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship). ADAPTED: the
+    part-supplier pair source is lineitem (no partsupp), and the
+    spec's "complaints in comments" supplier exclusion becomes
+    negative s_acctbal (no comment column). Shape intact: a NOT-IN
+    subquery planned as a LEFT ANTI join against the (tiny, broadcast)
+    excluded-supplier list — s_suppkey is non-null so NOT IN and ANTI
+    JOIN agree — then COUNT(DISTINCT supplier) per (brand, type,
+    size), which Spark executes as a two-phase distinct-expand
+    aggregate, fully combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    return (
+        li.join(pf, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH offers AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+    SELECT o.partkey, o.suppkey, o.unit_cost,
+           s_acctbal, s_name, n_name
+    FROM offers o
+    JOIN supplier ON s_suppkey = o.suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+best AS (SELECT partkey, MIN(unit_cost) AS best_cost FROM eu GROUP BY partkey)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_type,
+       ROUND(unit_cost, 6) AS unit_cost
+FROM part
+JOIN eu   ON eu.partkey = p_partkey
+JOIN best ON best.partkey = p_partkey AND eu.unit_cost = best.best_cost
+WHERE p_size = 15 AND p_type = 'LARGE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+""",
+    tags=("tpch",),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier). ADAPTED: no partsupp,
+    so the per-(part, supplier) offer price is MIN(l_extendedprice /
+    l_quantity) observed in lineitem. Shape intact — the defining
+    feature is the CORRELATED MIN subquery (supplier whose cost equals
+    the part's regional minimum), decorrelated to aggregate-then-join:
+    a per-part MIN over the region-filtered offers joined back on
+    (partkey, cost == min). The double equality is safe cross-engine:
+    both sides are MINs over identical divisions (no accumulation
+    order). region/nation broadcast; the offers aggregate is the only
+    fact shuffle and AQE reuses it for both branches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        offers.join(supp, F.col("s_suppkey") == F.col("suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            region.where(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("partkey", "suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    best = (
+        eu.groupBy("partkey")
+        .agg(F.min("unit_cost").alias("best_cost"))
+        .withColumnRenamed("partkey", "best_pk")
+    )
+    pf = part.where((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    return (
+        pf.join(eu, F.col("partkey") == F.col("p_partkey"))
+        .join(
+            best,
+            (F.col("best_pk") == F.col("p_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+    )
+
+
+Q20_NATION = "NATION_5"
+Q20_MIN_QTY = 100
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle=f"""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q20_NATION}'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > {Q20_MIN_QTY}
+  )
+ORDER BY s_name
+""",
+    tags=("tpch",),
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion). ADAPTED: the spec's
+    "availqty > half the year's shipments" partsupp test becomes
+    "shipped more than Q20_MIN_QTY of matching parts in the window"
+    (no partsupp). Shape intact: the nested filter chain part-filter
+    -> fact aggregate with HAVING -> semi-join into the supplier dim
+    -> nation filter. The part filter broadcasts into the fact scan's
+    join; the HAVING aggregate is combinable; the final IN is a LEFT
+    SEMI join against the small qualified-supplier list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    qualified = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(
+            part.where(F.col("p_name").like("red%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > Q20_MIN_QTY)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            nation.where(F.col("n_name") == Q20_NATION),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q21_LATE_DAYS = 120
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle=f"""
+WITH f AS (
+    SELECT l_orderkey AS ok, l_suppkey AS sk,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey, l_suppkey
+),
+st AS (SELECT ok, COUNT(*) AS ns, SUM(late) AS nl FROM f GROUP BY ok)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM f
+JOIN st USING (ok)
+JOIN supplier ON s_suppkey = f.sk
+WHERE f.late = 1 AND st.ns > 1 AND st.nl = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    tags=("tpch",),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finalized orders, suppliers whose line was the ONLY late one in a
+    multi-supplier order. ADAPTED: "late" is shipped > Q21_LATE_DAYS
+    after the order date (no commit/receipt dates). The spec phrases
+    this as EXISTS(other supplier) AND NOT EXISTS(other late
+    supplier) over the same fact table; executing those as two
+    correlated probes would scan lineitem three times, so both
+    quantifiers are folded into ONE aggregation — per (order,
+    supplier) lateness, then per-order supplier/late counts; "some
+    other supplier" ≡ ns > 1 and "no other late supplier" ≡ nl == 1
+    with self late. numwait counts waiting ORDERS per supplier
+    (several late lines in one order = one wait). The ORACLE keeps the same folded form; the
+    cross-shape equivalence (fold vs EXISTS) is pinned by a dedicated
+    unit test, so both the rewrite and the engine are checked. One
+    fact shuffle on orderkey, one on (orderkey, suppkey) — at 100 TB
+    both combinable, no correlated re-scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late_flag = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+        1,
+    ).otherwise(0)
+    f = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(F.max(late_flag).alias("late"))
+    )
+    st = f.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("late").alias("nl")
+    )
+    return (
+        f.where(F.col("late") == 1)
+        .join(st, "ok")
+        .where((F.col("ns") > 1) & (F.col("nl") == 1))
+        .join(supp, F.col("s_suppkey") == F.col("sk"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+WITH avg_bal AS (
+    SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN {Q22_NATIONS!r}
+  AND c_acctbal > ab
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_nationkey
+ORDER BY cntrycode
+""",
+    tags=("tpch",),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): well-funded
+    customers in target countries with no recent orders. ADAPTED: the
+    country code is c_nationkey (no c_phone to substring), and "never
+    ordered" becomes "no order since 2000-01-01" (the synthetic
+    order/customer ratio leaves almost nobody order-free for all 6
+    years). Shape intact: a scalar AVG subquery broadcast as a
+    one-row cross join, an anti join against the date-filtered orders
+    (decorrelated NOT EXISTS, the date predicate pushed into the
+    orders scan), then a small aggregate. At 100 TB the anti join
+    hashes on custkey; nothing correlates per row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.where(F.col("c_nationkey").isin(*Q22_NATIONS))
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -74,6 +74,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_ann_pq",  # broadcast one-row probe for the exact re-rank
             "text_perplexity",  # cross of the one-row corpus-token total
             "text_vocab_coverage",  # cross of the one-row corpus-token total
+            "q11_important_parts",  # cross of the one-row value threshold
+            "q22_global_sales_opportunity",  # cross of the one-row avg balance
         ), f"unexpected BNLJ in {name}"
 
 

@@ -53,22 +53,39 @@ ROUND2_GREEN = {
     "stream_late_data", "sim_ann_lsh",
 }
 
-# Queries whose OUTPUT changed in round 3 after their last driver row —
-# the stale row no longer reflects the code, so they must re-enter the
-# window regardless of ledger membership.
-STALE_IN_R3 = {"stream_late_data", "curation_mix_temperature"}
-
-# Brand-new in round 3 (no driver row yet).
-NEW_IN_R3 = {
-    "q7_volume_shipping", "q8_market_share", "q14_promo_revenue",
-    "emb_centroid_classify", "text_vocab_coverage", "text_scrub",
-    "events_transitions", "curation_quality_resample", "stream_join_left",
-    "sim_ann_pq", "q13_customer_distribution", "q15_top_supplier",
+# Driver rows from round 3 (CORRECTNESS_r03.json: 45 hash-green plus
+# the rows-only-by-design entries recorded the same round). These
+# cover everything that was hoisted for round 3.
+ROUND3_GREEN = {
+    "curation_mix_temperature", "q7_volume_shipping", "q8_market_share",
+    "q14_promo_revenue", "emb_centroid_classify", "text_vocab_coverage",
+    "text_scrub", "events_transitions", "curation_quality_resample",
+    "stream_join_left", "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity", "q19_disjunctive", "text_hashing_vectorizer",
-    "scan_jsonl", "scan_csv",
+    "scan_jsonl", "scan_csv", "multimodal_decode", "dedup_minhash_capped",
+    "text_pmi_bigrams", "text_vocab_coverage",
+    # rows-only by design, r3 rows + dedicated pytest coverage
+    "stream_late_data", "sim_ann_pq", "sim_ann_ivf", "sim_ann_lsh",
 }
 
-GREEN = (ROUND1_GREEN | ROUND2_GREEN) - STALE_IN_R3
+# Changed since their last driver row (round 4): output changed
+# (sim_ann_ivf nprobe 4->8, sim_ann_pq shortlist 50->100) or plan
+# rewritten with identical output, re-checked out of caution
+# (vocab/perplexity window elimination, centroid min_by argmin).
+STALE_IN_R4 = {
+    "text_vocab_coverage", "text_perplexity", "emb_centroid_classify",
+    "sim_ann_ivf", "sim_ann_pq",
+}
+
+# Brand-new in round 4 (no driver row yet): 22/22 TPC-H coverage.
+NEW_IN_R4 = {
+    "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
+    "q6_revenue_forecast", "q9_product_profit", "q11_important_parts",
+    "q12_ship_speed", "q16_supplier_variety", "q20_promotion_suppliers",
+    "q21_waiting_supplier", "q22_global_sales_opportunity",
+}
+
+GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
 
 
 def test_unverified_queries_inside_checker_window():
@@ -82,7 +99,7 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert STALE_IN_R3 | NEW_IN_R3 == set(_HOIST)
+    assert STALE_IN_R4 | NEW_IN_R4 == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = (STALE_IN_R3 | NEW_IN_R3) - set(names)
+    missing = (STALE_IN_R4 | NEW_IN_R4) - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
