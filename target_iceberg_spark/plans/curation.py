@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.functions.hashing import hex_int_sql
 from target_iceberg_spark.functions.textfns import (
     LANG_MARKERS,
     marker_hits,
@@ -572,4 +573,80 @@ def curation_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
         .orderBy("source", "tier")
+    )
+
+
+# Deterministic split fractions out of 100 md5 buckets:
+# [0, 90) train / [90, 95) val / [95, 100) test.
+SPLIT_VAL_LO = 90
+SPLIT_TEST_LO = 95
+
+
+@register(
+    "curation_split",
+    oracle=f"""
+WITH b AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS n_tok,
+           {hex_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+    FROM documents
+),
+s AS (
+    SELECT source, n_tok,
+           CASE WHEN bucket < {SPLIT_VAL_LO} THEN 'train'
+                WHEN bucket < {SPLIT_TEST_LO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(*) * 1.0 /
+             SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS doc_share
+FROM s
+GROUP BY source, split
+ORDER BY source, split
+""",
+    tags=("curation", "splitting"),
+)
+def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split audit — the dataset-split
+    stage of a training pipeline. Each document lands in one of 100
+    md5(doc_id) buckets (engine-portable hex-prefix integer, the same
+    idiom as the feature hasher); buckets [0,90) are train, [90,95)
+    val, the rest test. Hash-based splitting is the 100 TB recipe:
+    membership is a pure function of the document id — stable across
+    reruns, data growth and engine — with no global sort, no sampling
+    state, and no shuffle beyond the audit aggregate itself. The
+    doc_share window partitions per source over <= 3 rows."""
+    from pyspark.sql import Window
+
+    from target_iceberg_spark.functions.hashing import hex_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hex_int(F.md5(F.col("doc_id").cast("string"))).cast("bigint") % 100
+    split = (
+        F.when(bucket < SPLIT_VAL_LO, "train")
+        .when(bucket < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    per_source = Window.partitionBy("source")
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "doc_share",
+            F.round(
+                F.col("n_docs") * 1.0 / F.sum("n_docs").over(per_source), 6
+            ),
+        )
+        .orderBy("source", "split")
     )

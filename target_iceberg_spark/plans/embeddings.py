@@ -108,3 +108,126 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("label", "pred")
     )
+
+
+KMEANS_K = 8  # seeds = the first K vec_ids (deterministic, oracle-shared)
+
+
+@register(
+    "emb_kmeans",
+    oracle=f"""
+WITH pos AS (
+    SELECT vec_id, pos, embedding[pos] AS val
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings)
+),
+c1 AS (
+    SELECT vec_id AS cid, pos, val AS cval FROM pos WHERE vec_id < {KMEANS_K}
+),
+d1 AS (
+    SELECT p.vec_id, c.cid,
+           ROUND(SUM((p.val - c.cval) * (p.val - c.cval)), 6) AS d2
+    FROM pos p JOIN c1 c ON p.pos = c.pos
+    GROUP BY p.vec_id, c.cid
+),
+m1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+c2 AS (
+    SELECT m1.cid, p.pos, AVG(p.val) AS cval
+    FROM pos p JOIN m1 ON p.vec_id = m1.vec_id
+    GROUP BY m1.cid, p.pos
+),
+d2t AS (
+    SELECT p.vec_id, c.cid,
+           ROUND(SUM((p.val - c.cval) * (p.val - c.cval)), 6) AS d2
+    FROM pos p JOIN c2 c ON p.pos = c.pos
+    GROUP BY p.vec_id, c.cid
+),
+a2 AS (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2t
+    ) WHERE rn = 1
+)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(d2), 4) AS inertia
+FROM a2
+GROUP BY cid
+ORDER BY cluster_id
+""",
+    tags=("embeddings", "clustering"),
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding column (two Lloyd
+    iterations, deterministic seeding with the first K vectors) — the
+    corpus-domain-discovery / coarse-quantizer-fit primitive of an
+    embedding pipeline, expressed entirely in DataFrame ops so it is
+    oracle-checkable (MLlib's KMeans uses seeded RNG init that SQL
+    cannot reproduce; fixing seeds = vec_id < K makes every step
+    deterministic and engine-portable).
+
+    Scale shape per iteration: centroids are a bounded K x dims table
+    — broadcast; assignment is one codegen zip_with/aggregate pass per
+    vector (no shuffle); the centroid refit is a map-side-combinable
+    avg over posexplode keyed by (cluster, dim) — K x dims output
+    rows. The argmin is a grouped min_by, never a window. Per
+    iteration cost is one broadcast + one combinable aggregate —
+    exactly how IVF's quantizer (operators/ivf.py) trains at scale,
+    here unrolled twice; distances round to 6 before each argmin on
+    both engines so ulp-level avg noise cannot flip an assignment.
+    Output: per-cluster size + inertia after the second assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select("vec_id", F.posexplode("embedding").alias("p", "v"))
+
+    def to_arrays(cent_pos: DataFrame) -> DataFrame:
+        return cent_pos.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+
+    def assign(cent_arr: DataFrame) -> DataFrame:
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with("embedding", "cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        scored = (
+            emb.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cent_arr))
+            .select("vec_id", "cid", d2.alias("d2"))
+        )
+        # min over the (d2, cid) struct == ROW_NUMBER(ORDER BY d2, cid)=1
+        return scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cid")).alias("_m")
+        ).select("vec_id", F.col("_m.cid").alias("cid"), F.col("_m.d2").alias("d2"))
+
+    seeds = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("p", "cv")
+    )
+    a1 = assign(to_arrays(seeds))
+    refit = (
+        pos.join(a1.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "p")
+        .agg(F.avg("v").alias("cv"))
+    )
+    a2 = assign(to_arrays(refit))
+    return (
+        a2.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -123,6 +123,8 @@ _HOIST: tuple[str, ...] = (
     "q20_promotion_suppliers",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "emb_kmeans",
+    "curation_split",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

@@ -76,6 +76,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "text_vocab_coverage",  # cross of the one-row corpus-token total
             "q11_important_parts",  # cross of the one-row value threshold
             "q22_global_sales_opportunity",  # cross of the one-row avg balance
+            "emb_kmeans",  # cross of the bounded K-row centroid tables
         ), f"unexpected BNLJ in {name}"
 
 

@@ -77,12 +77,14 @@ STALE_IN_R4 = {
     "sim_ann_ivf", "sim_ann_pq",
 }
 
-# Brand-new in round 4 (no driver row yet): 22/22 TPC-H coverage.
+# Brand-new in round 4 (no driver row yet): 22/22 TPC-H coverage plus
+# deterministic k-means and the hash-bucket dataset-split audit.
 NEW_IN_R4 = {
     "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
     "q6_revenue_forecast", "q9_product_profit", "q11_important_parts",
     "q12_ship_speed", "q16_supplier_variety", "q20_promotion_suppliers",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
+    "emb_kmeans", "curation_split",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
