@@ -125,6 +125,7 @@ _HOIST: tuple[str, ...] = (
     "q22_global_sales_opportunity",
     "emb_kmeans",
     "curation_split",
+    "sim_ann_rp_batch",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

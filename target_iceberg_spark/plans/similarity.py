@@ -170,6 +170,117 @@ def sim_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_RP_PROBES = 5  # batch-probe set: vec_id < 5
+
+
+def _ann_rp_batch_oracle() -> str:
+    from target_iceberg_spark.functions.vectors import cosine_sql, sign_bucket_sql
+
+    corpus_keys = "\nUNION ALL ".join(
+        f"SELECT vec_id, {t} AS band, "
+        f"{sign_bucket_sql('embedding', ANN_RP_BITS, offset=t * ANN_RP_BITS)} AS bucket "
+        "FROM embeddings"
+        for t in range(ANN_RP_BANDS)
+    )
+    probe_keys = "\nUNION ALL ".join(
+        f"SELECT probe_id, {t} AS band, "
+        f"{sign_bucket_sql('pvec', ANN_RP_BITS, offset=t * ANN_RP_BITS)} AS bucket "
+        "FROM probes"
+        for t in range(ANN_RP_BANDS)
+    )
+    cos = f"ROUND({cosine_sql('e.embedding', 'pr.pvec')}, 6)"
+    return f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+    WHERE vec_id < {ANN_RP_PROBES}
+),
+ck AS ({corpus_keys}),
+pk AS ({probe_keys}),
+cand AS (
+    SELECT DISTINCT p.probe_id, c.vec_id
+    FROM ck c JOIN pk p USING (band, bucket)
+    WHERE c.vec_id <> p.probe_id
+),
+scored AS (
+    SELECT cand.probe_id, cand.vec_id, {cos} AS cos_sim
+    FROM cand
+    JOIN embeddings e ON e.vec_id = cand.vec_id
+    JOIN probes pr ON pr.probe_id = cand.probe_id
+)
+SELECT probe_id, vec_id, cos_sim FROM (
+    SELECT probe_id, vec_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= {TOP_K}
+ORDER BY probe_id, cos_sim DESC, vec_id
+"""
+
+
+@register(
+    "sim_ann_rp_batch",
+    oracle=_ann_rp_batch_oracle(),
+    tags=("similarity", "ann"),
+)
+def sim_ann_rp_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-probe deterministic sign-LSH ANN — the EQUI-JOIN retrieval
+    shape. The single-probe sim_ann_rp broadcasts its one probe and
+    filters; with a probe SET that becomes a candidate-generating
+    equi-join on (band, bucket) keys between the exploded corpus keys
+    and the exploded probe keys — exactly how LSH retrieval must run at
+    100 TB (each probe meets only its colliding buckets; nothing scans
+    per probe, nothing goes quadratic; persisted+bucketed band keys
+    would turn the join into a bucket lookup). Candidates dedup on
+    (probe, vector), exact cosine runs only on candidates, and the
+    top-k ranks inside each probe's partition (|probes| bounded).
+    Cosine is rounded to 6 BEFORE ranking on both engines so ulp noise
+    cannot flip an order — the same portability discipline as
+    emb_centroid_classify."""
+    from pyspark.sql import Window
+
+    from target_iceberg_spark.functions.vectors import cosine, sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def band_keys(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                sign_bucket(vec_col, ANN_RP_BITS, offset=t * ANN_RP_BITS)
+                for t in range(ANN_RP_BANDS)
+            ]
+        )
+        return df.select(
+            F.col(id_col), F.posexplode(buckets).alias("band", "bucket")
+        )
+    probes = emb.where(F.col("vec_id") < ANN_RP_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    ck = band_keys(emb, "vec_id", "embedding")
+    pk = band_keys(probes, "probe_id", "pvec")
+    cand = (
+        ck.join(pk, ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(probes, "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine("embedding", "pvec"), 6).alias("cos_sim"),
+        )
+    )
+    rank_w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id", "cos_sim")
+        .orderBy("probe_id", F.desc("cos_sim"), "vec_id")
+    )
+
+
 PQ_SHORTLIST = 100  # ADC candidates re-ranked exactly (C >> top-k);
 # measured recall@10 = 0.9 at sf0.01 (0.8 at C=50) — C buys recall
 # with a C-row exact re-rank, the standard PQ knob
