@@ -178,3 +178,40 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "fn_unpivot",
+    oracle="""
+SELECT p_partkey, metric, value
+FROM (
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_size <= 3
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part WHERE p_size <= 3
+)
+ORDER BY p_partkey, metric
+""",
+    tags=("function", "reshape"),
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the wide->long inverse of agg_pivot, the
+    reshape every metrics pipeline needs before a generic
+    (entity, metric, value) sink. Uses Spark's native
+    ``DataFrame.unpivot`` (the UNPIVOT SQL clause / melt), which plans
+    as a single Expand over the scan: each input row fans out to one
+    row per measure column with ZERO shuffle and no join — at 100 TB
+    the operation is embarrassingly parallel and column pruning still
+    reaches the scan (only the id + measure columns are read). The
+    oracle states the same thing as the portable UNION ALL form."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_size") <= 3)
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )

@@ -126,6 +126,7 @@ _HOIST: tuple[str, ...] = (
     "emb_kmeans",
     "curation_split",
     "sim_ann_rp_batch",
+    "fn_unpivot",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

@@ -176,6 +176,13 @@ def test_perplexity_total_has_no_window(spark, sf_oracle):
     assert "Window" not in plan  # corpus total is a 1-row broadcast agg
 
 
+def test_unpivot_is_expand_no_shuffle(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "fn_unpivot")
+    assert "Expand" in plan  # one fan-out node...
+    assert "Exchange hashpartitioning" not in plan  # ...zero shuffle
+    assert "Join" not in plan
+
+
 def test_quality_resample_has_no_join_or_window(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "curation_quality_resample")
     assert "Join" not in plan and "Window" not in plan

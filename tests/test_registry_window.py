@@ -84,7 +84,7 @@ NEW_IN_R4 = {
     "q6_revenue_forecast", "q9_product_profit", "q11_important_parts",
     "q12_ship_speed", "q16_supplier_variety", "q20_promotion_suppliers",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
-    "emb_kmeans", "curation_split", "sim_ann_rp_batch",
+    "emb_kmeans", "curation_split", "sim_ann_rp_batch", "fn_unpivot",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
