@@ -215,3 +215,64 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
         .orderBy("p_partkey", "metric")
     )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       ROUND(MIN(o_custkey), 4) AS min_val,
+       ROUND(MAX(o_custkey), 4) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       ROUND(MIN(o_totalprice), 4), ROUND(MAX(o_totalprice), 4)
+FROM orders
+UNION ALL
+SELECT 'o_orderkey',
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       ROUND(MIN(o_orderkey), 4), ROUND(MAX(o_orderkey), 4)
+FROM orders
+ORDER BY col
+""",
+    tags=("profiling",),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — per-column null count, distinct count, min and
+    max in ONE scan: the data-quality gate an ingestion pipeline runs
+    after every load. All column profiles compute as parallel
+    aggregates of the same pass (Spark plans multi-distinct via one
+    Expand), then unpivot to the long (col, stats) report shape. The
+    oracle's UNION ALL restates the same numbers; at 100 TB this stays
+    a single combinable-aggregate scan — never one job per column."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ("o_custkey", "o_totalprice", "o_orderkey")
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__n_null"),
+            F.countDistinct(c).cast("long").alias(f"{c}__n_distinct"),
+            F.round(F.min(F.col(c).cast("double")), 4).alias(f"{c}__min_val"),
+            F.round(F.max(F.col(c).cast("double")), 4).alias(f"{c}__max_val"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col", "r.n_null", "r.n_distinct", "r.min_val", "r.max_val")
+        .orderBy("col")
+    )

@@ -127,6 +127,7 @@ _HOIST: tuple[str, ...] = (
     "curation_split",
     "sim_ann_rp_batch",
     "fn_unpivot",
+    "profile_columns",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",
