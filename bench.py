@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -68,9 +69,10 @@ def main() -> None:
                 ).save()
                 runs.append(round(time.perf_counter() - t0, 3))
             warm_runs[name] = runs
-            warm[name] = sorted(runs)[len(runs) // 2]
+            warm[name] = statistics.median(runs)
         except Exception as exc:  # a broken query must not kill the bench
             times.setdefault(name, -1.0)
+            warm_runs.setdefault(name, [])
             warm[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 

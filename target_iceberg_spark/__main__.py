@@ -50,7 +50,6 @@ def build_target(
 ) -> SingerTarget:
     """Wire config → writer → listen-loop target (pure of argv/stdin so
     tests can drive it directly)."""
-    extra_conf: dict[str, str] = {}
     if cfg.get("aws_access_key_id") and cfg.get("aws_secret_access_key"):
         cat = IcebergCatalogConfig(
             aws_access_key_id=cfg["aws_access_key_id"],
@@ -61,8 +60,7 @@ def build_target(
             iceberg_catalog_name=cfg.get("iceberg_catalog_name", "lakehouse"),
             iceberg_namespace=cfg.get("iceberg_catalog_namespace_name", "default"),
         )
-        extra_conf = iceberg_catalog_conf(cat)
-        for key, value in extra_conf.items():
+        for key, value in iceberg_catalog_conf(cat).items():
             try:  # catalog conf is runtime-settable on Spark 3.4+/4.x
                 spark.conf.set(key, value)
             except Exception:

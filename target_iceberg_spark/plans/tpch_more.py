@@ -644,7 +644,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("c_acctbal").alias("_ab")
     )
     recent = orders.where(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
     ).select("o_custkey")
     return (
         cust.where(F.col("c_nationkey").isin(*Q22_NATIONS))

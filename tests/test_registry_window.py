@@ -63,7 +63,7 @@ ROUND3_GREEN = {
     "stream_join_left", "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity", "q19_disjunctive", "text_hashing_vectorizer",
     "scan_jsonl", "scan_csv", "multimodal_decode", "dedup_minhash_capped",
-    "text_pmi_bigrams", "text_vocab_coverage",
+    "text_pmi_bigrams",
     # rows-only by design, r3 rows + dedicated pytest coverage
     "stream_late_data", "sim_ann_pq", "sim_ann_ivf", "sim_ann_lsh",
 }

@@ -66,16 +66,18 @@ def test_q21_fold_matches_exists_form(spark, sf_oracle):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_oracle}/{t}.parquet'"
         )
+    from target_iceberg_spark.plans.tpch_more import Q21_LATE_DAYS
+
     exists_rows = sorted(
         (name, int(n))
         for name, n in con.execute(
-            """
+            f"""
 SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
 FROM supplier
 JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
 JOIN orders o ON o.o_orderkey = l1.l_orderkey
 WHERE o.o_orderstatus = 'F'
-  AND l1.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
   AND EXISTS (
       SELECT 1 FROM lineitem l2
       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
@@ -83,7 +85,7 @@ WHERE o.o_orderstatus = 'F'
   AND NOT EXISTS (
       SELECT 1 FROM lineitem l3
       WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        AND l3.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
   )
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
