@@ -11,7 +11,7 @@ power-law users.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -224,3 +224,64 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 6).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "events_scd2",
+    oracle="""
+WITH o AS (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+runs AS (
+    SELECT user_id, event_id, ts AS valid_from, event_type
+    FROM o
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to
+FROM runs
+ORDER BY user_id, valid_from
+""",
+    tags=("events", "scd"),
+)
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval construction — the
+    changelog -> validity-interval reshape every warehouse needs to
+    answer "what was this entity's state at time T". Per user, runs of
+    equal consecutive event_type collapse to one row valid from the
+    run's first timestamp until the next run starts (NULL = still
+    current): change detection via lag(), interval close via lead()
+    over the change rows only.
+
+    Scale shape: both windows partition by user_id with the SAME
+    ordering, so Spark plans ONE shuffle and sorts once; the run
+    filter shrinks the frame before the second window. Deterministic
+    under timestamp ties via the event_id tiebreak. At 100 TB this is
+    the standard one-shuffle-per-entity-history cost — no self-join,
+    no per-row subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            "event_type",
+            F.lag("event_type").over(order_w).alias("_prev"),
+        )
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    )
+    close_w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        runs.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(close_w).alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

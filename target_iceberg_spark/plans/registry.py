@@ -128,6 +128,7 @@ _HOIST: tuple[str, ...] = (
     "sim_ann_rp_batch",
     "fn_unpivot",
     "profile_columns",
+    "events_scd2",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

@@ -176,6 +176,14 @@ def test_perplexity_total_has_no_window(spark, sf_oracle):
     assert "Window" not in plan  # corpus total is a 1-row broadcast agg
 
 
+def test_scd2_single_shuffle_two_windows(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "events_scd2")
+    # lag-filter-lead shares ONE user_id exchange; both windows reuse it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 2
+    assert "Join" not in plan
+
+
 def test_unpivot_is_expand_no_shuffle(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "fn_unpivot")
     assert "Expand" in plan  # one fan-out node...
