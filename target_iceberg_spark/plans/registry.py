@@ -129,6 +129,7 @@ _HOIST: tuple[str, ...] = (
     "fn_unpivot",
     "profile_columns",
     "events_scd2",
+    "dedup_incremental",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

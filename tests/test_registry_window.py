@@ -85,7 +85,7 @@ NEW_IN_R4 = {
     "q12_ship_speed", "q16_supplier_variety", "q20_promotion_suppliers",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
     "emb_kmeans", "curation_split", "sim_ann_rp_batch", "fn_unpivot",
-    "profile_columns", "events_scd2",
+    "profile_columns", "events_scd2", "dedup_incremental",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
