@@ -77,6 +77,7 @@ def _load_all() -> None:
     # the identical comparison for every registered query).
     from target_iceberg_spark.plans import (  # noqa: F401
         tpch_more,
+        analytics_extra,
         multimodal,
         embeddings,
         dedup,
@@ -130,6 +131,9 @@ _HOIST: tuple[str, ...] = (
     "profile_columns",
     "events_scd2",
     "dedup_incremental",
+    "events_sessionize_gap",
+    "events_path_topk",
+    "events_active_rolling",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

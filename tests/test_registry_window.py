@@ -86,6 +86,7 @@ NEW_IN_R4 = {
     "q21_waiting_supplier", "q22_global_sales_opportunity",
     "emb_kmeans", "curation_split", "sim_ann_rp_batch", "fn_unpivot",
     "profile_columns", "events_scd2", "dedup_incremental",
+    "events_sessionize_gap", "events_path_topk", "events_active_rolling",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
