@@ -134,6 +134,8 @@ _HOIST: tuple[str, ...] = (
     "events_sessionize_gap",
     "events_path_topk",
     "events_active_rolling",
+    "scan_orc",
+    "scan_partitioned",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

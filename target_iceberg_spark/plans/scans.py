@@ -139,9 +139,10 @@ def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Materialize (once) and return a non-parquet copy of the nation
-    table for source-path queries.
+def _derived_source(spark, sf_dir: str, table: str, fmt: str, write) -> str:
+    """Materialize (once) and return a derived copy of ``table`` for
+    source-path queries; ``write(df, tmp_path)`` performs the format-
+    specific write into the staging dir.
 
     Cache discipline mirrors the IVF index: per-user cache root (shared
     ``cache.py::cache_root``, not a ``..`` sibling of another
@@ -160,15 +161,11 @@ def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     from target_iceberg_spark.operators.ivf import corpus_fingerprint
 
     key = os.path.basename(os.path.normpath(sf_dir))
-    fp = corpus_fingerprint(os.path.join(sf_dir, "nation.parquet"))
-    src = os.path.join(cache_root("sources"), f"nation_{key}_{fp}.{fmt}")
+    fp = corpus_fingerprint(os.path.join(sf_dir, f"{table}.parquet"))
+    src = os.path.join(cache_root("sources"), f"{table}_{key}_{fp}.{fmt}")
     if not os.path.isdir(src):
         tmp = f"{src}__tmp_{uuid.uuid4().hex[:8]}"
-        writer = load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite")
-        if fmt == "csv":
-            writer.option("header", "true").csv(tmp)
-        else:
-            writer.json(tmp)
+        write(load_table(spark, sf_dir, table), tmp)
         try:
             os.rename(tmp, src)
         except OSError:
@@ -177,7 +174,7 @@ def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             else:
                 raise
         # Drop copies derived from a previous testdata generation.
-        # Match the EXACT layout `nation_<key>_<32-hex-md5>.<fmt>`: a
+        # Match the EXACT layout `<table>_<key>_<32-hex-md5>.<fmt>`: a
         # bare startswith prefix would let key 'sf0.1' delete
         # 'sf0.1_alt''s fresh copy (key is a path basename, so it may
         # itself contain underscores). Sweep abandoned `__tmp_` staging
@@ -189,7 +186,7 @@ def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 
         parent = os.path.dirname(src)
         exact = re.compile(
-            rf"^nation_{re.escape(key)}_[0-9a-f]{{32}}\.{re.escape(fmt)}$"
+            rf"^{re.escape(table)}_{re.escape(key)}_[0-9a-f]{{32}}\.{re.escape(fmt)}$"
         )
         stale_tmp_age = 3600.0
         for name in os.listdir(parent):
@@ -204,6 +201,102 @@ def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 if old:
                     shutil.rmtree(full, ignore_errors=True)
     return src
+
+
+def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Single-file nation copy in ``fmt`` (jsonl / csv / orc)."""
+
+    def write(df: DataFrame, tmp: str) -> None:
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(tmp)
+        elif fmt == "orc":
+            writer.orc(tmp)
+        else:
+            writer.json(tmp)
+
+    return _derived_source(spark, sf_dir, "nation", fmt, write)
+
+
+def _derived_orders_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned orders copy, `o_year=YYYY/` directory layout —
+    the physical shape a 100 TB fact table ships in, where partition
+    PRUNING (skipping whole directories from the file listing, before
+    any parquet footer is read) is the difference between scanning one
+    year and scanning all of them."""
+
+    def write(df: DataFrame, tmp: str) -> None:
+        (
+            df.withColumn("o_year", F.year("o_orderdate"))
+            .repartition("o_year")
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(tmp)
+        )
+
+    return _derived_source(spark, sf_dir, "orders", "pyear", write)
+
+
+@register(
+    "scan_orc",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""",
+    tags=("scan", "orc"),
+    bench=False,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC SOURCE path end-to-end: the nation dim is written once as
+    ORC and read back through Spark's vectorized ORC reader (predicate
+    pushdown + column pruning work the same as parquet), then checked
+    against the parquet-derived oracle row-for-row. DuckDB has no ORC
+    reader, so the oracle reads the logical table — which is exactly
+    the claim under test: same rows regardless of physical format.
+    Excluded from bench (one-time file materialization)."""
+    src = _derived_nation_source(spark, sf_dir, "orc")
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .orc(src)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "scan_partitioned",
+    oracle="""
+SELECT CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY o_month
+ORDER BY o_month
+""",
+    tags=("scan", "partition"),
+    bench=False,
+)
+def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-PRUNED scan over a hive-partitioned (`o_year=YYYY/`)
+    copy of orders: the `o_year = 1997` predicate is resolved against
+    the directory listing, so Spark never opens a single file of the
+    other years — `.explain` shows it as PartitionFilters, not
+    PushedFilters (asserted in tests/test_plans.py). At 100 TB this is
+    THE dominant scan optimization: date-partitioned facts turn
+    "scan everything" into "list one directory". The oracle computes
+    the same monthly rollup from the unpartitioned logical table.
+    Excluded from bench (one-time file materialization)."""
+    src = _derived_orders_partitioned(spark, sf_dir)
+    return (
+        spark.read.parquet(src)
+        .where(F.col("o_year") == 1997)
+        .groupBy(F.month("o_orderdate").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_month")
+    )
 
 
 @register(

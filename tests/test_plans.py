@@ -77,6 +77,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "q11_important_parts",  # cross of the one-row value threshold
             "q22_global_sales_opportunity",  # cross of the one-row avg balance
             "emb_kmeans",  # cross of the bounded K-row centroid tables
+            "events_active_rolling",  # cross of the one-row date bounds
         ), f"unexpected BNLJ in {name}"
 
 
@@ -195,3 +196,36 @@ def test_quality_resample_has_no_join_or_window(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "curation_quality_resample")
     assert "Join" not in plan and "Window" not in plan
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "scan_partitioned")
+    # the o_year predicate resolves against the hive directory listing
+    # (PartitionFilters), never as a row-level parquet filter
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_year" in pf and "1997" in pf
+    assert "o_year" not in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_sessionize_gap_single_shuffle_two_windows(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "events_sessionize_gap")
+    # lag + running-sum share ONE user_id exchange; the session rollup
+    # adds its own partial/final aggregate pair on (user_id, session_idx)
+    assert plan.count("Window [") == 2
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_path_topk_is_window_then_take_ordered(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "events_path_topk")
+    assert "TakeOrderedAndProject" in plan  # top-k without a global sort
+    assert plan.count("Window [") == 1  # both leads fused in one window
+
+
+def test_active_rolling_has_no_range_join(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "events_active_rolling")
+    # the sliding distinct is an explode + equi-GROUP BY; the only join
+    # is the broadcast of the 1-row date bounds
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row bounds cross
