@@ -92,3 +92,49 @@ def decode_pipeline(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         decode_meta_batches, schema=DECODE_SCHEMA
     )
+
+
+RESIZE_STRIDE = 2  # fake "resize": keep every 2nd byte of the payload
+
+RESIZE_SCHEMA = (
+    "doc_id long, orig_bytes int, resized_bytes int, "
+    "resized_md5 string, pix_sum long"
+)
+
+
+def fake_resize(payload: bytes, stride: int = RESIZE_STRIDE) -> bytes:
+    """Deterministic fake 'resize': 1-D stride decimation of the
+    payload bytes — the stand-in for a real interpolating downscale
+    (which needs an image library). Pure byte math, so the whole
+    Python stage is SQL-mirrorable and hash-checked."""
+    return payload[::stride]
+
+
+def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: per-Arrow-batch fake resize + output digest.
+
+    The resized payload itself stays executor-side; only its size,
+    md5, and pixel-sum feature leave the stage — the discipline a real
+    resize stage follows (write resized bytes to the sink table,
+    surface digests for verification)."""
+    import hashlib
+
+    for pdf in it:
+        resized = [fake_resize(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len).astype("int32"),
+                "resized_bytes": pd.Series([len(r) for r in resized], dtype="int32"),
+                "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                "pix_sum": pd.Series([sum(r) for r in resized], dtype="int64"),
+            }
+        )
+
+
+def resize_pipeline(df: DataFrame) -> DataFrame:
+    """payload-bearing df -> resized-payload digests via Arrow-batched
+    mapInPandas (executor-side, no driver collect)."""
+    return df.select("doc_id", "payload").mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA
+    )

@@ -66,3 +66,45 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(FRAME_BYTES).alias("frame_bytes"),
         )
     )
+
+
+@register(
+    "multimodal_resize",
+    # the fake resize is stride-2 byte decimation, so the Python
+    # mapInPandas stage is SQL-mirrored character-for-character: the
+    # oracle rebuilds the decimated string and matches size, md5 and
+    # the integer pixel-sum feature bit-exactly
+    oracle="""
+WITH r AS (
+    SELECT doc_id, length(text) AS orig_bytes,
+           array_to_string(list_transform(
+               range(1, length(text) + 1, 2),
+               i -> substr(text, i, 1)), '') AS resized
+    FROM documents
+)
+SELECT doc_id,
+       CAST(orig_bytes AS INT) AS orig_bytes,
+       CAST(length(resized) AS INT) AS resized_bytes,
+       md5(resized) AS resized_md5,
+       CAST(COALESCE(list_sum(list_transform(
+           range(1, length(resized) + 1),
+           i -> ascii(substr(resized, i, 1)))), 0) AS BIGINT) AS pix_sum
+FROM r
+""",
+    tags=("multimodal", "resize"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over opaque binary payloads — the third leg of the
+    decode / resize / frame-sample multimodal plumbing. Arrow-batched
+    mapInPandas applies a deterministic fake downscale (stride-2 byte
+    decimation standing in for an interpolating image resize; real
+    codec stubbed, operators/multimodal.py) and emits only digests
+    (size, md5, integer pixel sum) — resized bytes never cross to the
+    driver. Scale shape: one Python worker per partition, batch size
+    bounded by Arrow maxRecordsPerBatch, no shuffle at all; the stage
+    pipelines directly over the scan like a real media-preprocessing
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    from target_iceberg_spark.operators.multimodal import resize_pipeline
+
+    return resize_pipeline(attach_payload(docs.select("doc_id", "text")))

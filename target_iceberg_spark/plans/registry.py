@@ -136,6 +136,7 @@ _HOIST: tuple[str, ...] = (
     "events_active_rolling",
     "scan_orc",
     "scan_partitioned",
+    "multimodal_resize",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

@@ -527,3 +527,26 @@ def test_pq_encode_shape_and_determinism(spark, sf_smoke):
         encode_pq(emb, b2).select("vec_id", "pq_codes").orderBy("vec_id").toPandas()
     )
     assert np.array_equal(arr, np.asarray(list(codes2.pq_codes)))
+
+
+def test_multimodal_resize_plumbing(spark, sf_smoke):
+    """Arrow-batched fake resize: stride decimation + digests match a
+    driver-side recompute; real codec path stays a loud stub."""
+    import hashlib
+
+    from target_iceberg_spark.operators.multimodal import (
+        fake_resize,
+        resize_pipeline,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    out = resize_pipeline(attach_payload(docs)).collect()
+    assert len(out) == 20
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for row in out:
+        resized = fake_resize(src[row["doc_id"]].encode("utf-8"))
+        assert row["resized_bytes"] == len(resized)
+        assert row["resized_md5"] == hashlib.md5(resized).hexdigest()
+        assert row["pix_sum"] == sum(resized)
+        assert row["orig_bytes"] == len(src[row["doc_id"]].encode("utf-8"))

@@ -87,7 +87,7 @@ NEW_IN_R4 = {
     "emb_kmeans", "curation_split", "sim_ann_rp_batch", "fn_unpivot",
     "profile_columns", "events_scd2", "dedup_incremental",
     "events_sessionize_gap", "events_path_topk", "events_active_rolling",
-    "scan_orc", "scan_partitioned",
+    "scan_orc", "scan_partitioned", "multimodal_resize",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
