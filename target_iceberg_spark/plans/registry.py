@@ -78,6 +78,7 @@ def _load_all() -> None:
     from target_iceberg_spark.plans import (  # noqa: F401
         tpch_more,
         analytics_extra,
+        aggregates_extra,
         multimodal,
         embeddings,
         dedup,
@@ -137,6 +138,12 @@ _HOIST: tuple[str, ...] = (
     "scan_orc",
     "scan_partitioned",
     "multimodal_resize",
+    "agg_argmax",
+    "agg_boolean",
+    "agg_regression",
+    "set_ops_all",
+    "fn_bitwise",
+    "agg_heavy_hitters",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

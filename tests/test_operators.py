@@ -550,3 +550,60 @@ def test_multimodal_resize_plumbing(spark, sf_smoke):
         assert row["resized_md5"] == hashlib.md5(resized).hexdigest()
         assert row["pix_sum"] == sum(resized)
         assert row["orig_bytes"] == len(src[row["doc_id"]].encode("utf-8"))
+
+
+# -- heavy hitters -------------------------------------------------------
+
+
+def test_heavy_hitters_matches_plain_groupby_at_full_capacity(spark, sf_smoke):
+    """With capacity >= vocabulary (the registered query's regime on
+    this corpus) no eviction happens, candidates = full vocab, and the
+    two-phase result equals the plain groupBy top-k exactly."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.operators.heavy_hitters import heavy_hitters_exact
+    from target_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(5)
+        .collect()
+    )
+    got = heavy_hitters_exact(tokens, k=5, capacity=256).collect()
+    assert [(r["token"], r["n"]) for r in got] == [
+        (r["token"], r["n"]) for r in exact
+    ]
+
+
+def test_heavy_hitters_mg_guarantee_on_skewed_data(spark):
+    """The MG survival guarantee (any key with partition frequency
+    > n_p/(capacity+1) is in that partition's sketch) under a capacity
+    that forces the decrement/evict path: a 40%-mass key must be a
+    candidate even with capacity 4 against 50 tail keys, and its
+    recount is exact."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.operators.heavy_hitters import (
+        _mg_batches,
+        heavy_hitters_exact,
+    )
+
+    # 400 of 'hot' + 10 each of 50 tail keys = 900 rows, 2 partitions
+    rows = [("hot",)] * 400 + [(f"tail{i}",) for i in range(50) for _ in range(10)]
+    tokens = spark.createDataFrame(rows, "token string").repartition(2)
+    candidates = {
+        r["token"]
+        for r in tokens.mapInPandas(_mg_batches(4), schema="token string")
+        .distinct()
+        .collect()
+    }
+    assert "hot" in candidates
+    assert len(candidates) <= 2 * 4  # per-partition sketches are bounded
+    got = heavy_hitters_exact(tokens, k=1, capacity=4).collect()
+    assert got[0]["token"] == "hot" and got[0]["n"] == 400

@@ -229,3 +229,18 @@ def test_active_rolling_has_no_range_join(spark, sf_oracle):
     assert "Generate explode" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row bounds cross
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "agg_heavy_hitters")
+    # candidate recount: broadcast semi/inner join on the tiny MG
+    # candidate set, combinable count, top-k without a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_argmax_is_single_aggregate_no_window(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "agg_argmax")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan

@@ -88,6 +88,8 @@ NEW_IN_R4 = {
     "profile_columns", "events_scd2", "dedup_incremental",
     "events_sessionize_gap", "events_path_topk", "events_active_rolling",
     "scan_orc", "scan_partitioned", "multimodal_resize",
+    "agg_argmax", "agg_boolean", "agg_regression", "set_ops_all",
+    "fn_bitwise", "agg_heavy_hitters",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
