@@ -79,6 +79,7 @@ def _load_all() -> None:
         tpch_more,
         analytics_extra,
         aggregates_extra,
+        functions_extra,
         multimodal,
         embeddings,
         dedup,
@@ -144,6 +145,10 @@ _HOIST: tuple[str, ...] = (
     "set_ops_all",
     "fn_bitwise",
     "agg_heavy_hitters",
+    "fn_interval",
+    "fn_map",
+    "win_cumulative_share",
+    "subquery_lateral",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

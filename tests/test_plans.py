@@ -244,3 +244,20 @@ def test_argmax_is_single_aggregate_no_window(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "agg_argmax")
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_cumulative_share_one_exchange_both_frames(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "win_cumulative_share")
+    # running frame + whole-partition total: two Window ops but ONE
+    # hashpartitioning exchange (same partitioning reused), no join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_lateral_decorrelates_to_join_not_per_row_rescan(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "subquery_lateral")
+    # the per-customer LIMIT 1 subquery becomes a per-key window limit
+    # feeding ONE join — orders is scanned once, not once per customer
+    assert "Join" in plan
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan

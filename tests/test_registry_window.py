@@ -89,7 +89,8 @@ NEW_IN_R4 = {
     "events_sessionize_gap", "events_path_topk", "events_active_rolling",
     "scan_orc", "scan_partitioned", "multimodal_resize",
     "agg_argmax", "agg_boolean", "agg_regression", "set_ops_all",
-    "fn_bitwise", "agg_heavy_hitters",
+    "fn_bitwise", "agg_heavy_hitters", "fn_interval", "fn_map",
+    "win_cumulative_share", "subquery_lateral",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
