@@ -409,3 +409,46 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_minhash_ctes()},
+ex AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id)
+SELECT c.id_a, c.id_b,
+       COUNT(*) AS n_int,
+       CAST(COUNT(*) AS DOUBLE) / LEAST(MIN(sa.n_sh), MIN(sb.n_sh))
+           AS containment
+FROM cand c
+JOIN ex x ON x.doc_id = c.id_a
+JOIN ex y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+GROUP BY c.id_a, c.id_b
+""",
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment C(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|,|sh(B)|)
+    on LSH candidate pairs — the ASYMMETRIC near-dup signal Jaccard
+    misses: a short doc fully quoted inside a long one has low Jaccard
+    (union is big) but containment ≈ 1, which is what contamination
+    and quote/boilerplate detection need. Same scale shape as
+    dedup_ngram_jaccard: exact set math only on LSH candidates, one
+    shared checkpointed shingle table feeding both branches. The
+    division is integers-in/double-out, so it is bit-identical across
+    engines with no rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3).localCheckpoint()
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS, shingles=sh
+    )
+    res = jaccard_on_pairs(pairs, sh, "doc_id")
+    return res.select(
+        "id_a",
+        "id_b",
+        "n_int",
+        (F.col("n_int").cast("double") / F.least("n_a", "n_b")).alias("containment"),
+    )

@@ -231,3 +231,81 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "emb_quantize_int8",
+    # floor(x + 0.5) instead of round(): explicit half-up in BOTH
+    # engines, so the int8 codes are deterministic; only the per-vector
+    # MSE (a 64-term double sum) needs a rounding collapse
+    oracle="""
+WITH d AS (
+    SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(range(0, len(embedding))) t(i)
+),
+stats AS (
+    SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM d GROUP BY dim
+),
+coded AS (
+    SELECT d.vec_id, d.v, s.mn, s.mx,
+           CASE WHEN s.mx = s.mn THEN 0
+                ELSE CAST(FLOOR((d.v - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+                          AS BIGINT) - 128
+           END AS code
+    FROM d JOIN stats s ON s.dim = d.dim
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS INT) AS n_dims,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       ROUND(AVG(POW(v - (CASE WHEN mx = mn THEN mn
+                               ELSE (code + 128) / 255.0 * (mx - mn) + mn
+                          END), 2)), 9) AS recon_mse
+FROM coded
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+    tags=("embedding", "quantization"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar int8 quantization of the embedding corpus —
+    the 4× storage/bandwidth cut every vector store applies before ANN
+    at scale. Per-dim min/max are ONE combinable 64-row aggregate,
+    broadcast back onto the posexploded values; codes are explicit
+    half-up fixed-point (floor(x+0.5), bit-identical across engines);
+    the audit output is per-vector code checksum + reconstruction MSE.
+    Scale shape: narrow (vec_id, dim, v) flow, no window, no self-join;
+    the only shuffles are the 64-row stats aggregate and the per-vector
+    regroup — both map-side combinable. At 100 TB the stats join stays
+    a broadcast (64 rows regardless of corpus size)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "_vf")
+    ).select("vec_id", "dim", F.col("_vf").cast("double").alias("v"))
+    stats = d.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    coded = d.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "v",
+        "mn",
+        "mx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255
+                + 0.5
+            ).cast("bigint")
+            - 128
+        )
+        .alias("code"),
+    )
+    dequant = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        (F.col("code") + 128) / 255.0 * (F.col("mx") - F.col("mn")) + F.col("mn")
+    )
+    return (
+        coded.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.sum("code").alias("code_sum"),
+            F.round(F.avg(F.pow(F.col("v") - dequant, 2)), 9).alias("recon_mse"),
+        )
+        .orderBy("vec_id")
+    )

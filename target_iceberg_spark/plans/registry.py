@@ -149,6 +149,8 @@ _HOIST: tuple[str, ...] = (
     "fn_map",
     "win_cumulative_share",
     "subquery_lateral",
+    "dedup_containment",
+    "emb_quantize_int8",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

@@ -90,7 +90,8 @@ NEW_IN_R4 = {
     "scan_orc", "scan_partitioned", "multimodal_resize",
     "agg_argmax", "agg_boolean", "agg_regression", "set_ops_all",
     "fn_bitwise", "agg_heavy_hitters", "fn_interval", "fn_map",
-    "win_cumulative_share", "subquery_lateral",
+    "win_cumulative_share", "subquery_lateral", "dedup_containment",
+    "emb_quantize_int8",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
