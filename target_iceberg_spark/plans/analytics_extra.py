@@ -213,3 +213,56 @@ def events_active_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS last_touch
+    FROM events
+)
+SELECT COALESCE(last_touch, '(none)') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM marked
+WHERE event_type = 'purchase'
+GROUP BY channel
+ORDER BY channel
+""",
+    tags=("events", "attribution"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding non-purchase event type (the 'channel') in the
+    user's history — lag(... IGNORE NULLS) over one per-user ordering,
+    then a combinable count per channel. The IGNORE NULLS navigation
+    is the key primitive: it skips arbitrarily long runs of purchases
+    without a self-join or per-row subquery, so the cost stays one
+    shuffle + one sort per user history at any scale. Purchases with
+    no preceding touch attribute to '(none)'."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        # lag(... IGNORE NULLS) spelled as last(..., ignorenulls) over
+        # the preceding-rows frame (F.lag has no ignorenulls parameter)
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("last_touch"),
+    )
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("(none)")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("channel")
+    )

@@ -151,6 +151,7 @@ _HOIST: tuple[str, ...] = (
     "subquery_lateral",
     "dedup_containment",
     "emb_quantize_int8",
+    "events_attribution",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",
