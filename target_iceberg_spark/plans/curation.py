@@ -650,3 +650,61 @@ def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+from target_iceberg_spark.plans.dedup_sql import _minhash_ctes
+
+
+@register(
+    "curation_neardup_pipeline",
+    oracle=f"""
+WITH {_minhash_ctes()},
+losers AS (SELECT DISTINCT id_b AS doc_id FROM cand),
+kept AS (
+    SELECT d.source, len(string_split(d.text, ' ')) AS n_tok
+    FROM documents d
+    LEFT JOIN losers l ON l.doc_id = d.doc_id
+    WHERE l.doc_id IS NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM kept
+WHERE n_tok BETWEEN 20 AND 80
+GROUP BY source
+ORDER BY source
+""",
+    tags=("curation", "dedup", "pipeline"),
+)
+def curation_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup curation composite — the canonical pre-training
+    shape (MinHash LSH -> drop dominated docs -> quality gate ->
+    per-source token budget) as ONE lazy plan. A doc is dropped when
+    any LSH candidate pair partners it with a smaller doc_id (the
+    cheap keep-smallest rule; `dedup_clusters` is the full
+    connected-components variant), spelled as a LEFT ANTI join against
+    the distinct id_b side. Scale shape: candidate generation is the
+    band-key equi-join (never O(N²)), the anti join shuffles only
+    (doc_id) keys, the length gate runs before the final combinable
+    per-source aggregate — every stage is the one `dedup_minhash` /
+    `curation_pipeline` already proved at their own scale, composed
+    end-to-end."""
+    from target_iceberg_spark.operators.dedup import minhash_candidate_pairs
+    from target_iceberg_spark.plans.dedup_sql import BANDS, NUM_HASHES
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .where(F.col("n_tok").between(20, 80))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -152,6 +152,7 @@ _HOIST: tuple[str, ...] = (
     "dedup_containment",
     "emb_quantize_int8",
     "events_attribution",
+    "curation_neardup_pipeline",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

@@ -91,7 +91,7 @@ NEW_IN_R4 = {
     "agg_argmax", "agg_boolean", "agg_regression", "set_ops_all",
     "fn_bitwise", "agg_heavy_hitters", "fn_interval", "fn_map",
     "win_cumulative_share", "subquery_lateral", "dedup_containment",
-    "emb_quantize_int8", "events_attribution",
+    "emb_quantize_int8", "events_attribution", "curation_neardup_pipeline",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
