@@ -266,3 +266,107 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("channel")
     )
+
+
+@register(
+    "events_streaks",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+grp AS (
+    SELECT user_id, d,
+           d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                    AS INT) AS island
+    FROM du
+),
+islands AS (
+    SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+    FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS max_streak_days
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("events", "streaks"),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of CONSECUTIVE active days
+    collapse to islands via the classic day - row_number() constant
+    (consecutive days share it, any gap shifts it), then per-user
+    streak count and longest streak. Scale shape: dedup to (user, day)
+    first — cardinality ≤ users × days regardless of event volume —
+    then ONE per-user window and two combinable aggregates; the
+    self-join formulation of islands is never needed."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = du.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("max_streak_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_interarrival",
+    oracle="""
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(FLOOR(AVG(gap_us)) AS BIGINT) AS avg_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "interarrival"),
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: the gap between a user's
+    consecutive same-type events, aggregated per type (count / mean /
+    max in exact integer µs). The window partitions by
+    (user_id, event_type) — NOT by event_type alone, which would funnel
+    each type's entire global history through one task; the per-type
+    rollup afterwards is a combinable 5-row aggregate. Mean is floored
+    from an exact integer sum (both engines average BIGINTs exactly via
+    HUGEINT/decimal paths at this scale) so no float rounding skew."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.floor(F.avg("gap_us")).cast("bigint").alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -153,6 +153,9 @@ _HOIST: tuple[str, ...] = (
     "emb_quantize_int8",
     "events_attribution",
     "curation_neardup_pipeline",
+    "events_streaks",
+    "events_interarrival",
+    "join_null_safe",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

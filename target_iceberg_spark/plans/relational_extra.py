@@ -553,3 +553,60 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(TOP_K)
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH o AS (
+    SELECT CASE WHEN o_custkey < 10 THEN NULL ELSE o_custkey END AS k,
+           o_totalprice
+    FROM orders
+),
+c AS (
+    SELECT CASE WHEN c_custkey < 10 THEN NULL ELSE c_custkey END AS k,
+           c_acctbal
+    FROM customer
+)
+SELECT o.k IS NULL AS null_key,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+GROUP BY null_key
+ORDER BY null_key
+""",
+    tags=("join", "nullsafe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics CDC /
+    reconciliation joins need when the business key is nullable.
+    Spark still plans this as a hash-partitioned equi-join (the
+    null-safe comparator keys on coalesce-tagged values), NOT a
+    nested-loop fallback; at scale the one caveat is that ALL null
+    keys land in one bucket, so a null-heavy key column should be
+    pre-split — here the null population is bounded (keys < 10) by
+    construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        F.when(F.col("o_custkey") < 10, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    c = cust.select(
+        F.when(F.col("c_custkey") < 10, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k"),
+        "c_acctbal",
+    )
+    return (
+        o.join(c, o["k"].eqNullSafe(c["k"]))
+        .groupBy(o["k"].isNull().alias("null_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("null_key")
+    )

@@ -92,6 +92,7 @@ NEW_IN_R4 = {
     "fn_bitwise", "agg_heavy_hitters", "fn_interval", "fn_map",
     "win_cumulative_share", "subquery_lateral", "dedup_containment",
     "emb_quantize_int8", "events_attribution", "curation_neardup_pipeline",
+    "events_streaks", "events_interarrival", "join_null_safe",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
