@@ -452,3 +452,84 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_int",
         (F.col("n_int").cast("double") / F.least("n_a", "n_b")).alias("containment"),
     )
+
+
+def _minhash_est_match_sql(num_hashes: int) -> str:
+    return " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+WITH {_minhash_ctes()},
+ex AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+exact AS (
+    SELECT c.id_a, c.id_b,
+           CAST(COUNT(*) AS DOUBLE)
+               / (MIN(sa.n_sh) + MIN(sb.n_sh) - COUNT(*)) AS jaccard
+    FROM cand c
+    JOIN ex x ON x.doc_id = c.id_a
+    JOIN ex y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    GROUP BY c.id_a, c.id_b
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           CAST({_minhash_est_match_sql(NUM_HASHES)} AS DOUBLE)
+               / {NUM_HASHES} AS jaccard_est
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT e.id_a, e.id_b, e.jaccard_est,
+       x.jaccard,
+       ROUND(ABS(e.jaccard_est - x.jaccard), 6) AS est_err
+FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+""",
+    tags=("dedup", "minhash", "audit"),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature components —
+    E[est] = J by the MinHash property) side-by-side with the exact
+    shingle-set Jaccard and the absolute estimator error. This is the
+    calibration pass that tells you whether NUM_HASHES is adequate
+    before trusting the sketch at full scale, where the exact join is
+    only affordable on a sample. Scale shape: the estimate needs ONLY
+    the signature table (16 ints per doc — no shingle re-join), so it
+    costs two broadcast-sized joins on candidate keys; the exact side
+    reuses the shared checkpointed shingle table as in
+    dedup_ngram_jaccard. Estimate and exact are integer-ratio doubles
+    (bit-identical); only the error difference is rounded."""
+    from target_iceberg_spark.operators.dedup import candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", n=3).localCheckpoint()
+    sig = minhash_signatures(sh, "doc_id", NUM_HASHES)
+    pairs = candidate_pairs(lsh_band_keys(sig, "doc_id", NUM_HASHES, BANDS), "doc_id")
+    exact = jaccard_on_pairs(pairs, sh, "doc_id").select("id_a", "id_b", "jaccard")
+    match_count = sum(
+        F.when(F.col(f"sa.s{j}") == F.col(f"sb.s{j}"), 1).otherwise(0)
+        for j in range(NUM_HASHES)
+    )
+    est = (
+        pairs.join(sig.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (match_count.cast("double") / NUM_HASHES).alias("jaccard_est"),
+        )
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "jaccard_est",
+        "jaccard",
+        F.round(F.abs(F.col("jaccard_est") - F.col("jaccard")), 6).alias("est_err"),
+    )

@@ -156,6 +156,7 @@ _HOIST: tuple[str, ...] = (
     "events_streaks",
     "events_interarrival",
     "join_null_safe",
+    "dedup_minhash_estimate",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",
