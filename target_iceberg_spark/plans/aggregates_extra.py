@@ -11,7 +11,7 @@ key domain is web-scale (operators/heavy_hitters.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -244,3 +244,54 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).where(F.col("token") != "")
     return heavy_hitters_exact(tokens, k=HH_K, capacity=HH_CAPACITY)
+
+
+@register(
+    "agg_mom_growth",
+    oracle="""
+WITH m AS (
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS month,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY month
+)
+SELECT month, revenue,
+       ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month), 4) AS mom_pct
+FROM m
+ORDER BY month
+""",
+    tags=("aggregate", "timeseries"),
+)
+def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the raw fact volume collapses
+    FIRST through a combinable month aggregate (84 rows max for a
+    7-year corpus regardless of fact count), and only that bounded
+    series flows through the ordered lag window — the unpartitioned
+    window is safe exactly because its input is aggregate-bounded,
+    the same adjudicated class as curation_domain_mix's per-source
+    frame. First month's delta is NULL by definition."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return (
+        m.select(
+            "month",
+            "revenue",
+            F.round(
+                100.0
+                * (F.col("revenue") - F.lag("revenue").over(w))
+                / F.lag("revenue").over(w),
+                4,
+            ).alias("mom_pct"),
+        )
+        .orderBy("month")
+    )

@@ -157,6 +157,7 @@ _HOIST: tuple[str, ...] = (
     "events_interarrival",
     "join_null_safe",
     "dedup_minhash_estimate",
+    "agg_mom_growth",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",
