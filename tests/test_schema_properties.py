@@ -91,3 +91,42 @@ def test_format_coercion_only_at_top_level(fmt):
     assert st_type["top"].dataType == TimestampType()
     inner = st_type["wrap"].dataType["inner"].dataType
     assert inner == StringType()  # replicated reference quirk (iceberg.py:87-89)
+
+
+# -- Misra-Gries survival guarantee (operators/heavy_hitters.py) ---------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=400),
+)
+def test_misra_gries_survival_guarantee(values, capacity, split):
+    """Textbook MG theorem, pinned: after one streaming pass with
+    ``capacity`` counters, every key whose true frequency exceeds
+    n/(capacity+1) is in the sketch — regardless of where the Arrow
+    batch boundary falls (the sketch must carry across batches).
+    Drives the mapInPandas body directly, no Spark session needed."""
+    import pandas as pd
+
+    from target_iceberg_spark.operators.heavy_hitters import _mg_batches
+
+    tokens = [str(v) for v in values]
+    cut = min(split, len(tokens))
+    batches = [
+        pd.DataFrame({"token": part})
+        for part in (tokens[:cut], tokens[cut:])
+        if part
+    ]
+    out = list(_mg_batches(capacity)(iter(batches)))
+    survivors = set(out[0]["token"])
+    n = len(tokens)
+    from collections import Counter
+
+    for key, freq in Counter(tokens).items():
+        if freq > n / (capacity + 1):
+            assert key in survivors, (
+                f"freq({key})={freq} > {n}/({capacity}+1) but evicted"
+            )
+    assert len(survivors) <= capacity
