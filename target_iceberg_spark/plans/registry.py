@@ -109,11 +109,13 @@ def _load_all() -> None:
 
 # Hoisted to the front of the registry (ahead of module import order):
 # queries with NO current external driver evidence — brand-new this
-# round (the 11 new TPC-H shapes), output changed since the last
-# driver row (sim_ann_ivf nprobe 4->8, sim_ann_pq shortlist 50->100),
-# or plan rewritten this round with identical output, re-checked out
-# of caution (text_vocab_coverage / text_perplexity window
-# elimination, emb_centroid_classify min_by argmin).
+# round (the 11 TPC-H completion shapes plus the session-2 widening
+# across every tier), output changed since the last driver row
+# (sim_ann_ivf nprobe 4->8, sim_ann_pq shortlist 50->100), or plan
+# rewritten this round with identical output, re-checked out of
+# caution (text_vocab_coverage / text_perplexity window elimination,
+# emb_centroid_classify min_by argmin). The evidence ledger lives in
+# tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -78,7 +78,8 @@ STALE_IN_R4 = {
 }
 
 # Brand-new in round 4 (no driver row yet): 22/22 TPC-H coverage plus
-# deterministic k-means and the hash-bucket dataset-split audit.
+# the session-2 widening across the analytics / scan / aggregate /
+# function / dedup / embedding / multimodal / curation tiers.
 NEW_IN_R4 = {
     "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
     "q6_revenue_forecast", "q9_product_profit", "q11_important_parts",
