@@ -302,3 +302,89 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    key_col: str = "user_id",
+    conversion_type: str = "purchase",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming last-touch attribution — the stateful twin of the
+    batch `events_attribution` query: every ``conversion_type`` event
+    is emitted immediately, credited to the most recent PRECEDING
+    non-conversion event type (the 'channel') in its key's history;
+    non-conversion events just update the per-key last-touch state
+    (one short string — state size is O(active keys), independent of
+    history length).
+
+    Ordering: rows of one key within a micro-batch are sorted by
+    ``order_cols`` before processing, so in-order and single-batch
+    (availableNow) streams attribute EXACTLY like the batch window
+    query. Across micro-batches the state only moves forward: an event
+    arriving in a later batch than a conversion it should have
+    preceded cannot retro-credit it — the standard eager-emission
+    trade of streaming attribution (the batch twin, re-run over the
+    lake, is the reconciliation).
+
+    ``state_timeout_ms``: same discipline as ``first_seen_dedup`` —
+    None (default) for bounded availableNow drains; set it on
+    long-lived streams to expire idle keys' state, after which a
+    conversion with no fresher touch credits '(none)'.
+
+    Output schema: (key, event_id, ts, channel).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    order = list(order_cols)
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if state_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def attrib_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks).sort_values(order, kind="mergesort")
+        last = state.get[0] if state.exists else None
+        out_id, out_ts, out_ch = [], [], []
+        for _, row in batch.iterrows():
+            if row["event_type"] == conversion_type:
+                out_id.append(row["event_id"])
+                out_ts.append(row["ts"])
+                out_ch.append(last if last is not None else "(none)")
+            else:
+                last = row["event_type"]
+        state.update((last,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "event_id": pd.Series(out_id, dtype="int64"),
+                    "ts": out_ts,
+                    "channel": out_ch,
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        attrib_fn,
+        outputStructType=f"{key_col} long, event_id long, ts timestamp, "
+        "channel string",
+        stateStructType="last_touch STRING",
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

@@ -729,3 +729,126 @@ def test_stream_stream_left_join_emits_unmatched_after_watermark(spark, tmp_path
         for r in spark.read.parquet(str(tmp_path / "lj_out")).collect()
     }
     assert got == {(2, 1), (4, 9), (3, None)}
+
+
+def test_stateful_last_touch_attribution_stream_equals_batch(
+    spark, sf_smoke, events_dir, tmp_path
+):
+    """Streaming last-touch attribution matches the batch window twin
+    (last non-purchase type over the preceding frame) on a bounded
+    in-order drain — per-purchase channel credit, '(none)' when no
+    touch precedes."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from target_iceberg_spark.sources.tables import load_table
+    from target_iceberg_spark.streaming.stateful import last_touch_attribution
+
+    stream = read_event_stream(spark, events_dir)
+    attributed = last_touch_attribution(
+        stream.select("user_id", "event_id", "ts", "event_type"),
+        key_col="user_id",
+        state_timeout_ms=None,  # bounded drain
+    )
+    q = (
+        attributed.writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"], r["channel"])
+        for r in spark.table("attrib_out").collect()
+    }
+    ev = load_table(spark, sf_smoke, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            )
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("lt"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id", F.coalesce("lt", F.lit("(none)")).alias("channel")
+        )
+    )
+    expect = {
+        (r["user_id"], r["event_id"], r["channel"]) for r in batch.collect()
+    }
+    assert got == expect and got
+
+
+def test_stateful_attribution_state_carries_across_batches(spark, tmp_path):
+    """A touch seen in batch N credits a conversion arriving in batch
+    N+1 (per-key last-touch state persists), and a conversion whose
+    key never touched credits '(none)'. maxFilesPerTrigger=1 splits
+    the two files into ordered micro-batches."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import last_touch_attribution
+
+    src = tmp_path / "attrib_src"
+    src.mkdir()
+    # batch 1: user 1 clicks; user 2 converts untouched
+    pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "event_id": [10, 20],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:02"]
+            ).astype("datetime64[us]"),
+            "event_type": ["click", "purchase"],
+        }
+    ).to_parquet(src / "a.parquet")
+    # batch 2: user 1 converts (credited to batch-1 click), then views,
+    # then converts again (credited to the fresher view)
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_id": [11, 12, 13],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:01:00", "2024-01-01 00:02:00", "2024-01-01 00:03:00"]
+            ).astype("datetime64[us]"),
+            "event_type": ["purchase", "view", "purchase"],
+        }
+    ).to_parquet(src / "b.parquet")
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    attributed = last_touch_attribution(stream, state_timeout_ms=None)
+    q = (
+        attributed.writeStream.format("memory")
+        .queryName("attrib_xbatch")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_xbatch"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"], r["channel"])
+        for r in spark.table("attrib_xbatch").collect()
+    }
+    assert got == {
+        (2, 20, "(none)"),  # untouched key
+        (1, 11, "click"),  # credited across the batch boundary
+        (1, 13, "view"),  # fresher same-batch touch wins
+    }
