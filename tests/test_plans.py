@@ -261,3 +261,22 @@ def test_lateral_decorrelates_to_join_not_per_row_rescan(spark, sf_oracle):
     assert "Join" in plan
     assert plan.count("Scan parquet") == 2
     assert "Window" in plan
+
+
+def test_quantize_broadcasts_dim_stats(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "emb_quantize_int8")
+    # the 64-row per-dim min/max table joins back as a broadcast —
+    # never a shuffled join against the exploded values — and no
+    # window appears anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_neardup_pipeline_drops_via_anti_join(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "curation_neardup_pipeline")
+    # the drop-dominated rule is ONE LeftAnti against the candidate
+    # id_b side; the survivors' rollup keeps map-side combine
+    assert "LeftAnti" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
