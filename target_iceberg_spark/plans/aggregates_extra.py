@@ -295,3 +295,87 @@ def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "profile_fk_integrity",
+    oracle="""
+SELECT 'orders->customer' AS fk,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+           AS n_orphans,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'lineitem->orders' AS fk,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           AS n_orphans,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+ORDER BY fk
+""",
+    tags=("profiling", "integrity"),
+)
+def profile_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts per foreign-key
+    edge (orders→customer, lineitem→orders), the cross-table
+    data-quality gate that runs after every large ingest. Each edge is
+    ONE LEFT ANTI join (orphans = fact keys with no dim match) feeding
+    a 1-row count — no row payload ever moves, only keys; the dim side
+    broadcasts when it fits. The two per-edge rows union into the
+    audit report. On this referentially-intact corpus both orphan
+    counts are 0 — the audit proves the absence."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def edge(name: str, fact: DataFrame, fkey: str, dim: DataFrame, dkey: str):
+        orphans = fact.select(fkey).join(
+            dim.select(dkey), fact[fkey] == dim[dkey], "left_anti"
+        )
+        return (
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(fact.agg(F.count(F.lit(1)).alias("n_rows")))
+            .select(F.lit(name).alias("fk"), "n_orphans", "n_rows")
+        )
+
+    return (
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey")
+        .union(edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"))
+        .orderBy("fk")
+    )
+
+
+@register(
+    "scan_range",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS n,
+       CAST(i * i AS BIGINT) AS n_sq,
+       CAST(SUM(i) OVER (PARTITION BY i % 10) AS BIGINT) AS bucket_sum
+FROM (SELECT UNNEST(range(0, 1000)) AS i)
+ORDER BY n
+""",
+    tags=("scan", "range"),
+    bench=False,
+)
+def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-IO synthetic SOURCE: spark.range generates the sequence
+    directly on the executors (numSlices-partitioned, no file listing,
+    no scan) — the backfill / dimension-seeding / load-generation
+    primitive. A derived column and a small partitioned window prove
+    the generated relation composes like any table. At 100 TB this is
+    how you mass-produce date spines and surrogate-key ranges without
+    touching storage."""
+    return (
+        spark.range(0, 1000, 1, 8)
+        .select(
+            F.col("id").alias("n"),
+            (F.col("id") * F.col("id")).alias("n_sq"),
+        )
+        .withColumn(
+            "bucket_sum",
+            F.sum("n").over(Window.partitionBy(F.col("n") % 10)),
+        )
+        .orderBy("n")
+    )

@@ -160,6 +160,8 @@ _HOIST: tuple[str, ...] = (
     "join_null_safe",
     "dedup_minhash_estimate",
     "agg_mom_growth",
+    "profile_fk_integrity",
+    "scan_range",
     "text_vocab_coverage",
     "text_perplexity",
     "emb_centroid_classify",

@@ -78,6 +78,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "q22_global_sales_opportunity",  # cross of the one-row avg balance
             "emb_kmeans",  # cross of the bounded K-row centroid tables
             "events_active_rolling",  # cross of the one-row date bounds
+            "profile_fk_integrity",  # cross of two one-row audit counts
         ), f"unexpected BNLJ in {name}"
 
 

@@ -94,7 +94,8 @@ NEW_IN_R4 = {
     "win_cumulative_share", "subquery_lateral", "dedup_containment",
     "emb_quantize_int8", "events_attribution", "curation_neardup_pipeline",
     "events_streaks", "events_interarrival", "join_null_safe",
-    "dedup_minhash_estimate", "agg_mom_growth",
+    "dedup_minhash_estimate", "agg_mom_growth", "profile_fk_integrity",
+    "scan_range",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
