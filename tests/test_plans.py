@@ -281,3 +281,49 @@ def test_neardup_pipeline_drops_via_anti_join(spark, sf_oracle):
     assert "LeftAnti" in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Window" not in plan
+
+
+# Whole-registry sweep: the vocabulary-window class of scale killer
+# (an unpartitioned ordered/whole-frame window over unbounded input)
+# must never reappear. The only unpartitioned windows allowed are the
+# AGGREGATE-BOUNDED frames: inputs already collapsed to <= #sources /
+# #months rows by a combinable groupBy, where a single-task window is
+# O(groups) by construction.
+UNPARTITIONED_WINDOW_OK = {
+    "curation_domain_mix",  # per-source share frame (<= #sources rows)
+    "curation_mix_temperature",  # same bounded per-source frame
+    "agg_mom_growth",  # monthly series (<= months-of-history rows)
+}
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    import re
+
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
+        first = m.group(1).strip()
+        # partitioned specs lead with a bare partition column; an
+        # unpartitioned spec leads with the frame itself (whole-frame)
+        # or an ordering expression (col ASC/DESC ...)
+        if (
+            first.startswith("specifiedwindowframe")
+            or " ASC" in first
+            or " DESC" in first
+        ):
+            hits.append(first[:60])
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(n for n, s in SPECS.items() if s.bench))
+def test_no_unpartitioned_windows_outside_bounded_whitelist(
+    spark, sf_oracle, name
+):
+    plan = plan_of(spark, sf_oracle, name)
+    hits = _unpartitioned_window_specs(plan)
+    if name in UNPARTITIONED_WINDOW_OK:
+        return  # bounded-frame class, adjudicated safe
+    assert not hits, (
+        f"{name} plans an unpartitioned window ({hits[:2]}) — either "
+        f"partition it, collapse the input through an aggregate first, "
+        f"or whitelist it with a boundedness argument"
+    )
