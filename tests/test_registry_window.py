@@ -4,6 +4,13 @@ driver-green correctness row must sit inside that window. This test
 encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
+
+ROUND-5 NOTE: round 4 ends with the window EXACTLY full (50 hoisted
+unverified/stale entries). Before registering ANY new query next
+round, first fold CORRECTNESS_r04 into the ledger (NEW_IN_R4 ->
+ROUND4_GREEN for every green row) and shrink _HOIST accordingly —
+otherwise the 51st unverified query silently drops out of the
+checker's prefix and this test is what catches it.
 """
 
 from __future__ import annotations
