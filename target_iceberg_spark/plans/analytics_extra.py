@@ -334,7 +334,7 @@ WITH gaps AS (
 )
 SELECT event_type,
        CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
-       CAST(FLOOR(AVG(gap_us)) AS BIGINT) AS avg_gap_us,
+       CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS avg_gap_us,
        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
 FROM gaps
 WHERE gap_us IS NOT NULL
@@ -349,9 +349,12 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     max in exact integer µs). The window partitions by
     (user_id, event_type) — NOT by event_type alone, which would funnel
     each type's entire global history through one task; the per-type
-    rollup afterwards is a combinable 5-row aggregate. Mean is floored
-    from an exact integer sum (both engines average BIGINTs exactly via
-    HUGEINT/decimal paths at this scale) so no float rounding skew."""
+    rollup afterwards is a combinable 5-row aggregate. Mean is an
+    EXACT integer floor-division of an exact integer sum — Spark sums
+    the gaps as decimal(38,0) and `div`s (no double AVG whose last-ulp
+    order sensitivity would flip FLOOR once the per-type sum crosses
+    2^53), DuckDB sums to HUGEINT and `//`s — so the two engines agree
+    bit-for-bit at any scale."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gaps = ev.select(
@@ -365,7 +368,9 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("event_type")
         .agg(
             F.count("gap_us").alias("n_gaps"),
-            F.floor(F.avg("gap_us")).cast("bigint").alias("avg_gap_us"),
+            F.expr("sum(cast(gap_us as decimal(38,0))) div count(gap_us)")
+            .cast("bigint")
+            .alias("avg_gap_us"),
             F.max("gap_us").alias("max_gap_us"),
         )
         .orderBy("event_type")

@@ -379,7 +379,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, "doc_id", "text", n=3)
     sig = minhash_signatures(sh, "doc_id", NUM_HASHES)
-    keys = lsh_band_keys(sig, "doc_id", NUM_HASHES, BANDS)
+    # localCheckpoint: the band-key table feeds BOTH sides of the
+    # self-join below, and Catalyst does no cross-branch CSE on
+    # DataFrame subplans — without it the whole shingle→md5→minhash
+    # pipeline (the dominant map-side CPU) runs twice. At scale this
+    # materialization IS the persisted signature table the docstring
+    # describes.
+    keys = lsh_band_keys(sig, "doc_id", NUM_HASHES, BANDS).localCheckpoint()
     new_keys = keys.where(F.col("doc_id") >= INCR_SPLIT_ID).alias("n")
     earlier = keys.alias("e")
     matches = new_keys.join(

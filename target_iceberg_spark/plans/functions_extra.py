@@ -56,7 +56,7 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the contract
     oracle="""
 SELECT event_id,
-       array_to_string(json_keys(props), ',') AS keys_csv,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
        json_extract_string(props, '$.k') IS NOT NULL AS has_k,
        CAST(len(json_keys(props)) AS INT) AS n_keys

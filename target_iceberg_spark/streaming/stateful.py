@@ -310,6 +310,9 @@ def last_touch_attribution(
     conversion_type: str = "purchase",
     order_cols: tuple[str, ...] = ("ts", "event_id"),
     state_timeout_ms: int | None = None,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
 ) -> DataFrame:
     """Streaming last-touch attribution — the stateful twin of the
     batch `events_attribution` query: every ``conversion_type`` event
@@ -333,11 +336,22 @@ def last_touch_attribution(
     long-lived streams to expire idle keys' state, after which a
     conversion with no fresher touch credits '(none)'.
 
-    Output schema: (key, event_id, ts, channel).
+    Output schema: (key, id, ts, channel) — the first three named
+    after ``key_col``/``id_col``/``ts_col`` and TYPED from the input
+    DataFrame's schema (a string key or a long id round-trips as-is;
+    nothing is hard-coded to the demo events table's layout).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     order = list(order_cols)
+
+    def _spark_type(col: str) -> str:
+        return events.schema[col].dataType.simpleString()
+
+    out_schema = (
+        f"{key_col} {_spark_type(key_col)}, {id_col} {_spark_type(id_col)}, "
+        f"{ts_col} {_spark_type(ts_col)}, channel string"
+    )
     timeout_conf = (
         GroupStateTimeout.NoTimeout
         if state_timeout_ms is None
@@ -361,12 +375,12 @@ def last_touch_attribution(
         last = state.get[0] if state.exists else None
         out_id, out_ts, out_ch = [], [], []
         for _, row in batch.iterrows():
-            if row["event_type"] == conversion_type:
-                out_id.append(row["event_id"])
-                out_ts.append(row["ts"])
+            if row[type_col] == conversion_type:
+                out_id.append(row[id_col])
+                out_ts.append(row[ts_col])
                 out_ch.append(last if last is not None else "(none)")
             else:
-                last = row["event_type"]
+                last = row[type_col]
         state.update((last,))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
@@ -374,16 +388,15 @@ def last_touch_attribution(
             yield pd.DataFrame(
                 {
                     key_col: key[0],
-                    "event_id": pd.Series(out_id, dtype="int64"),
-                    "ts": out_ts,
+                    id_col: out_id,
+                    ts_col: out_ts,
                     "channel": out_ch,
                 }
             )
 
     return events.groupBy(key_col).applyInPandasWithState(
         attrib_fn,
-        outputStructType=f"{key_col} long, event_id long, ts timestamp, "
-        "channel string",
+        outputStructType=out_schema,
         stateStructType="last_touch STRING",
         outputMode="append",
         timeoutConf=timeout_conf,

@@ -133,7 +133,9 @@ def test_simhash_identical_and_near_texts(spark):
 def test_multimodal_decode_plumbing(spark, sf_smoke):
     from target_iceberg_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    # orderBy before limit: a bare limit is not deterministic across
+    # the two separate actions (pipeline collect vs reference collect)
+    docs = load_table(spark, sf_smoke, "documents").orderBy("doc_id").limit(20)
     out = decode_pipeline(attach_payload(docs))
     pdf = out.toPandas()
     assert list(pdf.columns) == ["doc_id", "n_bytes", "kind", "width", "height", "checksum"]
@@ -540,7 +542,9 @@ def test_multimodal_resize_plumbing(spark, sf_smoke):
     )
     from target_iceberg_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    # orderBy before limit: a bare limit is not deterministic across
+    # the two separate actions (pipeline collect vs reference collect)
+    docs = load_table(spark, sf_smoke, "documents").orderBy("doc_id").limit(20)
     out = resize_pipeline(attach_payload(docs)).collect()
     assert len(out) == 20
     src = {r["doc_id"]: r["text"] for r in docs.collect()}

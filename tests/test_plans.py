@@ -297,21 +297,56 @@ UNPARTITIONED_WINDOW_OK = {
 
 
 def _unpartitioned_window_specs(plan: str) -> list[str]:
-    import re
-
+    # Balanced-paren scan, NOT a regex: the first argument of
+    # windowspecdefinition may itself contain parens/commas (e.g.
+    # coalesce(month#5, 2024-01-01) ASC NULLS FIRST), which a
+    # [^,)]+ capture would truncate at the inner '(' — hiding the
+    # ASC/DESC marker and letting an unpartitioned compound-ordered
+    # window slip through the sweep.
     hits = []
-    for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
-        first = m.group(1).strip()
-        # partitioned specs lead with a bare partition column; an
+    marker = "windowspecdefinition("
+    pos = 0
+    while True:
+        j = plan.find(marker, pos)
+        if j < 0:
+            break
+        p = j + len(marker)
+        depth = 1
+        first_end = None
+        while p < len(plan) and depth > 0:
+            c = plan[p]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1 and first_end is None:
+                first_end = p
+            p += 1
+        first = plan[j + len(marker) : first_end if first_end is not None else p - 1]
+        first = first.strip()
+        # partitioned specs lead with a bare partition expression; an
         # unpartitioned spec leads with the frame itself (whole-frame)
-        # or an ordering expression (col ASC/DESC ...)
+        # or an ordering expression (expr ASC/DESC NULLS ...)
         if (
             first.startswith("specifiedwindowframe")
             or " ASC" in first
             or " DESC" in first
         ):
             hits.append(first[:60])
+        pos = p
     return hits
+
+
+def test_window_sweep_parser_handles_compound_ordering():
+    # Guard the guard: a compound (function-call) unpartitioned
+    # ordering expression must be flagged, a compound PARTITION
+    # expression must not.
+    unpart = "Window [windowspecdefinition(coalesce(month#5, x#6) ASC NULLS FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))]"
+    part = "Window [windowspecdefinition(coalesce(month#5, x#6), ts#7 ASC NULLS FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))]"
+    whole = "Window [windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$()))]"
+    assert _unpartitioned_window_specs(unpart)
+    assert not _unpartitioned_window_specs(part)
+    assert _unpartitioned_window_specs(whole)
 
 
 @pytest.mark.parametrize("name", sorted(n for n, s in SPECS.items() if s.bench))

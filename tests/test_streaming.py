@@ -852,3 +852,56 @@ def test_stateful_attribution_state_carries_across_batches(spark, tmp_path):
         (1, 11, "click"),  # credited across the batch boundary
         (1, 13, "view"),  # fresher same-batch touch wins
     }
+
+
+def test_stateful_attribution_nondefault_schema(spark, tmp_path):
+    """A STRING key plus renamed id/ts/type columns round-trips: the
+    output struct is derived from the input schema, not hard-coded to
+    the demo events layout (regression: key was pinned to 'long' and
+    the column names to event_id/ts/event_type)."""
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import last_touch_attribution
+
+    src = tmp_path / "attrib_str_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "device_id": ["a", "a", "b"],
+            "eid": [1, 2, 3],
+            "event_ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:02", "2024-01-01 00:00:03"]
+            ).astype("datetime64[us]"),
+            "etype": ["swipe", "install", "install"],
+        }
+    ).to_parquet(src / "a.parquet")
+    stream = spark.readStream.schema(
+        "device_id STRING, eid LONG, event_ts TIMESTAMP, etype STRING"
+    ).parquet(str(src))
+    attributed = last_touch_attribution(
+        stream,
+        key_col="device_id",
+        conversion_type="install",
+        order_cols=("event_ts", "eid"),
+        id_col="eid",
+        ts_col="event_ts",
+        type_col="etype",
+    )
+    assert [f.name for f in attributed.schema.fields] == [
+        "device_id", "eid", "event_ts", "channel",
+    ]
+    assert attributed.schema["device_id"].dataType.simpleString() == "string"
+    q = (
+        attributed.writeStream.format("memory")
+        .queryName("attrib_str")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib_str"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["device_id"], r["eid"], r["channel"])
+        for r in spark.table("attrib_str").collect()
+    }
+    assert got == {("a", 2, "swipe"), ("b", 3, "(none)")}
