@@ -1,0 +1,93 @@
+"""Weighted PageRank over an edge DataFrame — fixed-iteration power
+method, the canonical iterative-join algorithm on Spark.
+
+The reference (SidetrekAI/target-iceberg, write-only ingestion shim)
+has no graph surface; this is an engine extension in the same family
+as `operators/components.py` (connected components): the driver
+coordinates a bounded number of rounds, each round is ONE equi-join +
+one map-side-combinable aggregate, and lineage is cut with
+localCheckpoint so the plan does not double per iteration.
+
+Semantics (documented, deterministic):
+
+  rank_0(v)   = 1 / N
+  rank_t+1(v) = teleport / N + damping * sum over in-edges (u, v) of
+                rank_t(u) * weight(u, v) / out_weight(u)
+
+Dangling mass (rank of nodes with no out-edges) is DROPPED, not
+redistributed — ranks then need not sum to 1, but every step is a pure
+join + aggregate with no extra per-round dangling aggregate, and the
+result is bit-reproducible in plain SQL (the registered query's DuckDB
+oracle unrolls the same iterations).
+
+Scale shape: the rank table is bounded by the node domain, each round
+shuffles edges once on ``src`` (the join) and once on ``dst`` (the
+combinable sum with map-side partial aggregation); no windows, no
+all-pairs, no per-row Python. The single driver-side scalar is N (one
+COUNT aggregate — needed for the teleport constant, same class as the
+1-row probe collects elsewhere in the repo).
+
+``teleport`` defaults to 0.15 as an EXPLICIT double literal rather
+than ``1 - damping``: Python evaluates ``1 - 0.85`` to
+0.15000000000000002 while a SQL oracle's literal ``0.15`` is the
+nearest double to 0.15 — passing both constants keeps the two engines
+on identical IEEE arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = 3,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of the weighted power
+    method over ``edges``; ranks are full-precision doubles (callers
+    round for cross-engine comparison)."""
+    # Normalize once: every edge carries its source's out-weight share.
+    # Reused by all rounds — checkpointed so each round's plan starts
+    # from a materialized table instead of re-deriving the groupBy.
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("_out_w"))
+    norm = (
+        edges.join(out_w, src)
+        .select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            (F.col(weight) / F.col("_out_w")).alias("frac"),
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # driver-side scalar: the teleport denominator
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        mass = (
+            norm.join(ranks, norm.e_src == ranks.node)
+            .groupBy(F.col("e_dst").alias("m_node"))
+            .agg(F.sum(F.col("frac") * F.col("rank")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(mass, nodes.node == mass.m_node, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport / n)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

