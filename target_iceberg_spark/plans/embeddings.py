@@ -309,3 +309,60 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "emb_pca",
+    oracle=None,  # eigensolve is not SQL-expressible; rows-only +
+    # numpy-equivalence unit test (tests/test_pca.py)
+    tags=("embeddings", "pca"),
+)
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding corpus with a
+    distributed self-consistency audit — the dimensionality-reduction
+    fit that precedes ANN indexing / visualization (and the sibling of
+    the PQ codebook fit).
+
+    Scale shape (`operators/pca.py`): the covariance never
+    materializes per row — ONE Arrow-batched pass emits d²-bounded
+    (count, sum, X^T X) partials per batch, the driver combines them
+    and eigendecomposes (a d×d problem, corpus-size-independent), and
+    the projection back over the corpus is k broadcast codegen
+    zip_with folds. The audit column recomputes each component's
+    variance DISTRIBUTED (var_samp of the projection scores) — it must
+    reproduce the driver-side eigenvalue, so a fit/projection skew
+    shows up as a mismatch in this very output. Rows-only by design:
+    the eigensolve has no SQL twin; tests/test_pca.py pins equivalence
+    to numpy.linalg.eigh instead."""
+    from target_iceberg_spark.operators.pca import fit_pca, project_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, eigs = fit_pca(emb, "embedding", k=2)
+    scores = emb.select(
+        *[
+            project_expr("embedding", comps[j], mean).alias(f"score_{j}")
+            for j in range(len(eigs))
+        ]
+    )
+    audit = scores.agg(
+        *[F.var_samp(f"score_{j}").alias(f"v_{j}") for j in range(len(eigs))]
+    )
+    rows = [
+        (j, float(eigs[j]))
+        for j in range(len(eigs))
+    ]
+    eig_df = spark.createDataFrame(rows, "component int, eigenvalue double")
+    return (
+        eig_df.crossJoin(F.broadcast(audit))
+        .select(
+            "component",
+            F.round("eigenvalue", 6).alias("eigenvalue"),
+            F.round(
+                F.when(F.col("component") == 0, F.col("v_0")).otherwise(
+                    F.col("v_1")
+                ),
+                6,
+            ).alias("proj_var"),
+        )
+        .orderBy("component")
+    )
