@@ -86,3 +86,55 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_type"), "n")
     )
+
+
+@register(
+    "agg_hll_rollup",
+    oracle=None,  # the Datasketches HLL estimate has no SQL twin;
+    # rows-only + the ±5% bound test in tests/test_approx.py
+    tags=("agg", "approx", "sketch", "rollup"),
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup — the continuous-aggregate
+    pattern for COUNT DISTINCT: per (event_type, day) HLL sketches
+    (Datasketches ``hll_sketch_agg``) are UNION-merged upward to a
+    per-type total, the way a 100 TB pipeline answers "distinct users
+    any period" from daily sketch tables without ever re-scanning raw
+    events (the distinct-count sibling of `rollup_hypertable`; plain
+    counts re-aggregate with SUM, distincts only merge via sketches).
+
+    Self-auditing output: the merged-sketch estimate sits next to the
+    exact global distinct (affordable at test SF) and their relative
+    error, so a sketch-quality regression is visible in the result
+    itself — same audit shape as `dedup_minhash_estimate`. Scale
+    shape: daily sketching is a combinable aggregate (each partition
+    ships a bounded sketch, never user ids); the merge shuffles
+    #days × #types sketches of ~2.5 KiB (lgConfigK=12), independent
+    of event volume; the exact branch is the one that dies at 100 TB
+    — kept here only as the audit."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            "est_users",
+            F.round(
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -136,6 +136,41 @@ def session_counts(
     )
 
 
+def ohlc_candles(
+    events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked OHLC downsampler — the streaming twin of
+    plans/analytics_ts.py::events_ohlc. Open/close are min_by/max_by
+    over the deterministic (ts, event_id) struct key, which streaming
+    state merges exactly like batch partial aggregation (each
+    micro-batch updates the per-window extremum-keyed pair), so the
+    finalized candles match the batch query bit-for-bit once the
+    watermark closes a window."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+
+
 def infer_output_mode(df: DataFrame) -> str:
     """'complete' for aggregating streaming plans, 'append' otherwise
     (complete-mode start on a stateless plan is an AnalysisException,

@@ -22,3 +22,15 @@ def test_approx_distinct_within_5pct(spark, sf_oracle):
     }
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
+def test_hll_rollup_merge_within_5pct(spark, sf_oracle):
+    """The merged-daily-sketch estimate carries its own exact audit
+    column; the merge across days must stay inside HLL's ±5%
+    (lgConfigK=12 is ~1.6% standard error — 5% is >3 sigma)."""
+    rows = all_specs()["agg_hll_rollup"].builder(spark, sf_oracle).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r["n_days"] > 1  # the merge path is actually exercised
+        assert r["rel_err"] <= 0.05, (
+            r["event_type"], r["est_users"], r["exact_users"])

@@ -115,6 +115,7 @@ NEW_IN_R4_POST_WINDOW = {
     "events_gapfill", "events_ohlc", "events_time_weighted",
     "graph_pagerank", "text_chunk_overlap",
     "emb_pca",  # rows-only by design (driver eigensolve; tests/test_pca.py)
+    "agg_hll_rollup",  # rows-only by design (HLL estimate; tests/test_approx.py)
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4

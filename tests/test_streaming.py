@@ -905,3 +905,38 @@ def test_stateful_attribution_nondefault_schema(spark, tmp_path):
         for r in spark.table("attrib_str").collect()
     }
     assert got == {("a", 2, "swipe"), ("b", 3, "(none)")}
+
+
+def test_ohlc_stream_equals_batch(spark, sf_smoke, events_dir, tmp_path):
+    """Streaming OHLC candles (min_by/max_by state merged across
+    micro-batches) must equal the batch events_ohlc aggregate on the
+    same bounded input."""
+    from target_iceberg_spark.streaming.pipeline import ohlc_candles
+
+    writer = StreamWriter(
+        spark, WriterConfig(warehouse=str(tmp_path / "wh")), mode="parquet"
+    )
+    run_bounded(
+        spark,
+        events_dir,
+        writer,
+        "candles",
+        str(tmp_path / "ckpt"),
+        transform=lambda ev: ohlc_candles(ev, "1 hour", "2 hours"),
+    )
+    got = {
+        (r["hour"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"], r["volume"]
+        )
+        for r in writer.read("candles").collect()
+    }
+    from target_iceberg_spark.plans import all_specs
+
+    batch = all_specs()["events_ohlc"].builder(spark, sf_smoke)
+    want = {
+        (r["hour"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"], r["volume"]
+        )
+        for r in batch.collect()
+    }
+    assert got == want
