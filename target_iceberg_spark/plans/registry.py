@@ -113,6 +113,7 @@ def _load_all() -> None:
         analytics_ts,
         graph,
         text_chunks,
+        bucketed,
     )
 
 

@@ -174,7 +174,8 @@ def _derived_source(spark, sf_dir: str, table: str, fmt: str, write) -> str:
             else:
                 raise
         # Drop copies derived from a previous testdata generation.
-        # Match the EXACT layout `<table>_<key>_<32-hex-md5>.<fmt>`: a
+        # Match the EXACT layout `<table>_<key>_<16-hex-md5>.<fmt>`
+        # (corpus_fingerprint truncates hexdigest to 16): a
         # bare startswith prefix would let key 'sf0.1' delete
         # 'sf0.1_alt''s fresh copy (key is a path basename, so it may
         # itself contain underscores). Sweep abandoned `__tmp_` staging
@@ -186,7 +187,7 @@ def _derived_source(spark, sf_dir: str, table: str, fmt: str, write) -> str:
 
         parent = os.path.dirname(src)
         exact = re.compile(
-            rf"^{re.escape(table)}_{re.escape(key)}_[0-9a-f]{{32}}\.{re.escape(fmt)}$"
+            rf"^{re.escape(table)}_{re.escape(key)}_[0-9a-f]{{16}}\.{re.escape(fmt)}$"
         )
         stale_tmp_age = 3600.0
         for name in os.listdir(parent):

@@ -62,3 +62,27 @@ def test_merge_schema_read_across_evolved_files(spark, tmp_path):
     assert set(merged.columns) == {"id", "v1", "v2"}
     rows = {r["id"]: (r["v1"], r["v2"]) for r in merged.collect()}
     assert rows[0] == ("a", None) and rows[4] == ("b", 1.5)
+
+
+def test_derived_source_sweeps_stale_generation(spark, sf_smoke, tmp_path):
+    """A copy derived from a PREVIOUS testdata generation (same table,
+    same sf key, different 16-hex fingerprint) must be removed when a
+    fresh derivation publishes — the regex must match the REAL
+    fingerprint width (it silently matched nothing when it expected 32
+    hex chars, leaking every old generation forever)."""
+    import os
+
+    from target_iceberg_spark.plans.scans import _derived_nation_source
+
+    src = _derived_nation_source(spark, sf_smoke, "jsonl")
+    parent, base = os.path.split(src)
+    stale = os.path.join(parent, base.replace(base.split("_")[-1], "0" * 16 + ".jsonl"))
+    assert stale != src
+    os.makedirs(stale, exist_ok=True)
+    # force a re-derivation by removing the current copy (cheap at smoke SF)
+    import shutil
+
+    shutil.rmtree(src)
+    src2 = _derived_nation_source(spark, sf_smoke, "jsonl")
+    assert src2 == src and os.path.isdir(src2)
+    assert not os.path.exists(stale), "stale-generation sweep did not fire"

@@ -362,3 +362,13 @@ def test_no_unpartitioned_windows_outside_bounded_whitelist(
         f"partition it, collapse the input through an aggregate first, "
         f"or whitelist it with a boundedness argument"
     )
+
+
+def test_join_bucketed_has_no_exchange_on_either_side(spark, sf_oracle):
+    """The bucketed-layout fact-fact join must consume the files' own
+    partitioning/ordering: SMJ with zero Exchange and zero Sort on the
+    join keys (the aggregate after it may still exchange)."""
+    plan = plan_of(spark, sf_oracle, "join_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan

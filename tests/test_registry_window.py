@@ -116,6 +116,7 @@ NEW_IN_R4_POST_WINDOW = {
     "graph_pagerank", "text_chunk_overlap",
     "emb_pca",  # rows-only by design (driver eigensolve; tests/test_pca.py)
     "agg_hll_rollup",  # rows-only by design (HLL estimate; tests/test_approx.py)
+    "join_bucketed",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
