@@ -114,6 +114,7 @@ def _load_all() -> None:
         graph,
         text_chunks,
         bucketed,
+        cdc,
     )
 
 

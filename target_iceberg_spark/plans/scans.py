@@ -344,3 +344,53 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(src)
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+SELECT 'doc_' || doc_id || '.txt' AS file_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < 200
+ORDER BY file_name
+""",
+    tags=("scan", "source", "binary", "multimodal"),
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via Spark's `binaryFile` source —
+    the path multimodal corpora actually arrive through (an object
+    store of image/audio files), upstream of the multimodal_* decode
+    tier: each file becomes one row of (path, length, content bytes),
+    split-parallel across executors with NO parsing.
+
+    The fixture is derivation scaffolding, not the operator: the first
+    200 documents' text bytes are written once as individual files
+    into the content-keyed derived-source cache (a bounded, documented
+    driver-side write — real deployments already HAVE the files; the
+    cap is the fixture's, mirrored in the oracle's WHERE). The query
+    itself is the scale path: binaryFile lists and reads files
+    distributed, and the output digests (length + md5) are computed
+    per-row in the scan projection so the comparator never ships the
+    payload bytes."""
+
+    def write(df: DataFrame, tmp: str) -> None:
+        import os
+
+        os.makedirs(tmp, exist_ok=True)
+        rows = df.where(F.col("doc_id") < 200).select("doc_id", "text").collect()
+        for r in rows:  # bounded fixture write (<= 200 tiny files)
+            with open(os.path.join(tmp, f"doc_{r['doc_id']}.txt"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    src = _derived_source(spark, sf_dir, "documents", "bin", write)
+    files = spark.read.format("binaryFile").load(src)
+    return (
+        files.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )

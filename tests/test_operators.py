@@ -611,3 +611,30 @@ def test_heavy_hitters_mg_guarantee_on_skewed_data(spark):
     assert len(candidates) <= 2 * 4  # per-partition sketches are bounded
     got = heavy_hitters_exact(tokens, k=1, capacity=4).collect()
     assert got[0]["token"] == "hot" and got[0]["n"] == 400
+
+
+def test_snapshot_diff_classifies_nulls_correctly(spark):
+    """IS DISTINCT FROM semantics: null -> value is an update,
+    null -> null is unchanged; missing/new keys classify as
+    deleted/inserted."""
+    from target_iceberg_spark.plans.cdc import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (3, "c", 30), (4, "d", 40)],
+        "k int, s string, v int",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, None, None), (3, "c2", 30), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(v1, v2, "k", ["s", "v"]).collect()
+    }
+    assert got == {
+        1: "updated",      # v: null -> 10
+        2: "unchanged",    # null == null under eqNullSafe
+        3: "updated",      # s changed
+        4: "deleted",
+        5: "inserted",
+    }

@@ -79,6 +79,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "emb_kmeans",  # cross of the bounded K-row centroid tables
             "events_active_rolling",  # cross of the one-row date bounds
             "profile_fk_integrity",  # cross of two one-row audit counts
+            "emb_pca",  # cross of the one-row projection-variance audit
         ), f"unexpected BNLJ in {name}"
 
 

@@ -117,6 +117,9 @@ NEW_IN_R4_POST_WINDOW = {
     "emb_pca",  # rows-only by design (driver eigensolve; tests/test_pca.py)
     "agg_hll_rollup",  # rows-only by design (HLL estimate; tests/test_approx.py)
     "join_bucketed",
+    "scan_binaryfile",
+    "cdc_snapshot_diff",
+    "profile_moments",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
