@@ -266,6 +266,81 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes().lstrip()},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM cand
+    UNION
+    SELECT id_b AS a, id_a AS b FROM cand
+),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comps AS (
+    SELECT src AS doc_id, LEAST(MIN(dst), src) AS cluster_id
+    FROM reach GROUP BY src
+),
+j AS (
+    SELECT c.cluster_id, c.doc_id, d.n_chars
+    FROM comps c JOIN documents d USING (doc_id)
+),
+r AS (
+    SELECT cluster_id, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM j
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+       CAST(MAX(n_chars) AS BIGINT) AS keep_chars
+FROM r
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+    tags=("dedup", "clusters", "curation"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup cluster keep the
+    LONGEST member (ties -> lowest doc_id) instead of dedup_clusters'
+    min-id convention — the curation policy that preserves the fullest
+    copy when duplicates differ by truncation/boilerplate stripping.
+
+    Scale shape: same candidate graph + distributed label propagation
+    as dedup_clusters, then ONE equi-join to attach each member's
+    length and a combinable per-cluster ``max_by(doc_id,
+    struct(n_chars, -doc_id))`` argmax — no window, no per-cluster
+    sort; the struct tiebreak reproduces the oracle's ORDER BY
+    n_chars DESC, doc_id exactly. Output is cluster-level (id, size,
+    kept doc, kept length), bounded by #clusters."""
+    from target_iceberg_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    members = comp.join(
+        docs.select("doc_id", "n_chars"),
+        comp.vertex == F.col("doc_id"),
+    )
+    return (
+        members.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("keep_id"),
+            F.max("n_chars").alias("keep_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def _embedding_oracle(bands: int, bits: int, threshold: float) -> str:
     """DuckDB mirror of operators/dedup.py::embedding_band_pairs,
     generated from the same (bands, bits) parameters and the bit-exact

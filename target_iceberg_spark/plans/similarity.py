@@ -333,3 +333,57 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "vec_id")
         .limit(TOP_K)
     )
+
+
+from target_iceberg_spark.functions.vectors import cosine, cosine_sql  # noqa: E402
+
+RANGE_MIN_COS = 0.25  # ~top-2% of the synthetic corpus at any SF
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+WITH probe AS (
+    SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+),
+scored AS (
+    SELECT vec_id,
+           ROUND({cosine_sql('embedding', 'p')}, 6) AS cos_sim
+    FROM embeddings, probe
+    WHERE vec_id <> {PROBE_VEC_ID}
+)
+SELECT vec_id, cos_sim
+FROM scored
+WHERE cos_sim >= {RANGE_MIN_COS}
+ORDER BY cos_sim DESC, vec_id
+""",
+    tags=("similarity", "range"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search — the retrieval mode top-k
+    cannot express: ALL corpus vectors within cosine >= τ of the
+    probe, however many there are (duplicate hunting, policy matching,
+    'everything this similar' audits).
+
+    Scale shape: identical to sim_cosine_topk's scan — broadcast
+    one-row probe, JVM zip_with/aggregate fold per vector — but the
+    finisher is a pushable FILTER on the score instead of a global
+    top-k heap, so the stage stays embarrassingly parallel and emits
+    only qualifying rows (no driver-side k accumulation at all). The
+    LSH/IVF candidate generators in this module bolt on unchanged when
+    N makes the full scan too slow; the threshold then prunes their
+    candidate sets instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    return (
+        emb.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine("embedding", "probe_vec"), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= RANGE_MIN_COS)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+    )

@@ -120,6 +120,8 @@ NEW_IN_R4_POST_WINDOW = {
     "scan_binaryfile",
     "cdc_snapshot_diff",
     "profile_moments",
+    "dedup_keep_best",
+    "sim_range_search",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
