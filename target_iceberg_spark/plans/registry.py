@@ -115,6 +115,7 @@ def _load_all() -> None:
         text_chunks,
         bucketed,
         cdc,
+        skyline,
     )
 
 

@@ -122,6 +122,7 @@ NEW_IN_R4_POST_WINDOW = {
     "profile_moments",
     "dedup_keep_best",
     "sim_range_search",
+    "skyline_pareto",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4

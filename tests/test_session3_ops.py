@@ -152,3 +152,48 @@ def test_time_weighted_average_hand_case(spark):
     ).collect()[0]["twa"]
     # 10 held 10s, 20 held 30s -> (10*10 + 20*30)/40 = 17.5
     assert abs(got - 17.5) < 1e-12
+
+
+def test_skyline_hand_case_with_ties_and_duplicates(spark):
+    from target_iceberg_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (1, 0.0, 0.0),   # cheapest -> on the front
+        (2, 1.0, 1.0),   # dominated by (1.0, 5.0)
+        (3, 1.0, 5.0),   # front
+        (4, 2.0, 7.0),   # front (duplicate coordinates below)
+        (5, 2.0, 7.0),   # duplicate of the front point -> also kept
+        (6, 3.0, 7.0),   # dominated by (2.0, 7.0): same qty, cheaper
+        (7, 2.0, 5.0),   # dominated by (2.0, 7.0) and (1.0, 5.0)
+        (8, None, 9.0),  # null coordinate -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id int, price double, qty double")
+    got = sorted(
+        (r["id"],) for r in skyline_2d(df, "price", "qty").collect()
+    )
+    assert got == [(1,), (3,), (4,), (5,)]
+
+
+def test_skyline_result_is_undominated_and_maximal(spark):
+    """No skyline row is dominated by ANY input row, and every
+    non-skyline row is dominated by some skyline row (front
+    completeness) — checked against the full sf0.01 lineitem."""
+    out = SPECS["skyline_pareto"].builder(spark, SF)
+    front = [(r["price"], r["qty"]) for r in out.collect()]
+    assert front
+    pts = (
+        load_table(spark, SF, "lineitem")
+        .select(
+            F.col("l_extendedprice").alias("p"), F.col("l_quantity").alias("q")
+        )
+        .collect()
+    )
+    def dominated(p, q):
+        return any(
+            fp <= p and fq >= q and (fp < p or fq > q) for fp, fq in front
+        )
+    for p, q in front:
+        assert not dominated(p, q)
+    n_dom = sum(1 for r in pts if (r["p"], r["q"]) not in set(front) and dominated(r["p"], r["q"]))
+    n_out = sum(1 for r in pts if (r["p"], r["q"]) not in set(front))
+    assert n_dom == n_out  # completeness: everything off the front is dominated
