@@ -306,3 +306,75 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "ngram")
         .limit(NGRAM_TOP_K)
     )
+
+
+# Stand-in polarity lexicon over the synthetic vocabulary — the
+# operator (broadcast-lexicon scoring) is the point; a real deployment
+# swaps in VADER/AFINN-class lists without touching the plan shape.
+SENT_POS = ("fast", "big")
+SENT_NEG = ("slow", "small")
+
+
+def _sentiment_oracle() -> str:
+    pos_l = ", ".join(f"'{w}'" for w in SENT_POS)
+    neg_l = ", ".join(f"'{w}'" for w in SENT_NEG)
+    return f"""
+WITH sc AS (
+    SELECT source,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ({pos_l}))) AS pos,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ({neg_l}))) AS neg
+    FROM documents
+)
+SELECT source,
+       CASE WHEN pos > neg THEN 'positive'
+            WHEN neg > pos THEN 'negative'
+            ELSE 'neutral' END AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CASE WHEN pos + neg > 0
+                      THEN CAST(pos - neg AS DOUBLE) / (pos + neg)
+                      ELSE 0 END), 4) AS avg_polarity
+FROM sc
+GROUP BY source, label
+ORDER BY source, label
+"""
+
+
+@register("text_sentiment", oracle=_sentiment_oracle(), tags=("text", "sentiment"))
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring per source — the Spark shape of
+    the EDBT 2016 large-scale Twitter sentiment pipeline (PAPERS.md):
+    a tiny polarity lexicon is broadcast as literals into a codegen
+    array filter, every document scores in the scan stage, and the
+    per-(source, label) rollup is a combinable aggregate. Polarity =
+    (pos-neg)/(pos+neg) on integer hit counts (exact same division
+    both engines, ROUND(4) over the avg); label by hit-count majority
+    — no division in the label path, so the class boundaries are
+    integer-exact at any scale. No Python, no join, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    pos = F.size(F.filter(toks, lambda t: t.isin(*SENT_POS)))
+    neg = F.size(F.filter(toks, lambda t: t.isin(*SENT_NEG)))
+    sc = docs.select(
+        "source", pos.alias("pos"), neg.alias("neg")
+    )
+    label = (
+        F.when(F.col("pos") > F.col("neg"), F.lit("positive"))
+        .when(F.col("neg") > F.col("pos"), F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    polarity = F.when(
+        (F.col("pos") + F.col("neg")) > 0,
+        (F.col("pos") - F.col("neg")).cast("double")
+        / (F.col("pos") + F.col("neg")),
+    ).otherwise(F.lit(0.0))
+    return (
+        sc.select("source", label.alias("label"), polarity.alias("pol"))
+        .groupBy("source", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("pol"), 4).alias("avg_polarity"),
+        )
+        .orderBy("source", "label")
+    )

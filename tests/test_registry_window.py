@@ -123,6 +123,7 @@ NEW_IN_R4_POST_WINDOW = {
     "dedup_keep_best",
     "sim_range_search",
     "skyline_pareto",
+    "text_sentiment",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
