@@ -188,3 +188,89 @@ def events_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+TRAJ_PROBE_USER = 0
+TRAJ_TOP_K = 20
+
+
+@register(
+    "sim_trajectory_users",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id,
+           event_type || '>' || LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS bg
+    FROM events
+),
+bgs AS (SELECT DISTINCT user_id, bg FROM seq WHERE bg IS NOT NULL),
+probe AS (SELECT bg FROM bgs WHERE user_id = {TRAJ_PROBE_USER}),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probe FROM probe),
+per_user AS (
+    SELECT b.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_user,
+           CAST(SUM(CASE WHEN p.bg IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS inter
+    FROM bgs b LEFT JOIN probe p ON b.bg = p.bg
+    WHERE b.user_id <> {TRAJ_PROBE_USER}
+    GROUP BY b.user_id
+)
+SELECT user_id,
+       ROUND(CAST(inter AS DOUBLE)
+             / (n_user + np.n_probe - inter), 6) AS jaccard
+FROM per_user CROSS JOIN np
+ORDER BY jaccard DESC, user_id
+LIMIT {TRAJ_TOP_K}
+""",
+    tags=("events", "trajectory", "similarity"),
+)
+def sim_trajectory_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k behaviorally-similar users to a probe user — trajectory
+    similarity search in the REPOSE (ICDE 2021) family, with each
+    user's trajectory summarized to its SET of consecutive event-type
+    bigrams (a reference-point-style signature: |types|²-bounded per
+    user regardless of history length) and ranked by exact Jaccard
+    against the probe's signature.
+
+    Scale shape: signature extraction is one per-user window pass +
+    a combinable distinct; the probe signature (≤ |types|² rows)
+    broadcasts into an equi-join whose per-user intersection count is
+    a combinable SUM; Jaccard is integer-count arithmetic (exact in
+    both engines, ROUND(6) only for display) and the finisher is
+    TakeOrderedAndProject — never an all-pairs trajectory comparison.
+    Swapping the signature for minhashed shingles turns this into the
+    dedup tier's LSH machinery unchanged when the probe SET is large."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.concat_ws(
+            ">", "event_type", F.lead("event_type").over(w)
+        ).alias("bg"),
+        F.lead("event_type").over(w).alias("_nxt"),
+    ).where(F.col("_nxt").isNotNull())
+    bgs = seq.select("user_id", "bg").distinct()
+    probe = bgs.where(F.col("user_id") == TRAJ_PROBE_USER).select("bg")
+    np_ = probe.agg(F.count(F.lit(1)).alias("n_probe"))
+    per_user = (
+        bgs.where(F.col("user_id") != TRAJ_PROBE_USER)
+        .join(F.broadcast(probe.withColumn("_hit", F.lit(1))), "bg", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_user"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("inter"),
+        )
+    )
+    return (
+        per_user.crossJoin(F.broadcast(np_))
+        .select(
+            "user_id",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_user") + F.col("n_probe") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "user_id")
+        .limit(TRAJ_TOP_K)
+    )

@@ -80,6 +80,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "events_active_rolling",  # cross of the one-row date bounds
             "profile_fk_integrity",  # cross of two one-row audit counts
             "emb_pca",  # cross of the one-row projection-variance audit
+            "sim_trajectory_users",  # cross of the one-row probe-size count
         ), f"unexpected BNLJ in {name}"
 
 

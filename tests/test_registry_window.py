@@ -124,6 +124,7 @@ NEW_IN_R4_POST_WINDOW = {
     "sim_range_search",
     "skyline_pareto",
     "text_sentiment",
+    "sim_trajectory_users",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
