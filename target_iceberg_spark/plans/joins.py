@@ -211,3 +211,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         value_cols=("signup_event_id",),
     ).select("event_id", "user_id", "signup_event_id")
+
+
+@register(
+    "join_shuffle_hash",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("join", "strategy"),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-hash join — the third physical strategy alongside
+    broadcast (join_broadcast) and sort-merge (join_sortmerge),
+    completing the matrix with the bucketed-layout join
+    (join_bucketed). SHJ wins when both sides are too big to
+    broadcast but ONE side's per-partition slice fits in memory:
+    it skips both sort passes of SMJ and builds a hash table per
+    partition instead (no spillable sort, but the build side must
+    fit — which is why Spark only picks it under the hint or
+    preferSortMergeJoin=false). Plan-asserted ShuffledHashJoin in
+    tests/test_plans.py; the oracle is the plain logical join —
+    strategy changes the plan, never the answer."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            cust.hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

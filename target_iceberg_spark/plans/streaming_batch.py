@@ -295,3 +295,60 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+ROLLUP_INC_SQL = """
+WITH base_rollup AS (
+    -- increment 1 (at scale: the STORED continuous-aggregate table)
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n, SUM(value) AS sv
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+delta_rollup AS (
+    -- increment 2 (the newly ingested batch, aggregated alone)
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n, SUM(value) AS sv
+    FROM events WHERE event_id % 2 = 1
+    GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(SUM(sv), 2) AS sum_value
+FROM (SELECT * FROM base_rollup UNION ALL SELECT * FROM delta_rollup)
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "rollup_incremental",
+    # The oracle IS the semantic claim: merging per-batch partial
+    # aggregates must equal the full recompute over all events.
+    oracle="""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY event_type, day
+""",
+    tags=("rollup", "incremental", "maintenance"),
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance merge: two ingest increments are
+    each rolled up alone (COUNT/SUM are self-maintainable partials),
+    then merged by summing partials per (type, day) — the refresh a
+    continuous aggregate runs per batch instead of rescanning history.
+    The oracle is the FULL recompute over all events, so the driver
+    hash-check proves merge == recompute, which is the whole
+    correctness claim of incremental maintenance.
+
+    Scale shape: at 100 TB the base side is a stored rollup table read
+    back (bounded by types × days), only the new batch touches raw
+    events, and the merge groupBy is combinable over partial rows.
+    Both rollups and the merge partial-combine map-side; ROUND(2)
+    collapses the add-order ulp between merged partial sums and the
+    oracle's single-pass sum."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(ROLLUP_INC_SQL)

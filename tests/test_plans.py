@@ -374,3 +374,9 @@ def test_join_bucketed_has_no_exchange_on_either_side(spark, sf_oracle):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_join_shuffle_hash_plans_shj(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -125,6 +125,8 @@ NEW_IN_R4_POST_WINDOW = {
     "skyline_pareto",
     "text_sentiment",
     "sim_trajectory_users",
+    "rollup_incremental",
+    "join_shuffle_hash",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
