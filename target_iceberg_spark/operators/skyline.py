@@ -64,5 +64,10 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
 
     schema = df.schema
     partial = df.select(*cols).mapInPandas(local, schema=schema)
-    # global merge: the union of local fronts is small by construction
-    return partial.coalesce(1).mapInPandas(local, schema=schema)
+    # Global merge: the union of local fronts is small by construction.
+    # repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    # that would collapse the scan and BOTH sweeps into one 1-partition
+    # task (verified in the executed plan), serializing phase 1. The
+    # repartition inserts an exchange, so phase 1 sweeps every scan
+    # partition in parallel and only the tiny fronts travel.
+    return partial.repartition(1).mapInPandas(local, schema=schema)

@@ -39,9 +39,11 @@ def bucketed_table(
     process tmp staging, atomic publish, stale-generation sweep); the
     catalog entry is re-created over the published location with the
     bucket spec, so Spark's scan carries outputPartitioning =
-    HashPartitioning(key, N) and outputOrdering = key ASC — the
-    properties the sort-merge join consumes instead of planning an
-    Exchange + Sort."""
+    HashPartitioning(key, N) and the sort-merge join consumes it
+    instead of planning an Exchange. (Spark still inserts the
+    within-partition Sort — it does not trust SORTED BY file order on
+    read — but that sort is per-bucket over already-ordered runs and
+    never shuffles; the Exchange is the cost that matters at scale.)"""
     schema = load_table(spark, sf_dir, table).schema
 
     def write(df: DataFrame, tmp: str) -> None:
@@ -87,11 +89,12 @@ ORDER BY o.o_orderpriority
 )
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join on pre-bucketed layout: orders and lineitem are
-    both bucketed+sorted on the order key, so the sort-merge join
-    consumes the files' own partitioning and ordering — ZERO Exchange,
-    ZERO Sort on either side (plan-asserted in tests/test_plans.py).
-    The oracle is the plain logical join: layout changes the plan, not
-    the answer.
+    both bucketed on the order key, so the sort-merge join consumes
+    the files' own partitioning — ZERO Exchange on either side
+    (plan-asserted in tests/test_plans.py; Spark still plans the
+    within-partition Sort since it distrusts file order on read, but
+    that is a per-bucket in-memory pass, not a shuffle). The oracle is
+    the plain logical join: layout changes the plan, not the answer.
 
     The merge hint pins SMJ because at test SF the optimizer would
     rather broadcast the small side — at 100 TB neither fact side

@@ -36,10 +36,11 @@ def snapshot_diff(
         F.col(key).alias("k2"),
         *[F.col(c).alias(f"b_{c}") for c in compare_cols],
     )
-    changed = None
+    # keys-only diff (empty compare_cols) classifies matched keys as
+    # unchanged — insert/delete detection without column comparison
+    changed = F.lit(False)
     for c in compare_cols:
-        ne = ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
     return a.join(b, F.col("k1") == F.col("k2"), "full_outer").select(
         F.coalesce("k1", "k2").alias(key),
         F.when(F.col("k2").isNull(), F.lit("deleted"))

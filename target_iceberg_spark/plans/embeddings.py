@@ -352,17 +352,19 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(len(eigs))
     ]
     eig_df = spark.createDataFrame(rows, "component int, eigenvalue double")
+    # generic over k: component j reads audit column v_j (a hardcoded
+    # v_0/v_1 pair would silently misreport if k ever changed)
+    proj_var = F.lit(None).cast("double")
+    for j in range(len(eigs)):
+        proj_var = F.when(F.col("component") == j, F.col(f"v_{j}")).otherwise(
+            proj_var
+        )
     return (
         eig_df.crossJoin(F.broadcast(audit))
         .select(
             "component",
             F.round("eigenvalue", 6).alias("eigenvalue"),
-            F.round(
-                F.when(F.col("component") == 0, F.col("v_0")).otherwise(
-                    F.col("v_1")
-                ),
-                6,
-            ).alias("proj_var"),
+            F.round(proj_var, 6).alias("proj_var"),
         )
         .orderBy("component")
     )

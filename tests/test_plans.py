@@ -81,6 +81,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "profile_fk_integrity",  # cross of two one-row audit counts
             "emb_pca",  # cross of the one-row projection-variance audit
             "sim_trajectory_users",  # cross of the one-row probe-size count
+            "sim_range_search",  # same broadcast one-row probe as sim_cosine_topk
         ), f"unexpected BNLJ in {name}"
 
 
@@ -368,8 +369,9 @@ def test_no_unpartitioned_windows_outside_bounded_whitelist(
 
 def test_join_bucketed_has_no_exchange_on_either_side(spark, sf_oracle):
     """The bucketed-layout fact-fact join must consume the files' own
-    partitioning/ordering: SMJ with zero Exchange and zero Sort on the
-    join keys (the aggregate after it may still exchange)."""
+    partitioning: SMJ with zero Exchange on the join keys (the
+    aggregate after it may still exchange; a within-partition Sort
+    remains because Spark does not trust file order on read)."""
     plan = plan_of(spark, sf_oracle, "join_bucketed")
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan

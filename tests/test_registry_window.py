@@ -148,10 +148,14 @@ def test_unverified_queries_inside_checker_window():
 
 def test_post_window_set_is_exactly_the_unhoisted_new_queries():
     names = list(all_specs())
-    # the declared post-window set must actually be registered, outside
-    # the window, and nothing in it may silently gain a hoist slot that
-    # would evict a still-unverified round-4 query
-    assert NEW_IN_R4_POST_WINDOW <= set(names[WINDOW:])
+    # EXACT equality: the declared post-window ledger set must be
+    # precisely the registered post-window queries without prior
+    # driver-green evidence — a new query omitted from the ledger (or a
+    # ledger entry that silently gained a hoist slot) both fail here
+    actual = {n for n in names[WINDOW:] if n not in GREEN}
+    assert NEW_IN_R4_POST_WINDOW == actual, (
+        NEW_IN_R4_POST_WINDOW ^ actual
+    )
     assert not (NEW_IN_R4_POST_WINDOW & set(_HOIST))
 
 

@@ -13,19 +13,18 @@ from target_iceberg_spark.plans import all_specs
 from target_iceberg_spark.sources.tables import load_table
 
 SPECS = all_specs()
-SF = "/root/testdata/sf0.01"
 
 
-def test_chunks_cover_every_token_with_exact_overlap(spark):
+def test_chunks_cover_every_token_with_exact_overlap(spark, sf_oracle):
     """Every document's chunks: first starts at token 1, consecutive
     chunk starts advance by exactly the stride, the last chunk reaches
     the final token, and every chunk holds <= CHUNK_TOKENS tokens."""
     from target_iceberg_spark.plans.text_chunks import CHUNK_STRIDE, CHUNK_TOKENS
 
-    docs = load_table(spark, SF, "documents").select(
+    docs = load_table(spark, sf_oracle, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    chunks = SPECS["text_chunk_overlap"].builder(spark, SF)
+    chunks = SPECS["text_chunk_overlap"].builder(spark, sf_oracle)
     per_doc = (
         chunks.groupBy("doc_id")
         .agg(
@@ -51,8 +50,8 @@ def test_chunks_cover_every_token_with_exact_overlap(spark):
             assert (r["max_idx"] - 1) * CHUNK_STRIDE + CHUNK_TOKENS < r["n_tok"]
 
 
-def test_gapfill_days_are_consecutive_and_counts_match_raw(spark):
-    out = SPECS["events_gapfill"].builder(spark, SF)
+def test_gapfill_days_are_consecutive_and_counts_match_raw(spark, sf_oracle):
+    out = SPECS["events_gapfill"].builder(spark, sf_oracle)
     # per user: span length == row count (no holes, no extras)
     spans = (
         out.groupBy("user_id")
@@ -73,7 +72,7 @@ def test_gapfill_days_are_consecutive_and_counts_match_raw(spark):
     assert any_zeros > 0  # the fill path is actually exercised
     # non-zero days agree with the raw per-day counts
     raw = (
-        load_table(spark, SF, "events")
+        load_table(spark, sf_oracle, "events")
         .groupBy("user_id", F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_raw"))
     )
@@ -85,9 +84,9 @@ def test_gapfill_days_are_consecutive_and_counts_match_raw(spark):
     assert mismatch == 0
 
 
-def test_ohlc_open_close_match_windowed_first_last(spark):
-    out = SPECS["events_ohlc"].builder(spark, SF)
-    ev = load_table(spark, SF, "events")
+def test_ohlc_open_close_match_windowed_first_last(spark, sf_oracle):
+    out = SPECS["events_ohlc"].builder(spark, sf_oracle)
+    ev = load_table(spark, sf_oracle, "events")
     w = Window.partitionBy(
         "event_type", F.date_trunc("hour", "ts")
     ).orderBy("ts", "event_id")
@@ -120,8 +119,8 @@ def test_pagerank_two_node_cycle_is_uniform(spark):
     assert abs(got["a"] - 0.5) < 1e-12  # symmetric cycle fixpoint
 
 
-def test_pagerank_mass_bounded_and_positive(spark):
-    rows = SPECS["graph_pagerank"].builder(spark, SF).collect()
+def test_pagerank_mass_bounded_and_positive(spark, sf_oracle):
+    rows = SPECS["graph_pagerank"].builder(spark, sf_oracle).collect()
     total = sum(r["rank"] for r in rows)
     assert all(r["rank"] > 0 for r in rows)
     # dangling mass is dropped, never created: sum <= 1 (+rounding)
@@ -174,15 +173,15 @@ def test_skyline_hand_case_with_ties_and_duplicates(spark):
     assert got == [(1,), (3,), (4,), (5,)]
 
 
-def test_skyline_result_is_undominated_and_maximal(spark):
+def test_skyline_result_is_undominated_and_maximal(spark, sf_oracle):
     """No skyline row is dominated by ANY input row, and every
     non-skyline row is dominated by some skyline row (front
     completeness) — checked against the full sf0.01 lineitem."""
-    out = SPECS["skyline_pareto"].builder(spark, SF)
+    out = SPECS["skyline_pareto"].builder(spark, sf_oracle)
     front = [(r["price"], r["qty"]) for r in out.collect()]
     assert front
     pts = (
-        load_table(spark, SF, "lineitem")
+        load_table(spark, sf_oracle, "lineitem")
         .select(
             F.col("l_extendedprice").alias("p"), F.col("l_quantity").alias("q")
         )
