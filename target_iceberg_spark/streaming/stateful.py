@@ -401,3 +401,88 @@ def last_touch_attribution(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def streaming_heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "token",
+    n_buckets: int = 8,
+    capacity: int = 64,
+) -> DataFrame:
+    """Streaming Misra-Gries candidate maintenance — the streaming face
+    of `operators/heavy_hitters.py`'s batch two-phase top-k: per-key
+    frequency candidates maintained continuously over an unbounded
+    token stream with O(n_buckets × capacity) total state, regardless
+    of the key domain (billions of URLs/n-grams/user ids).
+
+    Tokens hash-salt into ``n_buckets`` groups; each group's state is
+    ONE capacity-bounded MG sketch updated by every micro-batch (the
+    same decrement-all algorithm as the batch `_mg_batches`, applied
+    to persisted state, so the classic guarantee holds over the WHOLE
+    drained stream per bucket: any key with bucket frequency >
+    n_bucket/(capacity+1) is in the final sketch). Each batch emits
+    the bucket's current candidate snapshot tagged with the update
+    epoch — consumers keep each bucket's highest-epoch snapshot (or
+    union all for a superset) and finish exactly like the batch op:
+    recount ONLY the candidates against the stored raw stream, so
+    reported counts are exact while the streaming state stays bounded.
+
+    A key's bucket is a pure function of the token (crc32 % buckets),
+    so every occurrence of a key meets the same sketch — the salting
+    bounds per-task state without breaking the MG guarantee."""
+    import pandas as pd  # executor-side; local import for pickling
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bucketed = tokens.select(
+        F.col(token_col).cast("string").alias("token"),
+        (F.crc32(F.col(token_col).cast("string").cast("binary")) % n_buckets)
+        .cast("int")
+        .alias("bucket"),
+    )
+    out_schema = "bucket INT, epoch LONG, token STRING, est LONG"
+    state_schema = "epoch LONG, toks ARRAY<STRING>, cnts ARRAY<LONG>"
+
+    def hh_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            epoch, toks, cnts = state.get
+            sketch = dict(zip(toks, cnts))
+        else:
+            epoch, sketch = 0, {}
+        for pdf in pdfs:
+            for v in pdf["token"]:
+                if v in sketch:
+                    sketch[v] += 1
+                elif len(sketch) < capacity:
+                    sketch[v] = 1
+                else:
+                    dead = []
+                    for t in sketch:
+                        sketch[t] -= 1
+                        if sketch[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del sketch[t]
+        epoch += 1
+        state.update((epoch, list(sketch.keys()), [int(c) for c in sketch.values()]))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "epoch": epoch,
+                "token": list(sketch.keys()),
+                "est": [int(c) for c in sketch.values()],
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        hh_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -940,3 +940,64 @@ def test_ohlc_stream_equals_batch(spark, sf_smoke, events_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_heavy_hitters_survival_across_batches(spark, tmp_path):
+    """The MG survival guarantee must hold over the WHOLE stream, not
+    per batch: a key heavy overall but split thin across micro-batches
+    survives the final sketch because state persists. Final candidates
+    must cover the exact top-3; per-bucket snapshots carry increasing
+    epochs proving cross-batch state."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    # 'hot' is heavy overall; each batch alone also carries tail noise.
+    batch1 = ["hot"] * 60 + [f"t{i}" for i in range(30)]
+    batch2 = ["hot"] * 60 + ["warm"] * 50 + [f"u{i}" for i in range(30)]
+    pd.DataFrame({"token": batch1}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"token": batch2}).to_parquet(src / "b.parquet")
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+    stream = (
+        spark.readStream.schema("token STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    cands = streaming_heavy_hitters(stream, n_buckets=4, capacity=16)
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("hh_out").collect()
+    assert rows
+    # keep each bucket's LAST snapshot (highest epoch) — the final sketch
+    last_epoch: dict[int, int] = {}
+    for r in rows:
+        last_epoch[r["bucket"]] = max(last_epoch.get(r["bucket"], 0), r["epoch"])
+    final = {
+        r["token"]
+        for r in rows
+        if r["epoch"] == last_epoch[r["bucket"]]
+    }
+    # exact top-2 by true frequency: hot=120, warm=50 — both must survive
+    assert {"hot", "warm"} <= final
+    # cross-batch state: hot's bucket reached epoch 2 (updated by both
+    # batches) — epoch 1 everywhere would mean state never carried
+    assert max(last_epoch.values()) >= 2
+    # bounded state: nothing beyond the sketch capacity per bucket
+    from collections import Counter
+
+    per_bucket = Counter(
+        r["bucket"] for r in rows if r["epoch"] == last_epoch[r["bucket"]]
+    )
+    assert all(n <= 16 for n in per_bucket.values())
