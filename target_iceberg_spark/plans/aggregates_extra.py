@@ -379,3 +379,47 @@ def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+)
+SELECT c_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM pairs
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    tags=("agg", "string"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ordered string aggregation (LISTAGG ... WITHIN
+    GROUP / string_agg): per nation, the alphabetized CSV of market
+    segments its customers span — the denormalized-label reshape
+    reporting layers ask for constantly.
+
+    Scale shape: the DISTINCT collapse runs FIRST (combinable, output
+    ≤ nations × segments regardless of customer count), so the
+    order-sensitive concatenation only ever sees the bounded pair
+    table; the explicit WITHIN GROUP ordering makes the string
+    deterministic in both engines (an unordered listagg is
+    partition-order-dependent and can never hash-match). Never
+    listagg over the raw fact table: the per-group buffer would be
+    unbounded — aggregate or distinct to a bounded domain first."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+WITH pairs AS (
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+)
+SELECT c_nationkey,
+       listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)
+           AS segments,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM pairs
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""")

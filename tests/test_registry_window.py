@@ -127,6 +127,7 @@ NEW_IN_R4_POST_WINDOW = {
     "sim_trajectory_users",
     "rollup_incremental",
     "join_shuffle_hash",
+    "agg_listagg",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
