@@ -1,0 +1,72 @@
+"""Property-based checks for the session-3 algorithmic operators:
+the distributed implementations must agree with brute-force / numpy
+references on randomized inputs (few examples — each example runs
+Spark jobs — but adversarially shrunk by hypothesis on failure)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_point = st.tuples(st.integers(0, 5), st.integers(0, 5))
+
+
+@given(st.lists(_point, min_size=1, max_size=30))
+@settings(max_examples=15, deadline=None)
+def test_skyline_matches_bruteforce_dominance(spark, pts):
+    """The two-phase sweep equals the O(n²) dominance definition on
+    random small point sets — tiny coordinate domain forces heavy
+    ties and duplicate coordinates, the sweep's hard cases."""
+    from target_iceberg_spark.operators.skyline import skyline_2d
+
+    rows = [(i, float(p), float(q)) for i, (p, q) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, price double, qty double")
+
+    def dominated(i):
+        p, q = pts[i]
+        return any(
+            (p2 <= p and q2 >= q and (p2 < p or q2 > q)) for p2, q2 in pts
+        )
+
+    want = sorted(i for i in range(len(pts)) if not dominated(i))
+    got = sorted(r["id"] for r in skyline_2d(df, "price", "qty").collect())
+    assert got == want
+
+
+_edge = st.tuples(
+    st.sampled_from("abcd"), st.sampled_from("abcd"), st.integers(1, 3)
+)
+
+
+@given(st.lists(_edge, min_size=1, max_size=12, unique_by=lambda e: e[:2]))
+@settings(max_examples=10, deadline=None)
+def test_pagerank_matches_reference_recurrence(spark, edges):
+    """The iterative-join PageRank equals a dense numpy evaluation of
+    the documented recurrence (teleport/N + d * weighted in-mass,
+    dangling mass dropped) on random weighted digraphs — including
+    self-loops and nodes appearing only as destinations (dangling)."""
+    import numpy as np
+
+    from target_iceberg_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame(
+        [(s, d, float(w)) for s, d, w in edges],
+        "src string, dst string, weight double",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = np.full(n, 1.0 / n)
+    for _ in range(3):
+        mass = np.zeros(n)
+        for s, d, w in edges:
+            mass[idx[d]] += (w / out_w[s]) * rank[idx[s]]
+        rank = 0.15 / n + 0.85 * mass
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[idx[v]]) < 1e-9, (v, got[v], rank[idx[v]])
