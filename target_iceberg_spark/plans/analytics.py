@@ -285,3 +285,90 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+FUNNEL_WINDOWED_SPARK_SQL = """
+WITH s AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'click'
+      AND CAST(e.ts AS TIMESTAMP) > s.s_ts
+      AND CAST(e.ts AS TIMESTAMP) <= s.s_ts + INTERVAL 48 HOURS
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+      AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+      AND CAST(e.ts AS TIMESTAMP) <= c.c_ts + INTERVAL 48 HOURS
+    GROUP BY e.user_id
+),
+conv AS (
+    SELECT unix_micros(p.p_ts) - unix_micros(s.s_ts) AS dur_us
+    FROM p JOIN s ON p.user_id = s.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_48h,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_48h,
+       (SELECT CAST(SUM(CAST(dur_us AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)
+        FROM conv) AS avg_conv_us
+"""
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+WITH s AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'click'
+      AND CAST(e.ts AS TIMESTAMP) > s.s_ts
+      AND CAST(e.ts AS TIMESTAMP) <= s.s_ts + INTERVAL 48 HOUR
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+      AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+      AND CAST(e.ts AS TIMESTAMP) <= c.c_ts + INTERVAL 48 HOUR
+    GROUP BY e.user_id
+),
+conv AS (
+    SELECT epoch_us(p.p_ts) - epoch_us(s.s_ts) AS dur_us
+    FROM p JOIN s ON p.user_id = s.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_48h,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_48h,
+       (SELECT CAST(SUM(dur_us) // COUNT(*) AS BIGINT) FROM conv)
+           AS avg_conv_us
+""",
+    tags=("analytics", "funnel", "conversion-window"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: signup -> click -> purchase where
+    each next stage must land within 48 HOURS of the previous one —
+    the constraint every real funnel carries (an unbounded funnel
+    counts conversions attributable to nothing), plus the exact mean
+    signup-to-purchase latency of the converted cohort.
+
+    Scale shape: three combinable per-user MIN aggregates chained by
+    equi-joins on user_id (each stage's candidate set only shrinks) —
+    the window constraint is a per-row filter against the joined
+    previous-stage timestamp, NOT a range join or a per-user sort.
+    Latency is the exact integer mean of µs deltas (decimal sum +
+    integer div, the events_interarrival convention) so both engines
+    agree bit-for-bit; the final 1-row report crosses four scalar
+    subqueries."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(FUNNEL_WINDOWED_SPARK_SQL)

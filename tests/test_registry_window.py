@@ -128,6 +128,7 @@ NEW_IN_R4_POST_WINDOW = {
     "rollup_incremental",
     "join_shuffle_hash",
     "agg_listagg",
+    "events_funnel_windowed",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
