@@ -82,6 +82,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "emb_pca",  # cross of the one-row projection-variance audit
             "sim_trajectory_users",  # cross of the one-row probe-size count
             "sim_range_search",  # same broadcast one-row probe as sim_cosine_topk
+            "sim_recall_audit",  # composes both probe arms' one-row crosses
         ), f"unexpected BNLJ in {name}"
 
 

@@ -129,6 +129,7 @@ NEW_IN_R4_POST_WINDOW = {
     "join_shuffle_hash",
     "agg_listagg",
     "events_funnel_windowed",
+    "sim_recall_audit",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4

@@ -196,3 +196,19 @@ def test_skyline_result_is_undominated_and_maximal(spark, sf_oracle):
     n_dom = sum(1 for r in pts if (r["p"], r["q"]) not in set(front) and dominated(r["p"], r["q"]))
     n_out = sum(1 for r in pts if (r["p"], r["q"]) not in set(front))
     assert n_dom == n_out  # completeness: everything off the front is dominated
+
+
+def test_recall_audit_equals_manual_intersection(spark, sf_oracle):
+    """The registered audit's recall must equal the intersection of
+    the two underlying registered queries computed independently."""
+    exact = {
+        r["vec_id"]
+        for r in SPECS["sim_cosine_topk"].builder(spark, sf_oracle).collect()
+    }
+    ann = {
+        r["vec_id"]
+        for r in SPECS["sim_ann_rp"].builder(spark, sf_oracle).collect()
+    }
+    row = SPECS["sim_recall_audit"].builder(spark, sf_oracle).collect()[0]
+    assert row["n_overlap"] == len(exact & ann)
+    assert row["recall_at_k"] == round(len(exact & ann) / 10, 4)
