@@ -71,3 +71,68 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the plumbing can't silently drop or reorder batch columns."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_pipeline(attach_payload(docs))
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id % 50 = 0
+),
+d AS (
+    SELECT md5(text) AS payload_md5,
+           octet_length(encode(text)) AS n_bytes,
+           doc_id
+    FROM corpus
+)
+SELECT payload_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+       CAST(MIN(n_bytes) AS INT) AS n_bytes
+FROM d
+GROUP BY payload_md5
+HAVING COUNT(*) > 1
+ORDER BY payload_md5
+""",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload digest — the first (and cheapest)
+    dedup stage of any multimodal pipeline: byte-identical payloads
+    (re-crawled images, mirrored files) collapse on their content
+    hash; only the digest ever shuffles, never the bytes. Emits the
+    duplicate groups with the kept (min-id) copy. The synthetic corpus
+    has no byte-identical documents, so a deterministic re-crawl
+    overlap (every 50th payload re-ingested under a shifted id,
+    mirrored in the oracle) makes the duplicate path real instead of
+    a vacuous 0-row check.
+
+    Scale shape: md5 computed in the scan stage, ONE combinable
+    groupBy on the 16-byte digest, HAVING filter on the count —
+    identical cost profile to dedup_exact but keyed on binary content;
+    near-dup (perceptual) variants then run only on the survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    recrawl = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    corpus = docs.select(*docs.columns).unionByName(recrawl)
+    with_payload = attach_payload(corpus)
+    d = with_payload.select(
+        F.md5("payload").alias("payload_md5"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        "doc_id",
+    )
+    return (
+        d.groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("payload_md5")
+    )

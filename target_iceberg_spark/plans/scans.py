@@ -394,3 +394,57 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@register(
+    "scan_federated",
+    oracle="""
+SELECT src_format, n_nationkey, n_name, n_regionkey
+FROM (
+    SELECT 'parquet' AS src_format, n_nationkey, n_name, n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'jsonl' AS src_format, n_nationkey, n_name, n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'csv' AS src_format, n_nationkey, n_name, n_regionkey
+    FROM nation
+)
+ORDER BY src_format, n_nationkey
+""",
+    tags=("scan", "source", "federation"),
+)
+def scan_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format federation: the SAME logical table read from three
+    physical formats (parquet, JSON-lines, headered CSV) and unioned
+    with a provenance column — the lake reality where one dataset
+    spans ingestion eras. The oracle reads the logical table thrice:
+    rows must be format-invariant, so a silent type coercion in any
+    reader (CSV's stringly ints, JSON's doubles) breaks the hash.
+
+    Scale shape: each branch is its own split-parallel scan with its
+    own pushdown; the union is plan-level (no shuffle — branches
+    concatenate partition-wise), and the explicit per-branch schemas
+    keep the CSV/JSON readers off the inference path (no extra pass
+    over the files)."""
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    pq = load_table(spark, sf_dir, "nation").select(*cols)
+    jl = spark.read.schema(schema).json(
+        _derived_nation_source(spark, sf_dir, "jsonl")
+    ).select(*cols)
+    cs = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(_derived_nation_source(spark, sf_dir, "csv"))
+        .select(*cols)
+    )
+    branches = [
+        pq.withColumn("src_format", F.lit("parquet")),
+        jl.withColumn("src_format", F.lit("jsonl")),
+        cs.withColumn("src_format", F.lit("csv")),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select("src_format", *cols).orderBy("src_format", "n_nationkey")

@@ -130,6 +130,8 @@ NEW_IN_R4_POST_WINDOW = {
     "agg_listagg",
     "events_funnel_windowed",
     "sim_recall_audit",
+    "multimodal_dedup",
+    "scan_federated",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
