@@ -86,6 +86,7 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """,
     tags=("join", "bucketed", "layout"),
+    bench=False,  # first run pays the one-time bucketed-table write
 )
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join on pre-bucketed layout: orders and lineitem are

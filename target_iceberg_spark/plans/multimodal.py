@@ -119,7 +119,7 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         *[c for c in docs.columns if c != "doc_id"],
     )
-    corpus = docs.select(*docs.columns).unionByName(recrawl)
+    corpus = docs.unionByName(recrawl)
     with_payload = attach_payload(corpus)
     d = with_payload.select(
         F.md5("payload").alias("payload_md5"),

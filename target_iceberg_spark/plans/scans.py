@@ -357,6 +357,7 @@ WHERE doc_id < 200
 ORDER BY file_name
 """,
     tags=("scan", "source", "binary", "multimodal"),
+    bench=False,
 )
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-file binary ingestion via Spark's `binaryFile` source —
@@ -373,7 +374,8 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is the scale path: binaryFile lists and reads files
     distributed, and the output digests (length + md5) are computed
     per-row in the scan projection so the comparator never ships the
-    payload bytes."""
+    payload bytes. Excluded from bench (one-time file
+    materialization)."""
 
     def write(df: DataFrame, tmp: str) -> None:
         import os
@@ -413,6 +415,7 @@ FROM (
 ORDER BY src_format, n_nationkey
 """,
     tags=("scan", "source", "federation"),
+    bench=False,
 )
 def scan_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format federation: the SAME logical table read from three
@@ -426,7 +429,8 @@ def scan_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     own pushdown; the union is plan-level (no shuffle — branches
     concatenate partition-wise), and the explicit per-branch schemas
     keep the CSV/JSON readers off the inference path (no extra pass
-    over the files)."""
+    over the files). Excluded from bench (one-time derived-copy
+    materializations)."""
     schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
     cols = ["n_nationkey", "n_name", "n_regionkey"]
     pq = load_table(spark, sf_dir, "nation").select(*cols)

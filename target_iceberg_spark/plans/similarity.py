@@ -391,7 +391,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_audit_oracle() -> str:
     exact_cos = f"ROUND({cosine_sql('embedding', 'p')}, 6)"
-    ann_body = _ann_rp_oracle().strip().rstrip()
+    ann_body = _ann_rp_oracle().strip()
     return f"""
 WITH exact_k AS (
     SELECT vec_id FROM (

@@ -209,6 +209,8 @@ def test_recall_audit_equals_manual_intersection(spark, sf_oracle):
         r["vec_id"]
         for r in SPECS["sim_ann_rp"].builder(spark, sf_oracle).collect()
     }
+    from target_iceberg_spark.plans.similarity import TOP_K
+
     row = SPECS["sim_recall_audit"].builder(spark, sf_oracle).collect()[0]
     assert row["n_overlap"] == len(exact & ann)
-    assert row["recall_at_k"] == round(len(exact & ann) / 10, 4)
+    assert row["recall_at_k"] == round(len(exact & ann) / TOP_K, 4)
