@@ -280,3 +280,117 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(per_doc)), 6
         ).alias("w"),
     ).orderBy("doc_id", "bucket")
+
+
+BM25_TERMS = ("spark", "fast", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 15
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dlen
+    FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dlen) AS avgdl FROM dl
+),
+tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM toks WHERE tok IN ({terms})
+    GROUP BY doc_id, tok
+),
+df AS (
+    SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                                       + {BM25_B} * dl.dlen / stats.avgdl))
+           ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP}
+"""
+
+
+@register("text_bm25", oracle=_bm25_oracle(), tags=("text", "retrieval", "bm25"))
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the sparse lexical
+    side of hybrid search (the dense side is the sim_* ANN tier), and
+    the classic Okapi scoring tf-idf lacks: term-frequency saturation
+    (k1) and document-length normalization (b).
+
+    Scale shape: the token explode filters to the QUERY terms before
+    any aggregation (the per-(doc,term) tf table is bounded by
+    matching docs × query terms, not the corpus token count); df is a
+    |query|-row broadcast, N/avgdl a 1-row broadcast; the per-doc
+    score is one combinable SUM and the finisher is
+    TakeOrderedAndProject. An inverted-index layout (tokens bucketed
+    by term) would turn the filter scan into index lookups without
+    changing this plan's shape. ln() is transcendental so the final
+    score ROUND(6)s away last-ulp libm-vs-JVM skew; ordering is on
+    the rounded score with a doc_id tiebreak, so the top-k boundary
+    is deterministic in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dlen")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dlen").alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )

@@ -83,6 +83,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_trajectory_users",  # cross of the one-row probe-size count
             "sim_range_search",  # same broadcast one-row probe as sim_cosine_topk
             "sim_recall_audit",  # composes both probe arms' one-row crosses
+            "text_bm25",  # cross of the one-row N/avgdl corpus stats
         ), f"unexpected BNLJ in {name}"
 
 

@@ -132,6 +132,7 @@ NEW_IN_R4_POST_WINDOW = {
     "sim_recall_audit",
     "multimodal_dedup",
     "scan_federated",
+    "text_bm25",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
