@@ -394,3 +394,85 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+RRF_K = 60
+
+
+def _hybrid_rrf_oracle() -> str:
+    from target_iceberg_spark.functions.vectors import cosine_sql
+
+    cos = f"ROUND({cosine_sql('embedding', 'p')}, 6)"
+    return f"""
+WITH bm AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+    FROM ({_bm25_oracle().strip()})
+),
+dense AS (
+    SELECT vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+    FROM (
+        SELECT vec_id, {cos} AS cos_sim
+        FROM embeddings, (SELECT embedding AS p FROM embeddings
+                          WHERE vec_id = 0)
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    )
+)
+SELECT COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({RRF_K} + bm.r), 0)
+             + COALESCE(1.0 / ({RRF_K} + dense.r), 0), 6) AS rrf
+FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id
+ORDER BY rrf DESC, doc_id
+"""
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("similarity", "retrieval", "hybrid"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval capstone: reciprocal-rank fusion of the sparse
+    arm (text_bm25's lexical top-k) and the dense arm
+    (sim_cosine_topk's embedding top-k), score = Σ 1/(60 + rank) —
+    the standard score-scale-free way to merge rankers whose raw
+    scores are incomparable, and the shape every hybrid search
+    pipeline ends in.
+
+    Scale shape: each arm is its own already-scale-proven plan reduced
+    to a k-row (id, rank) list — the rank windows run over k-row
+    frames (bounded by the arms' own LIMITs, never corpus-sized), the
+    fusion is one full-outer equi-join of two tiny lists, and the
+    output is at most |arm1| + |arm2| rows. 1.0/(K + rank) is exact
+    IEEE division of small integers in both engines; ROUND(6) on the
+    sum is belt-and-braces."""
+    from pyspark.sql import Window
+
+    from target_iceberg_spark.plans.relational_extra import sim_cosine_topk
+
+    bm = text_bm25(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r_bm"),
+    )
+    dense = sim_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), "vec_id"))
+        .alias("r_dn"),
+    )
+    return (
+        bm.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (RRF_K + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_K + F.col("r_dn")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+    )

@@ -84,6 +84,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_range_search",  # same broadcast one-row probe as sim_cosine_topk
             "sim_recall_audit",  # composes both probe arms' one-row crosses
             "text_bm25",  # cross of the one-row N/avgdl corpus stats
+            "sim_hybrid_rrf",  # inherits text_bm25's one-row stats cross
         ), f"unexpected BNLJ in {name}"
 
 
@@ -298,6 +299,7 @@ UNPARTITIONED_WINDOW_OK = {
     "curation_domain_mix",  # per-source share frame (<= #sources rows)
     "curation_mix_temperature",  # same bounded per-source frame
     "agg_mom_growth",  # monthly series (<= months-of-history rows)
+    "sim_hybrid_rrf",  # two rank windows over the arms' k-row top-k lists
 }
 
 

@@ -133,6 +133,7 @@ NEW_IN_R4_POST_WINDOW = {
     "multimodal_dedup",
     "scan_federated",
     "text_bm25",
+    "sim_hybrid_rrf",
 }
 
 GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
