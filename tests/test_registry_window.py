@@ -5,12 +5,17 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-5 NOTE: round 4 ends with the window EXACTLY full (50 hoisted
-unverified/stale entries). Before registering ANY new query next
-round, first fold CORRECTNESS_r04 into the ledger (NEW_IN_R4 ->
-ROUND4_GREEN for every green row) and shrink _HOIST accordingly —
-otherwise the 51st unverified query silently drops out of the
-checker's prefix and this test is what catches it.
+ROUND-5 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r04 into this ledger (every green row moves
+     from NEW_IN_R4 / STALE_IN_R4 into a new ROUND4_GREEN set; any
+     FAIL stays hoisted).
+  2. Rebuild registry._HOIST for round 5: the 25 session-3
+     NEW_IN_R4_POST_WINDOW queries FIRST (they have local
+     oracle-parity evidence but no driver row yet), then any r4
+     FAILs, then whatever round-5 work changes outputs.
+  3. Only then register new queries — the window holds 50; anything
+     unverified beyond it must go into a new POST_WINDOW set, and
+     this file's tests enforce both bookkeeping steps.
 """
 
 from __future__ import annotations
