@@ -44,10 +44,26 @@ def main() -> None:
     spark = get_spark("engine-bench")
     specs = all_specs()
 
+    # Isolated-timing mode: `python bench.py --only q1,q2` benches ONLY
+    # the named queries in this (fresh) JVM. Round-4 post-mortem showed
+    # in-session warm medians excursing 6x over isolated cost after ~170
+    # queries of JVM pressure; this flag separates plan regressions
+    # (shows up isolated) from session noise (doesn't) without running
+    # the full 100+-query sweep.
+    only = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        only = sys.argv[2].split(",")
+        missing = [n for n in only if n not in specs]
+        if missing:
+            sys.exit(f"bench: unknown queries {missing}")
+
     # JVM/codegen warmup on the flagship so query 1 isn't charged startup.
     specs["agg_group"].builder(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    if only is not None:
+        specs = {n: specs[n] for n in only}
 
     WARM_RUNS = 3  # median of 3 votes out one-off GC/JIT excursions
 
@@ -57,6 +73,13 @@ def main() -> None:
     specs = {n: s for n, s in specs.items() if s.bench}
     for name, spec in sorted(specs.items()):
         try:
+            # Full JVM GC between queries (outside the timed window):
+            # round 4 showed warm medians of unchanged plans excursing
+            # 6x late in a 178-query single-JVM session while the same
+            # plans ran at round-3 cost isolated (--only). Forcing
+            # collection here keeps one query's garbage from being
+            # charged to the next query's timing.
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)

@@ -5,17 +5,15 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-5 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r04 into this ledger (every green row moves
-     from NEW_IN_R4 / STALE_IN_R4 into a new ROUND4_GREEN set; any
-     FAIL stays hoisted).
-  2. Rebuild registry._HOIST for round 5: the 25 session-3
-     NEW_IN_R4_POST_WINDOW queries FIRST (they have local
-     oracle-parity evidence but no driver row yet), then any r4
-     FAILs, then whatever round-5 work changes outputs.
-  3. Only then register new queries — the window holds 50; anything
-     unverified beyond it must go into a new POST_WINDOW set, and
-     this file's tests enforce both bookkeeping steps.
+ROUND-6 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r05 into this ledger (every green row moves
+     from NEW_IN_R5 into a new ROUND5_GREEN set; any FAIL stays
+     hoisted).
+  2. Rebuild registry._HOIST for round 6: any r5 FAILs first, then
+     whatever round-6 work changes outputs, then brand-new queries.
+  3. The window holds 50; anything unverified beyond it must go into
+     a new POST_WINDOW set, and this file's tests enforce both
+     bookkeeping steps.
 """
 
 from __future__ import annotations
@@ -66,8 +64,7 @@ ROUND2_GREEN = {
 }
 
 # Driver rows from round 3 (CORRECTNESS_r03.json: 45 hash-green plus
-# the rows-only-by-design entries recorded the same round). These
-# cover everything that was hoisted for round 3.
+# the rows-only-by-design entries recorded the same round).
 ROUND3_GREEN = {
     "curation_mix_temperature", "q7_volume_shipping", "q8_market_share",
     "q14_promo_revenue", "emb_centroid_classify", "text_vocab_coverage",
@@ -80,19 +77,11 @@ ROUND3_GREEN = {
     "stream_late_data", "sim_ann_pq", "sim_ann_ivf", "sim_ann_lsh",
 }
 
-# Changed since their last driver row (round 4): output changed
-# (sim_ann_ivf nprobe 4->8, sim_ann_pq shortlist 50->100) or plan
-# rewritten with identical output, re-checked out of caution
-# (vocab/perplexity window elimination, centroid min_by argmin).
-STALE_IN_R4 = {
-    "text_vocab_coverage", "text_perplexity", "emb_centroid_classify",
-    "sim_ann_ivf", "sim_ann_pq",
-}
-
-# Brand-new in round 4 (no driver row yet): 22/22 TPC-H coverage plus
-# the session-2 widening across the analytics / scan / aggregate /
-# function / dedup / embedding / multimodal / curation tiers.
-NEW_IN_R4 = {
+# Driver rows from round 4 (CORRECTNESS_r04.json: 48/48 hash-green —
+# the full TPC-H completion tier, the session-2 widening, and the five
+# plans re-checked after round-4 rewrites — plus the two declared
+# rows-only ANN rows recorded after their knob changes).
+ROUND4_GREEN = {
     "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
     "q6_revenue_forecast", "q9_product_profit", "q11_important_parts",
     "q12_ship_speed", "q16_supplier_variety", "q20_promotion_suppliers",
@@ -107,72 +96,54 @@ NEW_IN_R4 = {
     "emb_quantize_int8", "events_attribution", "curation_neardup_pipeline",
     "events_streaks", "events_interarrival", "join_null_safe",
     "dedup_minhash_estimate", "agg_mom_growth", "profile_fk_integrity",
-    "scan_range",
+    "scan_range", "text_vocab_coverage", "text_perplexity",
+    "emb_centroid_classify",
+    # rows-only by design, r4 rows (post knob change) + recall floors
+    "sim_ann_ivf", "sim_ann_pq",
 }
 
-# Registered in round-4 session 3, AFTER the window was already
-# exactly full: deliberately outside the checker prefix this round.
-# Each carries the identical local oracle-parity check
-# (tests/test_oracle_parity.py); ROUND-5 RULE: hoist these FIRST
-# (before folding CORRECTNESS_r04 greens out of _HOIST) so they get
-# their first driver rows next round.
-NEW_IN_R4_POST_WINDOW = {
+# Queries with NO driver evidence yet, hoisted for round 5: the 25
+# round-4 session-3 post-window queries (first driver check) plus
+# whatever round 5 adds. Kept in one set because both get their first
+# driver row from the round-5 run.
+NEW_IN_R5 = {
+    # round-4 post-window backlog
     "events_gapfill", "events_ohlc", "events_time_weighted",
     "graph_pagerank", "text_chunk_overlap",
     "emb_pca",  # rows-only by design (driver eigensolve; tests/test_pca.py)
     "agg_hll_rollup",  # rows-only by design (HLL estimate; tests/test_approx.py)
-    "join_bucketed",
-    "scan_binaryfile",
-    "cdc_snapshot_diff",
-    "profile_moments",
-    "dedup_keep_best",
-    "sim_range_search",
-    "skyline_pareto",
-    "text_sentiment",
-    "sim_trajectory_users",
-    "rollup_incremental",
-    "join_shuffle_hash",
-    "agg_listagg",
-    "events_funnel_windowed",
-    "sim_recall_audit",
-    "multimodal_dedup",
-    "scan_federated",
-    "text_bm25",
-    "sim_hybrid_rrf",
+    "join_bucketed", "scan_binaryfile", "cdc_snapshot_diff",
+    "profile_moments", "dedup_keep_best", "sim_range_search",
+    "skyline_pareto", "text_sentiment", "sim_trajectory_users",
+    "rollup_incremental", "join_shuffle_hash", "agg_listagg",
+    "events_funnel_windowed", "sim_recall_audit", "multimodal_dedup",
+    "scan_federated", "text_bm25", "sim_hybrid_rrf",
+    # new in round 5 (appended as they are registered)
 }
 
-GREEN = (ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN) - STALE_IN_R4
+GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
 
 
 def test_unverified_queries_inside_checker_window():
     names = list(all_specs())
     assert len(names) >= WINDOW
-    outside = [
-        n
-        for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R4_POST_WINDOW
-    ]
+    outside = [n for n in names[WINDOW:] if n not in GREEN]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
         f"the {WINDOW}-entry checker window: {outside}"
     )
 
 
-def test_post_window_set_is_exactly_the_unhoisted_new_queries():
-    names = list(all_specs())
-    # EXACT equality: the declared post-window ledger set must be
-    # precisely the registered post-window queries without prior
-    # driver-green evidence — a new query omitted from the ledger (or a
-    # ledger entry that silently gained a hoist slot) both fail here
-    actual = {n for n in names[WINDOW:] if n not in GREEN}
-    assert NEW_IN_R4_POST_WINDOW == actual, (
-        NEW_IN_R4_POST_WINDOW ^ actual
-    )
-    assert not (NEW_IN_R4_POST_WINDOW & set(_HOIST))
-
-
 def test_unevidenced_queries_are_hoisted():
-    assert STALE_IN_R4 | NEW_IN_R4 == set(_HOIST)
+    assert NEW_IN_R5 == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = (STALE_IN_R4 | NEW_IN_R4) - set(names)
+    missing = NEW_IN_R5 - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
+
+
+def test_every_registered_query_has_ledger_standing():
+    # Every query is either previously driver-green or hoisted this
+    # round — nothing can be registered without ledger bookkeeping.
+    names = set(all_specs())
+    unaccounted = names - GREEN - NEW_IN_R5
+    assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
