@@ -117,6 +117,11 @@ def _load_all() -> None:
         cdc,
         skyline,
     )
+    # Round-5 additions (all hoisted into the window below).
+    from target_iceberg_spark.plans import (  # noqa: F401
+        corpus_stats,
+        quality_curation,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -157,6 +162,18 @@ _HOIST: tuple[str, ...] = (
     "text_bm25",
     "sim_hybrid_rrf",
     # -- new in round 5 ----------------------------------------------
+    "sim_ann_quality",
+    "dedup_url",
+    "curation_token_budget",
+    "curation_neardup_keepbest",
+    "profile_drift_psi",
+    "cdc_apply_changelog",
+    "text_zipf",
+    "emb_norm_stats",
+    "events_rfm",
+    "win_ntile",
+    "agg_corr_matrix",
+    "fn_url",
 )
 
 

@@ -450,3 +450,89 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+ANN_RECALL_FLOOR = 0.8  # same floor the CI unit tests pin per arm
+
+
+@register(
+    "sim_ann_quality",
+    oracle=f"""
+SELECT 'ivf' AS arm, CAST({ANN_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
+       TRUE AS meets_floor
+UNION ALL
+SELECT 'lsh', CAST({ANN_RECALL_FLOOR} AS DOUBLE), TRUE
+UNION ALL
+SELECT 'pq', CAST({ANN_RECALL_FLOOR} AS DOUBLE), TRUE
+ORDER BY arm
+""",
+    tags=("similarity", "ann", "audit"),
+)
+def sim_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floors for ALL THREE seeded ANN arms (IVF, MLlib BRP-LSH,
+    PQ) in one hash-checkable query: each arm's top-k is joined against
+    the exact top-k under the arm's own metric (cosine for IVF, L2 for
+    PQ/LSH — what their re-rankers emit) and reduced to a boolean
+    `meets_floor` = recall@k >= 0.8.
+
+    Why a boolean and not the recall value: the three indexes are
+    seeded randomness (k-means centers, hash planes), so their exact
+    recall is deterministic for a fixed corpus+seed but NOT expressible
+    in ANSI SQL — a value oracle would be unverifiable and an ulp-level
+    centroid flip could shift it one notch. The floor predicate is the
+    contract the CI unit tests already pin per arm
+    (tests/test_operators.py: IVF :249, LSH :101, PQ re-rank :507);
+    registering it gives the external driver a hash row that flips the
+    moment ANY index silently degrades (bad rebuild, pruning bug,
+    drifted knob) — the thing a rows-only check can never surface.
+
+    Scale shape: each arm is its already-scale-argued plan (partition-
+    pruned IVF postings, bucket-joined LSH, ADC-scan + C-row re-rank
+    PQ); the audit adds three k-row equi-joins and a 3-row union on
+    top. The exact arms are one broadcast-probe corpus fold each; on a
+    real corpus they run over a probe SAMPLE, exactly like
+    sim_recall_audit."""
+    from target_iceberg_spark.functions.vectors import l2_dist
+    from target_iceberg_spark.plans.relational_extra import sim_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    exact_l2 = (
+        emb.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", l2_dist("embedding", "p").alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    exact_cos = sim_cosine_topk(spark, sf_dir).select("vec_id")
+
+    arms = {
+        "ivf": (exact_cos, sim_ann_ivf(spark, sf_dir).select("vec_id")),
+        "lsh": (
+            exact_l2,
+            sim_ann_lsh(spark, sf_dir)
+            .where(F.col("probe_id") == PROBE_VEC_ID)
+            .orderBy("dist", "neighbor_id")
+            .limit(TOP_K)
+            .select(F.col("neighbor_id").alias("vec_id")),
+        ),
+        "pq": (exact_l2, sim_ann_pq(spark, sf_dir).select("vec_id")),
+    }
+    need = int(ANN_RECALL_FLOOR * TOP_K)
+    parts = [
+        truth.join(got, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(arm).alias("arm"),
+            F.lit(float(ANN_RECALL_FLOOR)).alias("recall_floor"),
+            (F.col("n_overlap") >= need).alias("meets_floor"),
+        )
+        for arm, (truth, got) in arms.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("arm")

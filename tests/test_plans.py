@@ -85,6 +85,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_recall_audit",  # composes both probe arms' one-row crosses
             "text_bm25",  # cross of the one-row N/avgdl corpus stats
             "sim_hybrid_rrf",  # inherits text_bm25's one-row stats cross
+            "events_rfm",  # cross of the one-row percentile-bounds row
+            "profile_drift_psi",  # cross of the one-row totals aggregate
+            "sim_ann_quality",  # composes the probe arms' one-row crosses
         ), f"unexpected BNLJ in {name}"
 
 
@@ -300,6 +303,7 @@ UNPARTITIONED_WINDOW_OK = {
     "curation_mix_temperature",  # same bounded per-source frame
     "agg_mom_growth",  # monthly series (<= months-of-history rows)
     "sim_hybrid_rrf",  # two rank windows over the arms' k-row top-k lists
+    "text_zipf",  # rank window over the top-k-bounded 100-row input
 }
 
 
@@ -386,3 +390,55 @@ def test_join_shuffle_hash_plans_shj(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "join_shuffle_hash")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- round-5 additions ---------------------------------------------------
+
+
+def test_text_zipf_topk_is_take_ordered(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "text_zipf")
+    # vocab top-K must be TakeOrderedAndProject (parallel partial
+    # heaps), never a global Sort; the rank window then runs over that
+    # bounded K-row output (whitelisted above with that argument)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # token counting keeps map-side combine
+
+
+def test_neardup_keepbest_survivor_choice_is_aggregate_not_window(
+    spark, sf_oracle
+):
+    plan = plan_of(spark, sf_oracle, "curation_neardup_keepbest")
+    # survivor selection is a combinable per-cluster max_by and the
+    # drop is a LEFT ANTI join — the oracle's ROW_NUMBER is mirror-only
+    assert "LeftAnti" in plan
+    assert "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_cdc_apply_compaction_is_aggregate_not_window(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "cdc_apply_changelog")
+    assert "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_events_rfm_has_no_window_and_broadcasts_bounds(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "events_rfm")
+    # boundaries-then-compare, not ntile-over-all-users: percentile is
+    # a combinable aggregate and its 1-row result broadcasts back
+    assert "Window" not in plan
+    assert "percentile" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_profile_drift_psi_single_fact_scan(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "profile_drift_psi")
+    # one pass over orders into the bucket aggregate; the totals join
+    # is a broadcast of one row, and counting keeps map-side combine
+    assert plan.count("Scan parquet") <= 2  # bucket agg + reused/total side
+    assert "partial_count" in plan
+
+
+def test_dedup_url_multi_distinct_expands_with_partial_agg(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "dedup_url")
+    assert "Expand" in plan  # multi-count-distinct rewrite
+    assert "Window" not in plan

@@ -119,6 +119,10 @@ NEW_IN_R5 = {
     "events_funnel_windowed", "sim_recall_audit", "multimodal_dedup",
     "scan_federated", "text_bm25", "sim_hybrid_rrf",
     # new in round 5 (appended as they are registered)
+    "sim_ann_quality", "dedup_url", "curation_token_budget",
+    "curation_neardup_keepbest", "profile_drift_psi",
+    "cdc_apply_changelog", "text_zipf", "emb_norm_stats", "events_rfm",
+    "win_ntile", "agg_corr_matrix", "fn_url",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
