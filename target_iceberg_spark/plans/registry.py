@@ -119,6 +119,7 @@ def _load_all() -> None:
     )
     # Round-5 additions (all hoisted into the window below).
     from target_iceberg_spark.plans import (  # noqa: F401
+        analytics_more,
         corpus_stats,
         quality_curation,
     )
@@ -174,6 +175,10 @@ _HOIST: tuple[str, ...] = (
     "win_ntile",
     "agg_corr_matrix",
     "fn_url",
+    "events_window_topk",
+    "agg_bitmap_distinct",
+    "agg_copurchase",
+    "text_quality_logistic",
 )
 
 

@@ -442,3 +442,39 @@ def test_dedup_url_multi_distinct_expands_with_partial_agg(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "dedup_url")
     assert "Expand" in plan  # multi-count-distinct rewrite
     assert "Window" not in plan
+
+
+def test_window_topk_rank_is_partitioned_by_window(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "events_window_topk")
+    # rank runs per time-window partition over the pre-aggregated
+    # (window, key) counts — the sweep above would flag it if global
+    assert "Window" in plan
+    assert "partial_count" in plan
+
+
+def test_bitmap_distinct_is_two_combinable_phases(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "agg_bitmap_distinct")
+    # both the bitmap OR-merge and the count-sum keep partial phases;
+    # no Expand (that's agg_distinct's exact-distinct rewrite, whose
+    # shuffle carries distinct values instead of fixed-size bitmaps)
+    assert "partial_bitmap_construct_agg" in plan or "bitmap_construct_agg" in plan
+    assert "partial_sum" in plan
+    assert "Expand" not in plan
+
+
+def test_copurchase_pairs_via_equi_join_topk(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "agg_copurchase")
+    # pair generation must be an equi-join on the basket key (the
+    # part_a < part_b predicate rides along), never cartesian, and the
+    # final cut a TakeOrderedAndProject
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_logistic_is_shuffle_free_until_rollup(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "text_quality_logistic")
+    # features are in-row codegen (no explode): exactly one exchange —
+    # the final per-source aggregate's
+    assert plan.count("Exchange") <= 2  # partial->final agg + result sort
+    assert "Generate" not in plan  # no explode in the feature pass

@@ -122,7 +122,8 @@ NEW_IN_R5 = {
     "sim_ann_quality", "dedup_url", "curation_token_budget",
     "curation_neardup_keepbest", "profile_drift_psi",
     "cdc_apply_changelog", "text_zipf", "emb_norm_stats", "events_rfm",
-    "win_ntile", "agg_corr_matrix", "fn_url",
+    "win_ntile", "agg_corr_matrix", "fn_url", "events_window_topk",
+    "agg_bitmap_distinct", "agg_copurchase", "text_quality_logistic",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
