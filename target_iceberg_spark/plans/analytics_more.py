@@ -258,3 +258,163 @@ def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# text_dup_ngram_fraction — corpus-wide duplicated-n-gram filter
+# --------------------------------------------------------------------
+
+DUP_NGRAM_N = 8
+
+
+@register(
+    "text_dup_ngram_fraction",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, source,
+           md5(array_to_string(t[i : i + {DUP_NGRAM_N} - 1], ' ')) AS g
+    FROM toks,
+         LATERAL (SELECT unnest(range(1, len(t) - {DUP_NGRAM_N} + 2)) AS i)
+    WHERE len(t) >= {DUP_NGRAM_N}
+),
+gram_docs AS (
+    SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+),
+per_doc AS (
+    SELECT gr.doc_id, gr.source,
+           CAST(COUNT(*) FILTER (WHERE gd.nd > 1) AS DOUBLE) / COUNT(*)
+               AS dup_frac
+    FROM grams gr JOIN gram_docs gd ON gr.g = gd.g
+    GROUP BY gr.doc_id, gr.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(dup_frac), 4) AS avg_dup_frac,
+       CAST(COUNT(*) FILTER (WHERE dup_frac > 0.5) AS BIGINT)
+           AS n_mostly_dup
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "dedup", "curation"),
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb/Gopher duplicated-n-gram filter: for every doc,
+    the fraction of its 8-grams that ALSO occur in some other document
+    — the corpus-wide cross-doc repetition signal that catches
+    boilerplate and templated spam which intra-doc repetition
+    (text_repetition) and pairwise near-dup (dedup_minhash) both miss,
+    rolled up to per-source averages and a mostly-duplicated count.
+
+    Scale shape: n-grams leave the row as 16-byte md5 digests (never
+    the text), the per-gram doc count is a combinable two-phase
+    aggregate, and docs rejoin their grams through ONE equi-join on
+    the digest — the same compact-key discipline as the LSH family.
+    Shuffle volume is O(total grams × 16 bytes); the |Σ|^8 gram space
+    never materializes anywhere. At 100 TB the gram_docs side persists
+    as the corpus gram-frequency table and incremental batches join
+    against it, exactly like dedup_incremental's signature table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = (
+        docs.select("doc_id", "source", toks.alias("t"))
+        .where(F.size("t") >= DUP_NGRAM_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - DUP_NGRAM_N + 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("t", i, DUP_NGRAM_N), " ")
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    gram_docs = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        grams.join(gram_docs, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.count(F.when(F.col("nd") > 1, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_frac")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+            F.count(F.when(F.col("dup_frac") > 0.5, 1)).alias("n_mostly_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# graph_also_bought — 2-hop collaborative filtering
+# --------------------------------------------------------------------
+
+ALSO_BOUGHT_PROBE = 42  # probe customer
+ALSO_BOUGHT_TOP = 10
+
+
+@register(
+    "graph_also_bought",
+    oracle=f"""
+WITH bought AS (
+    SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+probe AS (
+    SELECT partkey FROM bought WHERE custkey = {ALSO_BOUGHT_PROBE}
+)
+SELECT b.custkey, CAST(COUNT(*) AS BIGINT) AS shared_parts
+FROM bought b JOIN probe p ON b.partkey = p.partkey
+WHERE b.custkey <> {ALSO_BOUGHT_PROBE}
+GROUP BY b.custkey
+ORDER BY shared_parts DESC, custkey
+LIMIT {ALSO_BOUGHT_TOP}
+""",
+    tags=("graph", "recommendation"),
+)
+def graph_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood query over the customer-part bipartite graph
+    (customers most similar to a probe customer by shared purchased
+    parts) — the collaborative-filtering primitive behind
+    customers-like-you, and the graph-traversal shape (expand one hop,
+    intersect, rank) that complements graph_pagerank's whole-graph
+    iteration with a POINT query.
+
+    Scale shape: the bipartite edge list is one fact equi-join +
+    distinct; the probe's part set is a pushed-down filter whose
+    output (one customer's parts) BROADCASTS into the second hop, so
+    the expansion touches only edges incident to the probe's parts —
+    never the full customer×customer similarity matrix; the overlap
+    count is combinable and the cut is TakeOrderedAndProject. A
+    celebrity part (bought by everyone) is the skew risk; production
+    caps part fan-out exactly like dedup_minhash_capped caps buckets."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bought = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    probe = bought.where(F.col("custkey") == ALSO_BOUGHT_PROBE).select("partkey")
+    return (
+        bought.join(F.broadcast(probe), "partkey")
+        .where(F.col("custkey") != ALSO_BOUGHT_PROBE)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .orderBy(F.desc("shared_parts"), "custkey")
+        .limit(ALSO_BOUGHT_TOP)
+    )

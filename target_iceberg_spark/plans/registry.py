@@ -179,6 +179,8 @@ _HOIST: tuple[str, ...] = (
     "agg_bitmap_distinct",
     "agg_copurchase",
     "text_quality_logistic",
+    "text_dup_ngram_fraction",
+    "graph_also_bought",
 )
 
 

@@ -478,3 +478,22 @@ def test_quality_logistic_is_shuffle_free_until_rollup(spark, sf_oracle):
     # the final per-source aggregate's
     assert plan.count("Exchange") <= 2  # partial->final agg + result sort
     assert "Generate" not in plan  # no explode in the feature pass
+
+
+def test_dup_ngram_grams_shuffle_as_digests(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "text_dup_ngram_fraction")
+    # grams leave the row as md5 digests and rejoin through an
+    # equi-join; the gram-frequency side keeps a partial phase
+    assert "md5" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_also_bought_broadcasts_probe_parts(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "graph_also_bought")
+    # the probe's part set is filter-pushed and broadcast into hop 2;
+    # the cut is a TakeOrderedAndProject
+    assert any("custkey" in f for f in pushed_filter_lists(plan))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -124,6 +124,7 @@ NEW_IN_R5 = {
     "cdc_apply_changelog", "text_zipf", "emb_norm_stats", "events_rfm",
     "win_ntile", "agg_corr_matrix", "fn_url", "events_window_topk",
     "agg_bitmap_distinct", "agg_copurchase", "text_quality_logistic",
+    "text_dup_ngram_fraction", "graph_also_bought",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
