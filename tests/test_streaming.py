@@ -1001,3 +1001,45 @@ def test_streaming_heavy_hitters_survival_across_batches(spark, tmp_path):
         r["bucket"] for r in rows if r["epoch"] == last_epoch[r["bucket"]]
     )
     assert all(n <= 16 for n in per_bucket.values())
+
+
+def test_window_topk_stream_panes_plus_finisher_equals_batch(
+    spark, sf_smoke, events_dir, tmp_path
+):
+    """The streaming form of events_window_topk: the STREAM maintains
+    the finalized per-(day, key) pane counts (watermarked tumbling
+    aggregate, append mode — each pane emitted exactly once when the
+    watermark closes it); the top-k rank is the cheap FINISHER over
+    the finalized pane table, per-day-partitioned exactly like the
+    batch plan. End-to-end must equal the batch query."""
+    from pyspark.sql import Window
+
+    from target_iceberg_spark.plans import all_specs
+    from target_iceberg_spark.streaming.pipeline import tumbling_counts
+
+    writer = StreamWriter(
+        spark, WriterConfig(warehouse=str(tmp_path / "wh")), mode="parquet"
+    )
+    run_bounded(
+        spark,
+        events_dir,
+        writer,
+        "daily_panes",
+        str(tmp_path / "ckpt"),
+        transform=lambda ev: tumbling_counts(ev, "1 day", "2 hours"),
+    )
+    panes = writer.read("daily_panes").select(
+        F.to_date("win_start").alias("day"), "event_type", F.col("n_events").alias("n")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("day").orderBy(F.desc("n"), "event_type")
+    )
+    got = {
+        (r["day"], r["event_type"], r["n"], r["rnk"])
+        for r in panes.withColumn("rnk", rnk).where(F.col("rnk") <= 3).collect()
+    }
+    batch = all_specs()["events_window_topk"].builder(spark, sf_smoke)
+    want = {
+        (r["day"], r["event_type"], r["n"], r["rnk"]) for r in batch.collect()
+    }
+    assert got == want
