@@ -181,6 +181,7 @@ _HOIST: tuple[str, ...] = (
     "text_quality_logistic",
     "text_dup_ngram_fraction",
     "graph_also_bought",
+    "sim_topk_incremental",
 )
 
 

@@ -536,3 +536,97 @@ def sim_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("arm")
+
+
+# P' = the session's NEXT probe: the previous probe with its first
+# component nudged by +0.1 (a user refining an interactive query).
+# Derived in-plan on BOTH sides so the two engines share it bit-exactly.
+_PERTURB_SQL_DUCK = (
+    "list_transform(range(1, len(p) + 1), "
+    "i -> CAST(p[i] AS DOUBLE) + CASE WHEN i = 1 THEN 0.1 ELSE 0.0 END)"
+)
+
+
+def _topk_incremental_oracle() -> str:
+    return f"""
+WITH probe AS (
+    SELECT {_PERTURB_SQL_DUCK} AS p2
+    FROM (SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID})
+)
+SELECT vec_id, ROUND({cosine_sql('embedding', 'p2')}, 6) AS cos_sim
+FROM embeddings, probe
+WHERE vec_id <> {PROBE_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_incremental",
+    oracle=_topk_incremental_oracle(),
+    tags=("similarity", "incremental", "session"),
+)
+def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k similarity search across an interactive
+    session (EDBT 2020 "Incremental Based Framework for Efficient
+    Top-K Similarity Search in Interactive Data Analysis Sessions"
+    family): when the user's next probe P' is a small refinement of
+    the previous probe P, the previous pass's per-vector scores prune
+    the re-search instead of rescanning the corpus.
+
+    The bound: for any corpus vector v, |cos(P',v) - cos(P,v)| =
+    |(P̂'-P̂)·v̂| <= ||P̂'-P̂|| = δ, so every member of the NEW top-k
+    has old score >= τ - 2δ (τ = old kth-best). Only that candidate
+    band is re-scored. δ and τ enter the filter with explicit safety
+    margins, so floating-point noise can only ADMIT extra candidates,
+    never drop a true one — the pruned plan is exact by construction,
+    and the ORACLE IS THE FULL RESCAN: any pruning bug hash-fails.
+
+    Scale shape: in steady state the old scores are the session's
+    persisted state (one narrow (vec_id, score) table, like the IVF
+    index cache); here they are computed in the same plan — one corpus
+    fold, a one-row τ aggregate broadcast back, a pushable band filter,
+    and exact re-scoring of ONLY the surviving band (pruning measured
+    ~70% at sf0.01 in tests/test_round5_ops.py). TakeOrderedAndProject
+    finishes. The re-score touches the embedding column only for
+    survivors — at 100 TB that is the entire point."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"]
+    ]
+    p2 = [v + (0.1 if i == 0 else 0.0) for i, v in enumerate(p)]
+    norm = math.sqrt(sum(v * v for v in p))
+    norm2 = math.sqrt(sum(v * v for v in p2))
+    # upper bound on ||P̂' - P̂|| with a relative safety margin: noise
+    # can only widen the candidate band, never break exactness
+    delta = (
+        math.sqrt(sum((a / norm - b / norm2) ** 2 for a, b in zip(p, p2)))
+        * 1.001
+        + 1e-9
+    )
+
+    p_lit = F.array(*[F.lit(v) for v in p])
+    p2_lit = F.array(*[F.lit(v) for v in p2])
+    scored = emb.where(F.col("vec_id") != PROBE_VEC_ID).select(
+        "vec_id", "embedding", cosine("embedding", p_lit).alias("s_old")
+    )
+    # τ = old kth-best score (the session state's threshold), one row
+    tau = (
+        scored.select("s_old")
+        .orderBy(F.desc("s_old"))
+        .limit(TOP_K)
+        .agg(F.min("s_old").alias("tau"))
+    )
+    band = scored.crossJoin(F.broadcast(tau)).where(
+        F.col("s_old") >= F.col("tau") - 2 * delta - 1e-6
+    )
+    return (
+        band.select(
+            "vec_id", F.round(cosine("embedding", p2_lit), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )

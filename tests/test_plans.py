@@ -88,6 +88,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "events_rfm",  # cross of the one-row percentile-bounds row
             "profile_drift_psi",  # cross of the one-row totals aggregate
             "sim_ann_quality",  # composes the probe arms' one-row crosses
+            "sim_topk_incremental",  # cross of the one-row τ threshold
         ), f"unexpected BNLJ in {name}"
 
 

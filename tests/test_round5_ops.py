@@ -286,3 +286,50 @@ def test_dup_ngram_fraction_detects_planted_duplicates(spark):
     assert out["s"]["n_mostly_dup"] == 2
     assert out["t"]["avg_dup_frac"] == 0.0
     assert out["t"]["n_mostly_dup"] == 0
+
+
+# -- sim_topk_incremental --------------------------------------------------------
+
+
+def test_incremental_topk_band_actually_prunes(spark, sf_oracle):
+    """The δ/τ band must both PRUNE (well under the full corpus) and
+    stay EXACT (superset of the true new top-k — exactness itself is
+    the oracle's full-rescan check; here we pin the pruning ratio so
+    the bound never silently degenerates to scan-everything)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.functions.vectors import cosine
+    from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K
+    from target_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count() - 1
+    p = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"]
+    ]
+    p2 = [v + (0.1 if i == 0 else 0.0) for i, v in enumerate(p)]
+    norm = math.sqrt(sum(v * v for v in p))
+    norm2 = math.sqrt(sum(v * v for v in p2))
+    delta = (
+        math.sqrt(sum((a / norm - b / norm2) ** 2 for a, b in zip(p, p2)))
+        * 1.001
+        + 1e-9
+    )
+    p_lit = F.array(*[F.lit(v) for v in p])
+    scored = emb.where(F.col("vec_id") != PROBE_VEC_ID).select(
+        "vec_id", cosine("embedding", p_lit).alias("s_old")
+    )
+    tau = (
+        scored.select("s_old").orderBy(F.desc("s_old")).limit(TOP_K)
+        .agg(F.min("s_old").alias("tau"))
+    )
+    n_band = (
+        scored.crossJoin(F.broadcast(tau))
+        .where(F.col("s_old") >= F.col("tau") - 2 * delta - 1e-6)
+        .count()
+    )
+    assert n_band >= TOP_K  # superset precondition for exactness
+    assert n_band <= 0.5 * n, f"band degenerated: {n_band}/{n}"
