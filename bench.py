@@ -105,8 +105,11 @@ def main() -> None:
 
     # Per-query detail goes to a side file (and stderr) — NOT the stdout
     # JSON line, which bounded tail-capture harnesses would truncate.
+    # Isolated --only runs write a SEPARATE file so a spot-check never
+    # clobbers the last full-sweep detail kept in-repo for round diffs.
+    detail_name = "BENCH_DETAIL.json" if only is None else "BENCH_DETAIL_only.json"
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               detail_name)
     detail = {
         "sf": sf,
         "total_cold_sec": total,
@@ -130,7 +133,7 @@ def main() -> None:
                 "warm_total_sec": warm_total,
                 "n_queries": len(times),
                 "n_failed": len(failed),
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     )
