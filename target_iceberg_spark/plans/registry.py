@@ -122,6 +122,8 @@ def _load_all() -> None:
         analytics_more,
         corpus_stats,
         quality_curation,
+        lakehouse,
+        mining,
     )
 
 
@@ -182,6 +184,12 @@ _HOIST: tuple[str, ...] = (
     "text_dup_ngram_fraction",
     "graph_also_bought",
     "sim_topk_incremental",
+    "scan_dpp",
+    "scan_merge_schema",
+    "fn_variant",
+    "sample_weighted",
+    "graph_triangles",
+    "text_boilerplate_strip",
 )
 
 

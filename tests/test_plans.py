@@ -498,3 +498,42 @@ def test_also_bought_broadcasts_probe_parts(spark, sf_oracle):
     assert any("custkey" in f for f in pushed_filter_lists(plan))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_dpp_injects_dynamic_pruning_subquery(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "scan_dpp")
+    # the year set comes from the broadcast dim at RUNTIME: the fact
+    # scan's PartitionFilters must carry a dynamicpruning subquery,
+    # not a static literal list
+    assert "dynamicpruning" in plan.lower()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_year" in pf
+    assert "BroadcastHashJoin" in plan or "SubqueryAdaptiveBroadcast" in plan
+
+
+def test_sample_weighted_two_phase_topk(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "sample_weighted")
+    # salted local cut then final per-segment cut: two windows, both
+    # partitioned (the salt bounds the first; k x salts bounds the
+    # second), never one global sort per segment over the whole table
+    assert plan.count("Window [") == 2
+    assert "Join" not in plan
+
+
+def test_graph_triangles_joins_are_equi_only(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # support threshold applied via a partial-phase aggregate before
+    # any triangle join
+    assert "partial_count" in plan
+
+
+def test_boilerplate_strip_shuffles_digests_no_window(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "text_boilerplate_strip")
+    # segments rejoin their verdicts through an md5-digest equi-join;
+    # reconstruction is collect_list-per-doc (aggregate), not a window
+    assert "md5" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

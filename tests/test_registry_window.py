@@ -125,7 +125,8 @@ NEW_IN_R5 = {
     "win_ntile", "agg_corr_matrix", "fn_url", "events_window_topk",
     "agg_bitmap_distinct", "agg_copurchase", "text_quality_logistic",
     "text_dup_ngram_fraction", "graph_also_bought",
-    "sim_topk_incremental",
+    "sim_topk_incremental", "scan_dpp", "scan_merge_schema", "fn_variant",
+    "sample_weighted", "graph_triangles", "text_boilerplate_strip",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

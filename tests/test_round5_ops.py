@@ -333,3 +333,130 @@ def test_incremental_topk_band_actually_prunes(spark, sf_oracle):
     )
     assert n_band >= TOP_K  # superset precondition for exactness
     assert n_band <= 0.5 * n, f"band degenerated: {n_band}/{n}"
+
+
+# -- round-5b: lakehouse + mining tier -------------------------------------
+
+
+def test_sample_weighted_is_exact_weighted_sample(spark, sf_oracle):
+    """Each segment yields exactly K rows ranked 1..K, and the
+    selection genuinely follows the Efraimidis-Spirakis weighted keys:
+    recomputing ln(u)/w in numpy over the whole table must reproduce
+    the engine's winners exactly."""
+    import hashlib
+    import math
+
+    from target_iceberg_spark.plans.mining import SAMPLE_K
+    from target_iceberg_spark.sources.tables import load_table
+
+    out = SPECS["sample_weighted"].builder(spark, sf_oracle).collect()
+    by_seg = {}
+    for r in out:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, rows in by_seg.items():
+        assert sorted(x["rnk"] for x in rows) == list(range(1, SAMPLE_K + 1))
+
+    cust = (
+        load_table(spark, sf_oracle, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    expect = {}
+    for r in cust:
+        u = (
+            int(hashlib.md5(str(r["c_custkey"]).encode()).hexdigest()[:8], 16) + 0.5
+        ) / 2.0**32
+        key = math.log(u) / r["c_acctbal"]
+        expect.setdefault(r["c_mktsegment"], []).append((-key, r["c_custkey"]))
+    for seg, rows in by_seg.items():
+        want = [ck for _, ck in sorted(expect[seg])[:SAMPLE_K]]
+        got = [x["c_custkey"] for x in sorted(rows, key=lambda x: x["rnk"])]
+        assert got == want, f"segment {seg}: {got} != {want}"
+
+
+def test_triangles_match_bruteforce(spark, sf_oracle):
+    """Per-part triangle counts must match a driver-side brute-force
+    enumeration over the same thresholded edge set."""
+    from itertools import combinations
+
+    from target_iceberg_spark.plans.mining import (
+        TRIANGLE_MIN_SUPPORT,
+        TRIANGLE_TOP,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    support = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    edges = {e for e, n in support.items() if n >= TRIANGLE_MIN_SUPPORT}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    tri_count = Counter()
+    for a, bs in adj.items():
+        for b in bs:
+            for c in adj.get(b, ()) :
+                if (a, c) in edges:
+                    for n in (a, b, c):
+                        tri_count[n] += 1
+    want = sorted(tri_count.items(), key=lambda kv: (-kv[1], kv[0]))[:TRIANGLE_TOP]
+    got = [
+        (r["part_key"], r["n_triangles"])
+        for r in SPECS["graph_triangles"].builder(spark, sf_oracle).collect()
+    ]
+    assert got == want
+
+
+def test_boilerplate_strip_removes_planted_shared_span(spark, sf_oracle):
+    """Documents sharing a planted 5-word span lose exactly that span;
+    a unique document keeps its text verbatim (round-trips through the
+    segment cut unchanged, including a ragged tail segment)."""
+    import os
+    import tempfile
+
+    span = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"{span} one two three four five six seven"),
+        (2, f"{span} eight nine ten eleven twelve thirteen"),
+        (3, "lone words that appear nowhere else at all plus tail bit"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in SPECS["text_boilerplate_strip"].builder(spark, td).collect()
+        }
+    assert out[1]["n_boiler"] == 1 and out[1]["clean_text"].startswith("one two")
+    assert out[2]["n_boiler"] == 1 and "eight" in out[2]["clean_text"]
+    assert out[3]["n_boiler"] == 0
+    assert out[3]["clean_text"] == docs[2][1]  # exact round-trip, ragged tail
+
+
+def test_merge_schema_read_nulls_old_generation(spark, sf_oracle):
+    rows = SPECS["scan_merge_schema"].builder(spark, sf_oracle).collect()
+    assert rows, "empty evolved scan"
+    for r in rows[:500]:
+        if r["ver"] == 1:
+            assert r["o_orderpriority"] is None
+        else:
+            assert r["o_orderpriority"] is not None
+    assert {r["ver"] for r in rows} == {1, 2}
+
+
+def test_fn_variant_typed_extraction_consistent(spark, sf_oracle):
+    rows = SPECS["fn_variant"].builder(spark, sf_oracle).limit(200).collect()
+    assert rows
+    for r in rows:
+        assert r["missing_k"] is None  # absent path -> NULL, not error
+        if r["k"] is not None:
+            assert r["k_str"] == str(r["k"])  # one variant, two typed reads
