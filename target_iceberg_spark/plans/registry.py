@@ -125,6 +125,12 @@ def _load_all() -> None:
         lakehouse,
         mining,
     )
+    # Round-5 POST-window additions: registered after the 50-slot
+    # window filled (same rotation pattern as round 4's session-3
+    # tier) — local oracle-parity/property evidence now, first in line
+    # for the round-6 hoist (tests/test_registry_window.py
+    # NEW_IN_R5_POST_WINDOW).
+    from target_iceberg_spark.plans import similarity_mmr  # noqa: F401
 
 
 # Hoisted to the front of the registry (ahead of module import order):

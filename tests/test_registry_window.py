@@ -10,7 +10,8 @@ ROUND-6 NOTE — do these IN ORDER before registering any new query:
      from NEW_IN_R5 into a new ROUND5_GREEN set; any FAIL stays
      hoisted).
   2. Rebuild registry._HOIST for round 6: any r5 FAILs first, then
-     whatever round-6 work changes outputs, then brand-new queries.
+     NEW_IN_R5_POST_WINDOW (first driver check), then whatever
+     round-6 work changes outputs, then brand-new queries.
   3. The window holds 50; anything unverified beyond it must go into
      a new POST_WINDOW set, and this file's tests enforce both
      bookkeeping steps.
@@ -129,13 +130,24 @@ NEW_IN_R5 = {
     "sample_weighted", "graph_triangles", "text_boilerplate_strip",
 }
 
+# Registered AFTER the round-5 window filled (the round-4 session-3
+# pattern): no driver row yet BY DESIGN — covered by local
+# property/parity tests and first in line for the round-6 hoist.
+NEW_IN_R5_POST_WINDOW = {
+    "emb_mmr",  # rows-only by design (greedy MMR; numpy-equivalence test)
+}
+
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
 
 
 def test_unverified_queries_inside_checker_window():
     names = list(all_specs())
     assert len(names) >= WINDOW
-    outside = [n for n in names[WINDOW:] if n not in GREEN]
+    outside = [
+        n
+        for n in names[WINDOW:]
+        if n not in GREEN and n not in NEW_IN_R5_POST_WINDOW
+    ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
         f"the {WINDOW}-entry checker window: {outside}"
@@ -153,5 +165,5 @@ def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - NEW_IN_R5
+    unaccounted = names - GREEN - NEW_IN_R5 - NEW_IN_R5_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"

@@ -460,3 +460,101 @@ def test_fn_variant_typed_extraction_consistent(spark, sf_oracle):
         assert r["missing_k"] is None  # absent path -> NULL, not error
         if r["k"] is not None:
             assert r["k_str"] == str(r["k"])  # one variant, two typed reads
+
+
+# -- emb_mmr ---------------------------------------------------------------
+
+
+def _mmr_numpy(cands, k, lam):
+    """Independent numpy reimplementation of greedy MMR (vectorized,
+    different code path from plans/similarity_mmr.py's pure-Python
+    loop)."""
+    import numpy as np
+
+    ids = np.array([c[0] for c in cands])
+    V = np.array([c[1] for c in cands], dtype=np.float64)
+    rel = np.array([c[2] for c in cands], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    alive = np.ones(len(ids), bool)
+    max_sim = np.full(len(ids), -np.inf)
+    out = []
+    for step in range(min(k, len(ids))):
+        div = np.where(np.isinf(max_sim), 0.0, max_sim) if step else np.zeros(len(ids))
+        score = lam * rel - (1 - lam) * div
+        score[~alive] = -np.inf
+        # argmax with vec_id tie-break
+        best = min(
+            ((-score[i], ids[i], i) for i in range(len(ids)) if alive[i])
+        )[2]
+        out.append((int(ids[best]), float(rel[best]), float(score[best])))
+        alive[best] = False
+        max_sim = np.maximum(max_sim, np.where(alive, sims[:, best], -np.inf))
+    return out
+
+
+def test_mmr_matches_independent_numpy(spark, sf_oracle):
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.functions.vectors import cosine
+    from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K
+    from target_iceberg_spark.plans.similarity_mmr import (
+        MMR_CANDIDATES,
+        MMR_LAMBDA,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"]
+    ]
+    p_lit = F.array(*[F.lit(v) for v in probe])
+    cands = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["rel"])
+        for r in emb.where(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", "embedding", cosine("embedding", p_lit).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .collect()
+    ]
+    want = _mmr_numpy(cands, TOP_K, MMR_LAMBDA)
+    got = SPECS["emb_mmr"].builder(spark, sf_oracle).collect()
+    assert [r["vec_id"] for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert abs(r["relevance"] - w[1]) < 1e-6
+        assert abs(r["mmr_score"] - w[2]) < 1e-6
+    assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_mmr_is_more_diverse_than_pure_relevance(spark, sf_oracle):
+    """The point of MMR: the selected set's maximum pairwise cosine
+    must not exceed pure relevance top-k's (and the first pick IS the
+    relevance argmax)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K
+    from target_iceberg_spark.sources.tables import load_table
+
+    got = SPECS["emb_mmr"].builder(spark, sf_oracle).collect()
+    rel_top = SPECS["sim_cosine_topk"].builder(spark, sf_oracle).collect()
+    assert got[0]["vec_id"] == rel_top[0]["vec_id"]  # first pick = argmax rel
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_oracle, "embeddings")
+        .where(F.col("vec_id") != PROBE_VEC_ID)
+        .collect()
+    }
+
+    def max_pairwise(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        return max(
+            float(a @ b) for i, a in enumerate(vs) for b in vs[i + 1 :]
+        )
+
+    assert len(got) == TOP_K
+    assert max_pairwise([r["vec_id"] for r in got]) <= max_pairwise(
+        [r["vec_id"] for r in rel_top]
+    ) + 1e-12
