@@ -130,7 +130,10 @@ def _load_all() -> None:
     # tier) — local oracle-parity/property evidence now, first in line
     # for the round-6 hoist (tests/test_registry_window.py
     # NEW_IN_R5_POST_WINDOW).
-    from target_iceberg_spark.plans import similarity_mmr  # noqa: F401
+    from target_iceberg_spark.plans import (  # noqa: F401
+        similarity_mmr,
+        dedup_cdc,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):

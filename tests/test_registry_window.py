@@ -135,6 +135,7 @@ NEW_IN_R5 = {
 # property/parity tests and first in line for the round-6 hoist.
 NEW_IN_R5_POST_WINDOW = {
     "emb_mmr",  # rows-only by design (greedy MMR; numpy-equivalence test)
+    "dedup_cdc_chunks",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

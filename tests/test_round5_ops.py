@@ -558,3 +558,39 @@ def test_mmr_is_more_diverse_than_pure_relevance(spark, sf_oracle):
     assert max_pairwise([r["vec_id"] for r in got]) <= max_pairwise(
         [r["vec_id"] for r in rel_top]
     ) + 1e-12
+
+
+# -- dedup_cdc_chunks ------------------------------------------------------
+
+
+def test_cdc_chunking_is_shift_robust(spark):
+    """THE content-defined-chunking property: inserting one word near
+    the head of a long document changes only the chunk containing the
+    edit — downstream chunk digests survive, so the two versions still
+    share most chunks (a fixed-stride chunker would lose every
+    downstream chunk). Also: two unrelated docs share nothing."""
+    import os
+    import tempfile
+
+    base_words = [f"w{i * 7919 % 1000}" for i in range(200)]
+    edited = base_words[:5] + ["INSERTED"] + base_words[5:]
+    docs = [
+        (1, " ".join(base_words)),
+        (2, " ".join(edited)),
+        (3, " ".join(f"z{i * 104729 % 997}" for i in range(200))),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in SPECS["dedup_cdc_chunks"].builder(spark, td).collect()
+        }
+    # the edited pair shares the overwhelming majority of chunks
+    assert out[1]["shared_frac"] >= 0.8, out[1]
+    assert out[2]["shared_frac"] >= 0.8, out[2]
+    # the unrelated doc shares nothing
+    assert out[3]["n_shared"] == 0
+    # sanity: expected-size chunking actually chunked (not 1 mega-chunk)
+    assert out[1]["n_chunks"] >= 10
