@@ -486,3 +486,88 @@ def streaming_heavy_hitters(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_current_state(
+    changes: DataFrame,
+    key_col: str = "key",
+    delete_col: str = "is_delete",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts", "seq"),
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming CDC apply — the stateful twin of the batch
+    `cdc_apply_changelog` query (plans/quality_curation.py): maintain
+    each key's CURRENT value from a changelog stream of upserts and
+    deletes, last-writer-wins. After every micro-batch that touches a
+    key, one row of the key's post-batch state is emitted (epoch
+    increments per emission), so the latest emission per key IS the
+    current-state table — the dataflow an Iceberg MERGE sink executes
+    per commit (writer.py's upsert mode), kept incrementally instead.
+
+    Ordering: rows of one key within a micro-batch are folded in
+    ``order_cols`` order; across micro-batches the state only moves
+    forward (a later batch's ops override), matching the CDC contract
+    that the changelog arrives in commit order. State per key is one
+    (value, deleted) pair — O(active keys), independent of history.
+
+    ``state_timeout_ms``: None for bounded availableNow drains; set on
+    long-lived streams to expire idle keys (a timed-out key's state
+    drops; a later change re-creates it, which for CDC means the
+    stream must re-snapshot evicted keys — the standard state-TTL
+    trade, documented rather than hidden)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    order = list(order_cols)
+
+    def _spark_type(col: str) -> str:
+        return changes.schema[col].dataType.simpleString()
+
+    out_schema = (
+        f"{key_col} {_spark_type(key_col)}, is_deleted boolean, "
+        f"value {_spark_type(value_col)}, epoch int"
+    )
+    state_schema = f"value {_spark_type(value_col)}, deleted boolean, epoch int"
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if state_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def apply_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks).sort_values(order, kind="mergesort")
+        last = batch.iloc[-1]  # last-writer-wins within the batch
+        epoch = (state.get[2] if state.exists else 0) + 1
+        deleted = bool(last[delete_col])
+        value = None if deleted else float(last[value_col])
+        state.update((value, deleted, epoch))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "is_deleted": [deleted],
+                "value": [value],
+                "epoch": [epoch],
+            }
+        )
+
+    return changes.groupBy(key_col).applyInPandasWithState(
+        apply_fn,
+        out_schema,
+        state_schema,
+        "append",
+        timeout_conf,
+    )

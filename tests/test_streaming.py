@@ -1043,3 +1043,78 @@ def test_window_topk_stream_panes_plus_finisher_equals_batch(
         (r["day"], r["event_type"], r["n"], r["rnk"]) for r in batch.collect()
     }
     assert got == want
+
+
+def test_stateful_cdc_current_state_equals_batch_compaction(spark, tmp_path):
+    """Streaming CDC apply must converge to the batch last-writer-wins
+    compaction: feed a keyed changelog split across two micro-batches;
+    each key's LAST emission (highest epoch) must equal folding the
+    whole changelog in (ts, seq) order — including a key whose final
+    op is a delete (tombstone) and a key that only appears in batch 1.
+    Keys touched by both batches must show epoch 2 (state carried)."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import cdc_current_state
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "key": [1, 1, 2, 3],
+            "ts": [10, 20, 10, 10],
+            "seq": [0, 1, 0, 0],
+            "is_delete": [False, False, False, False],
+            "value": [100.0, 110.0, 200.0, 300.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "key": [1, 2, 2],
+            "ts": [30, 30, 40],
+            "seq": [0, 0, 1],
+            "is_delete": [False, False, True],  # key 2 ends deleted
+            "value": [120.0, 210.0, 0.0],
+        }
+    )
+    b1.to_parquet(src / "a.parquet")
+    b2.to_parquet(src / "b.parquet")
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema(
+            "key LONG, ts LONG, seq LONG, is_delete BOOLEAN, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = cdc_current_state(stream, order_cols=("ts", "seq"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_state_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("cdc_state_out").collect()
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["epoch"] > final[r["key"]]["epoch"]:
+            final[r["key"]] = r
+
+    # batch twin: fold the full changelog in (ts, seq) order per key
+    full = pd.concat([b1, b2]).sort_values(["ts", "seq"], kind="mergesort")
+    for key, grp in full.groupby("key"):
+        last = grp.iloc[-1]
+        got = final[key]
+        assert got["is_deleted"] == bool(last["is_delete"])
+        if last["is_delete"]:
+            assert got["value"] is None  # tombstone carries no value
+        else:
+            assert got["value"] == last["value"]
+    assert final[1]["epoch"] == 2 and final[2]["epoch"] == 2  # state carried
+    assert final[3]["epoch"] == 1  # batch-1-only key emitted once
