@@ -137,11 +137,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the support threshold does the heavy lifting — it
     cuts the quadratic pair space down to recurrent edges BEFORE any
     triangle join (the same cut agg_copurchase makes), and each join
-    in the chain is an equi-join shuffled on a part key. At 100 TB the
-    edge list is the persisted artifact (compute once, reuse across
-    the e1/e2/e3 arms via a cached table instead of this query's
-    lazy re-derivation); degree-capping hub nodes bounds the e1xe2
-    expansion exactly like dedup_minhash_capped bounds LSH buckets."""
+    in the chain is an equi-join shuffled on a part key. The edge
+    subtree appears three times in the LOGICAL plan but runs ONCE:
+    AQE's shuffle-stage reuse serves the e1/e2/e3 arms from the same
+    materialized exchange (ReusedExchange in the final adaptive plan,
+    pinned in tests/test_plans.py) — at 100 TB the same edge list
+    would additionally be persisted across whole queries, and
+    degree-capping hub nodes bounds the e1xe2 expansion exactly like
+    dedup_minhash_capped bounds LSH buckets."""
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

@@ -537,3 +537,21 @@ def test_boilerplate_strip_shuffles_digests_no_window(spark, sf_oracle):
     assert "md5" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_graph_triangles_reuses_edge_shuffle_at_runtime(spark, sf_oracle):
+    """The edge subtree appears 3x in the logical plan (e1/e2/e3) but
+    must execute once: AQE serves the arms from the same materialized
+    shuffle stage (ReusedExchange in the FINAL adaptive plan)."""
+    df = SPECS["graph_triangles"].builder(spark, sf_oracle)
+    df.collect()  # AQE reuse is a runtime decision — run it
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+
+
+def test_incremental_topk_band_plans_take_ordered_no_shuffle(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "sim_topk_incremental")
+    # one corpus fold -> 1-row tau broadcast -> pushable band filter ->
+    # exact re-score -> top-k; no hash-partitioned shuffle anywhere
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
