@@ -70,3 +70,62 @@ def test_pagerank_matches_reference_recurrence(spark, edges):
     assert set(got) == set(nodes)
     for v in nodes:
         assert abs(got[v] - rank[idx[v]]) < 1e-9, (v, got[v], rank[idx[v]])
+
+
+# -- mmr_select ------------------------------------------------------------
+
+
+@st.composite
+def _mmr_candidates(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    dims = draw(st.integers(min_value=2, max_value=4))
+    out = []
+    for vid in range(n):
+        vec = [
+            draw(
+                st.floats(
+                    min_value=-2.0,
+                    max_value=2.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                )
+            )
+            for _ in range(dims)
+        ]
+        # avoid the zero vector (cosine undefined)
+        if all(abs(x) < 1e-6 for x in vec):
+            vec[0] = 1.0
+        rel = draw(
+            st.floats(
+                min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False
+            )
+        )
+        out.append((vid, vec, rel))
+    return out
+
+
+@given(cands=_mmr_candidates(), k=st.integers(min_value=1, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_mmr_select_invariants(cands, k):
+    from target_iceberg_spark.plans.similarity_mmr import mmr_select
+
+    picked = mmr_select(cands, k, 0.5)
+    ids = [p[0] for p in picked]
+    assert len(picked) == min(k, len(cands))  # exhausts or fills k
+    assert len(set(ids)) == len(ids)  # no repeats
+    assert set(ids) <= {c[0] for c in cands}  # subset of candidates
+    # first pick is the pure-relevance argmax (vec_id tie-break)
+    best = min((-c[2], c[0]) for c in cands)[1]
+    assert ids[0] == best
+
+
+@given(cands=_mmr_candidates(), k=st.integers(min_value=1, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_mmr_lambda_one_is_pure_relevance(cands, k):
+    """lambda=1 removes the diversity term entirely: MMR must reduce
+    to relevance ranking exactly (same order, same tie-breaks)."""
+    from target_iceberg_spark.plans.similarity_mmr import mmr_select
+
+    picked = mmr_select(cands, k, 1.0)
+    want = [c[0] for c in sorted(cands, key=lambda c: (-c[2], c[0]))[:k]]
+    assert [p[0] for p in picked] == want
