@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.functions.hashing import hex_int, hex_int_sql
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -33,7 +34,7 @@ WITH w AS (
 ),
 b AS (
     SELECT doc_id, pos, word,
-           SUM(CASE WHEN CAST('0x' || substr(md5(word), 1, 2) AS INT)
+           SUM(CASE WHEN {hex_int_sql("md5(word)", 1, 2)}
                          % {CDC_MODULUS} = 0
                     THEN 1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY pos
@@ -63,9 +64,9 @@ GROUP BY c.doc_id
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document shift-robust containment via content-defined
     chunks: boundaries fall on words whose md5 lands in residue 0 mod
-    {CDC_MODULUS} (expected chunk ~{CDC_MODULUS} words), each chunk is
-    digested, and a chunk digest appearing in >= {CDC_SHARED_MIN_DOCS}
-    distinct documents marks shared content. Unlike the fixed 8-gram
+    8 (expected chunk ~8 words), each chunk is digested, and a chunk
+    digest appearing in >= 2 distinct documents marks shared
+    content. Unlike the fixed 8-gram
     fraction (text_dup_ngram_fraction), inserting one word upstream
     does NOT invalidate every downstream chunk — only the chunk
     containing the edit changes.
@@ -83,9 +84,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
     flag = (
-        F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("int")
-        % CDC_MODULUS
-        == 0
+        hex_int(F.md5("word"), 1, 2).cast("int") % CDC_MODULUS == 0
     ).cast("long")
     win = (
         Window.partitionBy("doc_id")

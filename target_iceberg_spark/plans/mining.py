@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.functions.hashing import hex_int, hex_int_sql
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -30,8 +31,8 @@ BOILER_MIN_DOCS = 2
     oracle=f"""
 WITH scored AS (
     SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
-           ln((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
-                    AS BIGINT) + 0.5) / 4294967296.0) / c_acctbal AS es_key
+           ln(({hex_int_sql("md5(CAST(c_custkey AS VARCHAR))")} + 0.5)
+              / 4294967296.0) / c_acctbal AS es_key
     FROM customer
     WHERE c_acctbal > 0
 )
@@ -55,18 +56,24 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.rand would give neither).
 
     Scale shape: TWO-PHASE top-k — a first row_number over
-    (segment, salt) cuts each of the {SAMPLE_SALTS} salt slices to its
-    local top-k, so the final per-segment window sorts at most
-    k x salts rows, never the whole group. A single window over a
-    5-segment key would funnel n/5 rows into 5 tasks at 100 TB; the
-    salted pre-cut keeps every task bounded. The oracle runs the
-    single-window form — both produce the identical final top-k, which
-    is precisely the claim the hash checks."""
+    (segment, salt) cuts each of the 32 salt slices to its local
+    top-k, so the final per-segment window sorts at most k x salts
+    rows, never the whole group. A single window over a 5-segment key
+    would funnel n/5 rows into 5 tasks at 100 TB; the salted pre-cut
+    keeps every task bounded. The oracle runs the single-window form —
+    both produce the identical final top-k, which is precisely the
+    claim the hash checks.
+
+    The ranking key is deliberately NOT rounded (unlike output-column
+    transcendentals): only the O(k) comparisons around each segment's
+    selection boundary affect the result, their key gaps are
+    macroscopic for random md5 draws, and rounding would CREATE
+    boundary cases (a value within an ulp of a rounding edge flips
+    sides between libms) far more often than raw ulp-adjacent keys
+    occur."""
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
     u = (
-        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        + 0.5
+        hex_int(F.md5(F.col("c_custkey").cast("string"))).cast("double") + 0.5
     ) / F.lit(2.0**32)
     scored = cust.select(
         F.col("c_mktsegment").alias("segment"),
@@ -128,7 +135,7 @@ LIMIT {TRIANGLE_TOP}
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the co-purchase graph (parts bought
-    together in >= {TRIANGLE_MIN_SUPPORT} orders): the classic
+    together in >= 2 orders): the classic
     graph-mining primitive behind clustering coefficients and
     community seeds. Canonical orientation (pa < pb) makes every
     triangle (a<b<c) appear exactly once, so the count is a pure
@@ -225,8 +232,8 @@ GROUP BY doc_id
 )
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style boilerplate REMOVAL: documents are cut into
-    non-overlapping {SEG_WORDS}-word segments, any segment occurring in
-    >= {BOILER_MIN_DOCS} distinct documents (nav bars, license
+    non-overlapping 5-word segments, any segment occurring in
+    >= 2 distinct documents (nav bars, license
     footers, templated spans) is dropped, and the surviving segments
     are stitched back in order — the surgical sibling of
     text_dup_ngram_fraction, which only MEASURES the overlap, and of

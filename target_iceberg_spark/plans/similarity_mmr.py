@@ -33,16 +33,22 @@ def mmr_select(cands: list[tuple[int, list[float], float]], k: int, lam: float):
         dot = sum(x * y for x, y in zip(a, b))
         na = sum(x * x for x in a)
         nb = sum(x * x for x in b)
-        return dot / math.sqrt(na * nb)
+        denom = math.sqrt(na * nb)
+        # zero-norm vector: no direction, contributes no diversity
+        # penalty instead of a ZeroDivisionError mid-selection
+        return dot / denom if denom > 0.0 else 0.0
 
     remaining = {vid: (vec, rel) for vid, vec, rel in cands}
+    # max cosine to the selected set; -inf until first updated (every
+    # remaining candidate is updated after each pick, so it is only
+    # -inf while nothing is selected — masked by the `div` guard below)
     max_sim: dict[int, float] = {vid: float("-inf") for vid in remaining}
     selected: list[tuple[int, float, float]] = []  # (vec_id, rel, mmr_score)
     while remaining and len(selected) < k:
         best = None
         for vid, (vec, rel) in remaining.items():
             div = max_sim[vid] if selected else 0.0
-            score = lam * rel - (1.0 - lam) * (div if selected else 0.0)
+            score = lam * rel - (1.0 - lam) * div
             key = (-score, vid)
             if best is None or key < best[0]:
                 best = (key, vid, rel, score)

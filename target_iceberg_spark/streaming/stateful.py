@@ -515,7 +515,12 @@ def cdc_current_state(
     long-lived streams to expire idle keys (a timed-out key's state
     drops; a later change re-creates it, which for CDC means the
     stream must re-snapshot evicted keys — the standard state-TTL
-    trade, documented rather than hidden)."""
+    trade, documented rather than hidden). NOTE: eviction also resets
+    the re-created key's epoch to 1, so with a TTL the per-key epoch
+    is NOT globally monotonic — consumers of a TTL'd stream must
+    resolve current state by emission order (e.g. foreachBatch
+    upsert), not by max(epoch); max(epoch) is only a valid resolver
+    on TTL-less drains like the equivalence test's."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     order = list(order_cols)
@@ -551,7 +556,14 @@ def cdc_current_state(
         last = batch.iloc[-1]  # last-writer-wins within the batch
         epoch = (state.get[2] if state.exists else 0) + 1
         deleted = bool(last[delete_col])
-        value = None if deleted else float(last[value_col])
+        if deleted:
+            value = None
+        else:
+            raw = last[value_col]
+            # un-numpy pandas scalars; keep the column's declared type
+            # (out_schema/state_schema are derived from it — a string
+            # or decimal value column must round-trip untouched)
+            value = raw.item() if hasattr(raw, "item") else raw
         state.update((value, deleted, epoch))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)

@@ -1118,3 +1118,40 @@ def test_stateful_cdc_current_state_equals_batch_compaction(spark, tmp_path):
             assert got["value"] == last["value"]
     assert final[1]["epoch"] == 2 and final[2]["epoch"] == 2  # state carried
     assert final[3]["epoch"] == 1  # batch-1-only key emitted once
+
+
+def test_stateful_cdc_current_state_string_value_column(spark, tmp_path):
+    """The generic value_col contract: a STRING value column must
+    round-trip untouched (out/state schemas are derived from it — a
+    float coercion would kill every task)."""
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import cdc_current_state
+
+    src = tmp_path / "cdc_str_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "key": [1, 1, 2],
+            "ts": [10, 20, 10],
+            "seq": [0, 1, 0],
+            "is_delete": [False, False, True],
+            "value": ["alice", "bob", "gone"],
+        }
+    ).to_parquet(src / "a.parquet")
+    stream = spark.readStream.schema(
+        "key LONG, ts LONG, seq LONG, is_delete BOOLEAN, value STRING"
+    ).parquet(str(src))
+    out = cdc_current_state(stream, order_cols=("ts", "seq"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_str_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc_str"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["key"]: r for r in spark.table("cdc_str_out").collect()}
+    assert rows[1]["value"] == "bob" and not rows[1]["is_deleted"]
+    assert rows[2]["value"] is None and rows[2]["is_deleted"]
