@@ -133,6 +133,8 @@ def _load_all() -> None:
     from target_iceberg_spark.plans import (  # noqa: F401
         similarity_mmr,
         dedup_cdc,
+        feature_store,
+        profiling_extra,
     )
 
 

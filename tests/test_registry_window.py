@@ -136,6 +136,8 @@ NEW_IN_R5 = {
 NEW_IN_R5_POST_WINDOW = {
     "emb_mmr",  # rows-only by design (greedy MMR; numpy-equivalence test)
     "dedup_cdc_chunks",
+    "join_asof_tolerance",
+    "profile_topk_values",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

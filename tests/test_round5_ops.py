@@ -594,3 +594,52 @@ def test_cdc_chunking_is_shift_robust(spark):
     assert out[3]["n_shared"] == 0
     # sanity: expected-size chunking actually chunked (not 1 mega-chunk)
     assert out[1]["n_chunks"] >= 10
+
+
+# -- join_asof_tolerance / profile_topk_values -----------------------------
+
+
+def test_asof_tolerance_rejects_stale_matches(spark, sf_oracle):
+    """The tolerance variant must agree with the plain as-of join
+    wherever the match is fresh, NULL exactly the stale ones, and
+    report non-negative staleness within the budget."""
+    from target_iceberg_spark.plans.feature_store import ASOF_TOLERANCE_US
+
+    plain = {
+        r["event_id"]: r["signup_event_id"]
+        for r in SPECS["join_asof"].builder(spark, sf_oracle).collect()
+    }
+    tol = SPECS["join_asof_tolerance"].builder(spark, sf_oracle).collect()
+    n_fresh = n_stale_or_missing = 0
+    for r in tol:
+        if r["signup_event_id"] is not None:
+            n_fresh += 1
+            assert plain[r["event_id"]] == r["signup_event_id"]  # same match
+            assert 0 <= r["staleness_s"] <= ASOF_TOLERANCE_US // 1_000_000
+        else:
+            n_stale_or_missing += 1
+            assert r["staleness_s"] is None
+    assert n_fresh > 0 and n_stale_or_missing > 0  # budget actually bites
+
+
+def test_profile_topk_values_counts_are_true_frequencies(spark, sf_oracle):
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.sources.tables import load_table
+
+    out = SPECS["profile_topk_values"].builder(spark, sf_oracle).collect()
+    cols = {r["col_name"] for r in out}
+    assert cols == {"o_orderstatus", "o_orderpriority", "o_year"}
+    orders = load_table(spark, sf_oracle, "orders")
+    true_prio = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out:
+        if r["col_name"] == "o_orderpriority":
+            assert true_prio[r["value"]] == r["n"]
+    for c in cols:
+        ranks = sorted(r["rnk"] for r in out if r["col_name"] == c)
+        assert ranks == list(range(1, len(ranks) + 1))
