@@ -135,6 +135,8 @@ def _load_all() -> None:
         dedup_cdc,
         feature_store,
         profiling_extra,
+        quality_robust,
+        matryoshka,
     )
 
 

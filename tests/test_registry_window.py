@@ -138,6 +138,9 @@ NEW_IN_R5_POST_WINDOW = {
     "dedup_cdc_chunks",
     "join_asof_tolerance",
     "profile_topk_values",
+    "agg_outlier_mad",
+    "fn_try_arithmetic",
+    "sim_matryoshka_prefix",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

@@ -643,3 +643,47 @@ def test_profile_topk_values_counts_are_true_frequencies(spark, sf_oracle):
     for c in cols:
         ranks = sorted(r["rnk"] for r in out if r["col_name"] == c)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+# -- agg_outlier_mad / sim_matryoshka_prefix -------------------------------
+
+
+def test_mad_detector_is_robust_to_planted_extreme(spark):
+    """THE robustness property: one absurd value must be flagged
+    WITHOUT inflating the spread estimate that judges it (a z-score
+    detector fails exactly this: the glitch inflates sigma until it
+    hides itself — and at this n it hides completely)."""
+    import os
+    import statistics
+    import tempfile
+
+    # small n on purpose: a single outlier's z-score is ~sqrt(n) after
+    # it corrupts the std, so at n=9 it sits UNDER 3 sigma — invisible
+    # to the z-score twin — while MAD flags it regardless of n
+    vals = [float(v) for v in range(100, 108)] + [1_000_000.0]
+    rows = [(i, "t", v) for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        ).write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        out = SPECS["agg_outlier_mad"].builder(spark, td).collect()[0]
+    assert out["n_outliers"] == 1  # the glitch, and only the glitch
+    assert out["mad_value"] <= 10  # spread estimate NOT inflated
+    # the z-score twin hides it: the glitch sits under 3 sigma of the
+    # mean/std IT corrupted
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(1_000_000.0 - mu) < 3 * sd
+
+
+def test_matryoshka_flags_agree_with_exact_arm(spark, sf_oracle):
+    """in_full_topk must be TRUE exactly for the ids the exact
+    full-dim top-k (sim_cosine_topk) returns."""
+    full_ids = {
+        r["vec_id"] for r in SPECS["sim_cosine_topk"].builder(spark, sf_oracle).collect()
+    }
+    out = SPECS["sim_matryoshka_prefix"].builder(spark, sf_oracle).collect()
+    for r in out:
+        assert r["in_full_topk"] == (r["vec_id"] in full_ids)
+    # prefix scores really are computed on the prefix: they must not
+    # all equal the full score (distinct arms)
+    assert any(abs(r["prefix_sim"] - r["full_sim"]) > 1e-6 for r in out)
