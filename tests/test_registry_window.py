@@ -141,6 +141,7 @@ NEW_IN_R5_POST_WINDOW = {
     "agg_outlier_mad",
     "fn_try_arithmetic",
     "sim_matryoshka_prefix",
+    "profile_entropy",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

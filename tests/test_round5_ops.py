@@ -687,3 +687,34 @@ def test_matryoshka_flags_agree_with_exact_arm(spark, sf_oracle):
     # prefix scores really are computed on the prefix: they must not
     # all equal the full score (distinct arms)
     assert any(abs(r["prefix_sim"] - r["full_sim"]) > 1e-6 for r in out)
+
+
+def test_profile_entropy_bounds_and_degenerate_case(spark, sf_oracle):
+    """0 <= H <= ln(n_distinct) on real data; a constant column's
+    entropy is exactly 0 and a uniform one's exactly ln(k)."""
+    import math
+    import os
+    import tempfile
+
+    out = {r["col_name"]: r for r in SPECS["profile_entropy"].builder(spark, sf_oracle).collect()}
+    assert set(out) == {"o_orderstatus", "o_orderpriority", "o_year"}
+    for r in out.values():
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-9
+
+    rows = [(i, "CONST", 100.0, f"d{i % 4}", "P") for i in range(8)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "o_orderdate_str string, o_orderpriority string",
+        ).selectExpr(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            "CAST(concat('199', substr(o_orderdate_str, 2, 1), '-01-01') AS DATE) AS o_orderdate",
+            "o_orderpriority",
+        ).write.mode("overwrite").parquet(os.path.join(td, "orders.parquet"))
+        synth = {
+            r["col_name"]: r
+            for r in SPECS["profile_entropy"].builder(spark, td).collect()
+        }
+    assert synth["o_orderstatus"]["entropy_nats"] == 0.0  # constant column
+    assert abs(synth["o_year"]["entropy_nats"] - round(math.log(4), 6)) < 1e-6
