@@ -1,0 +1,143 @@
+"""Gopher-style document quality rules and lexical diversity
+(SURVEY.md §2B text-analysis north star, round-5 post-window).
+
+The Gopher paper (Rae et al. 2021, public) established the standard
+rule-based pre-filter for LLM corpora: word-count bounds, mean-word-
+length bounds, and a minimum stop-word presence. text_quality /
+text_quality_logistic score documents; this tier reproduces the
+published RULE set itself, per document, entirely with JVM list
+higher-order functions (zero explode, zero shuffle for the signals).
+
+text_lexical_diversity adds the classic type-token ratio / hapax
+family — the cheap statistical screen for keyboard-mash and
+template-generated text that rule thresholds miss.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+MIN_WORDS, MAX_WORDS = 30, 500
+MIN_MWL, MAX_MWL = 3.0, 10.0
+MIN_STOP_FRAC = 0.02
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH sig AS (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS word_count,
+           ROUND(CAST(list_sum(list_transform(words, w -> length(w)))
+                      AS DOUBLE) / len(words), 4) AS mean_word_len,
+           ROUND(CAST(len(list_filter(words, w -> w IN ({_STOP_SQL})))
+                      AS DOUBLE) / len(words), 4) AS stopword_frac
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+)
+SELECT doc_id, word_count, mean_word_len, stopword_frac,
+       (word_count BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+        AND mean_word_len BETWEEN {MIN_MWL} AND {MAX_MWL}
+        AND stopword_frac >= {MIN_STOP_FRAC}) AS passes_gopher
+FROM sig
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter per document: word count in
+    [{MIN_WORDS}, {MAX_WORDS}], mean word length in [3, 10], and
+    stop-word fraction >= 2% — the published pre-filter rule set
+    (Rae et al. 2021) that LLM corpus pipelines run before any
+    model-based scoring.
+
+    Scale shape: every signal is computed INSIDE the row with list
+    higher-order functions (size / aggregate / filter) — whole-stage
+    codegen, zero explode, zero shuffle, embarrassingly parallel over
+    documents. At 100 TB this is a pure map stage whose output
+    (4 scalars + a bool per doc) is what downstream curation joins
+    against; compare text_lexical_diversity, whose statistics
+    genuinely need the explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    wc = F.size(words)
+    chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    stops = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    sig = docs.select(
+        "doc_id",
+        wc.cast("bigint").alias("word_count"),
+        F.round(chars.cast("double") / wc, 4).alias("mean_word_len"),
+        F.round(stops.cast("double") / wc, 4).alias("stopword_frac"),
+    )
+    return sig.select(
+        "*",
+        (
+            F.col("word_count").between(MIN_WORDS, MAX_WORDS)
+            & F.col("mean_word_len").between(MIN_MWL, MAX_MWL)
+            & (F.col("stopword_frac") >= MIN_STOP_FRAC)
+        ).alias("passes_gopher"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+per_word AS (
+    SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS hapax_ratio
+FROM per_word
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "diversity"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio (distinct
+    words / total words) and hapax ratio (share of vocabulary used
+    exactly once) — the statistical screens for template spam (TTR
+    near 0) and keyboard mash (hapax near 1) that threshold rules
+    can't see.
+
+    Scale shape: explode -> two stacked map-side-combinable
+    aggregations, both keyed by doc_id (the second reuses the first's
+    partitioning — Catalyst plans ONE exchange for the pair). Token
+    counts never leave their executor unpre-aggregated; no window, no
+    skew beyond document length itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    per_word = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("c"), 4
+            ).alias("ttr"),
+            F.round(
+                F.sum((F.col("c") == 1).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -137,6 +137,9 @@ def _load_all() -> None:
         profiling_extra,
         quality_robust,
         matryoshka,
+        stats_inference,
+        gopher_quality,
+        dedup_lines,
     )
 
 

@@ -49,7 +49,15 @@ def mmr_select(cands: list[tuple[int, list[float], float]], k: int, lam: float):
         for vid, (vec, rel) in remaining.items():
             div = max_sim[vid] if selected else 0.0
             score = lam * rel - (1.0 - lam) * div
-            key = (-score, vid)
+            # While nothing is selected the diversity term is zero, so
+            # for lam>0 the argmax of lam*rel IS the argmax of rel —
+            # but only mathematically: lam*rel can UNDERFLOW to 0.0 for
+            # subnormal rel (hypothesis found rel=5e-324, lam=0.5),
+            # collapsing a strict ordering into a vec_id tie-break.
+            # Rank the first pick on raw relevance to keep the
+            # documented "pure-relevance argmax" invariant exact.
+            rank_score = rel if not selected and lam > 0.0 else score
+            key = (-rank_score, vid)
             if best is None or key < best[0]:
                 best = (key, vid, rel, score)
         _, vid, rel, score = best

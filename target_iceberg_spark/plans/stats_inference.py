@@ -1,0 +1,250 @@
+"""Statistical-inference aggregates (SURVEY.md §2B analytics tier,
+round-5 post-window).
+
+Three aggregate shapes every large-scale experimentation / logistics
+stack needs that plain GROUP BY cannot express directly, each built so
+the only full-data stage is a combinable aggregation:
+
+  * agg_ab_test          — Welch's unequal-variance t-test per cohort
+  * agg_weighted_percentile — exact weighted quantiles via the
+                              distinct-value cum-weight sweep
+  * agg_max_concurrent   — peak interval concurrency via the +1/-1
+                              boundary sweep (no pairwise overlap join)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+TOP_SUPPLIERS = 20
+
+
+@register(
+    "agg_ab_test",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id % 2 AS arm, event_type,
+           SUM(value) AS user_value
+    FROM events
+    GROUP BY user_id % 2, event_type, user_id
+),
+arms AS (
+    SELECT event_type, arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           AVG(user_value) AS mean_v,
+           VAR_SAMP(user_value) AS var_v
+    FROM per_user
+    GROUP BY event_type, arm
+),
+paired AS (
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           a.mean_v AS mean_a, b.mean_v AS mean_b,
+           a.var_v / a.n AS sa, b.var_v / b.n AS sb,
+           a.var_v AS var_a, b.var_v AS var_b
+    FROM arms a JOIN arms b USING (event_type)
+    WHERE a.arm = 0 AND b.arm = 1
+)
+SELECT event_type, n_a, n_b,
+       ROUND(mean_a, 4) AS mean_a,
+       ROUND(mean_b, 4) AS mean_b,
+       ROUND((mean_a - mean_b) / sqrt(sa + sb), 4) AS t_stat,
+       ROUND(pow(sa + sb, 2)
+             / (pow(sa, 2) / (n_a - 1) + pow(sb, 2) / (n_b - 1)),
+             2) AS welch_df
+FROM paired
+ORDER BY event_type
+""",
+    tags=("aggregate", "statistics", "experimentation"),
+)
+def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event_type between two
+    deterministic experiment arms (user_id parity): per-user exposure
+    totals, then per-arm n/mean/sample-variance, then the t statistic
+    and Welch–Satterthwaite degrees of freedom in closed form.
+
+    Scale shape: the experiment readout every A/B platform runs at
+    100 TB. Both aggregation levels (per-user, then per-arm) are
+    map-side-combinable sums/counts — variance comes from VAR_SAMP's
+    partial-merge implementation, never a second scan — and the final
+    t/df arithmetic runs on #event_types × 2 rows. The arm pairing is
+    a self-join on an aggregate a few rows wide. No window, no skew:
+    user_id parity splits uniformly by construction."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy(
+            (F.col("user_id") % 2).alias("arm"), "event_type", "user_id"
+        ).agg(F.sum("value").alias("user_value"))
+    )
+    arms = per_user.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("user_value").alias("mean_v"),
+        F.var_samp("user_value").alias("var_v"),
+    )
+    a = arms.where(F.col("arm") == 0).alias("a")
+    b = arms.where(F.col("arm") == 1).alias("b")
+    sa = F.col("a.var_v") / F.col("a.n")
+    sb = F.col("b.var_v") / F.col("b.n")
+    return (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.col("a.mean_v"), 4).alias("mean_a"),
+            F.round(F.col("b.mean_v"), 4).alias("mean_b"),
+            F.round(
+                (F.col("a.mean_v") - F.col("b.mean_v")) / F.sqrt(sa + sb), 4
+            ).alias("t_stat"),
+            F.round(
+                F.pow(sa + sb, F.lit(2))
+                / (
+                    F.pow(sa, F.lit(2)) / (F.col("a.n") - 1)
+                    + F.pow(sb, F.lit(2)) / (F.col("b.n") - 1)
+                ),
+                2,
+            ).alias("welch_df"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+WITH by_value AS (
+    SELECT l_returnflag, l_extendedprice AS price,
+           SUM(l_quantity) AS w
+    FROM lineitem
+    GROUP BY l_returnflag, l_extendedprice
+),
+sweep AS (
+    SELECT l_returnflag, price,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum_w,
+           SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+    FROM by_value
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN cum_w >= 0.5 * total_w THEN price END) AS wmedian_price,
+       MIN(CASE WHEN cum_w >= 0.9 * total_w THEN price END) AS wp90_price
+FROM sweep
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "statistics", "percentile"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (median and p90 of extended price,
+    weighted by quantity) per return flag — the statistic
+    percentile_approx cannot give you exactly and plain percentile
+    cannot weight.
+
+    Scale shape: the naive formulation sorts every row inside a
+    3-partition window — a skew bomb at 100 TB. This plan collapses to
+    DISTINCT VALUES first (groupBy (flag, price): map-side-combinable
+    weight sums), so the cum-weight sweep window runs over value
+    cardinality, not row count — the same pre-aggregate-then-window
+    discipline as profile_topk_values. The quantile is then the first
+    value whose cumulative weight crosses q·total, picked with one
+    conditional MIN — no second sort, stable under ties because every
+    distinct value appears exactly once in the sweep."""
+    li = load_table(spark, sf_dir, "lineitem")
+    by_value = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum("l_quantity").alias("w"))
+    w_flag = Window.partitionBy("l_returnflag")
+    sweep = by_value.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(w_flag.orderBy("price")).alias("cum_w"),
+        F.sum("w").over(w_flag).alias("total_w"),
+    )
+    return (
+        sweep.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("cum_w") >= 0.5 * F.col("total_w"), F.col("price"))
+            ).alias("wmedian_price"),
+            F.min(
+                F.when(F.col("cum_w") >= 0.9 * F.col("total_w"), F.col("price"))
+            ).alias("wp90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_max_concurrent",
+    oracle=f"""
+WITH deltas AS (
+    SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d, 1 AS delta
+    FROM lineitem
+    UNION ALL
+    -- transit ends (1 + l_orderkey % 14) days after shipment; the -1
+    -- boundary lands the day AFTER the inclusive interval end
+    SELECT l_suppkey,
+           CAST(l_shipdate AS DATE) + CAST(l_orderkey % 14 + 2 AS INTEGER),
+           -1
+    FROM lineitem
+),
+per_day AS (
+    SELECT l_suppkey, d, CAST(SUM(delta) AS BIGINT) AS net
+    FROM deltas GROUP BY l_suppkey, d
+),
+swept AS (
+    SELECT l_suppkey,
+           SUM(net) OVER (PARTITION BY l_suppkey ORDER BY d) AS live
+    FROM per_day
+)
+SELECT l_suppkey, CAST(MAX(live) AS BIGINT) AS max_in_transit
+FROM swept
+GROUP BY l_suppkey
+ORDER BY max_in_transit DESC, l_suppkey
+LIMIT {TOP_SUPPLIERS}
+""",
+    tags=("aggregate", "intervals", "sweep"),
+)
+def agg_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of SIMULTANEOUSLY in-transit shipments per supplier
+    — intervals [l_shipdate, l_shipdate + transit] with a deterministic
+    per-shipment transit time (1 + l_orderkey % 14 days; the synthetic
+    lineitem has no receipt date) — the classic
+    max-interval-overlap problem, solved with the boundary sweep:
+    +1 at each start, -1 the day after each end, collapse boundaries
+    per (supplier, day), running-sum per supplier, take the max.
+
+    Scale shape: the pairwise formulation is an O(n²) self-overlap-join
+    per supplier; the sweep is one union (a plan-level concatenation,
+    no shuffle), one map-side-combinable groupBy, and a window over
+    DISTINCT BOUNDARY DAYS per supplier — bounded by the calendar
+    (~2.5k days), never by shipment count. TakeOrderedAndProject
+    finishes the top-{TOP_SUPPLIERS} report. This is the shape that
+    survives 100 TB of shipment rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    starts = li.select(
+        "l_suppkey", F.col("l_shipdate").alias("d"), F.lit(1).alias("delta")
+    )
+    ends = li.select(
+        "l_suppkey",
+        F.date_add(
+            "l_shipdate", (F.col("l_orderkey") % 14 + 2).cast("int")
+        ).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    per_day = (
+        starts.unionAll(ends)
+        .groupBy("l_suppkey", "d")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    live = F.sum("net").over(Window.partitionBy("l_suppkey").orderBy("d"))
+    return (
+        per_day.select("l_suppkey", live.alias("live"))
+        .groupBy("l_suppkey")
+        .agg(F.max("live").cast("bigint").alias("max_in_transit"))
+        .orderBy(F.desc("max_in_transit"), "l_suppkey")
+        .limit(TOP_SUPPLIERS)
+    )

@@ -142,6 +142,13 @@ NEW_IN_R5_POST_WINDOW = {
     "fn_try_arithmetic",
     "sim_matryoshka_prefix",
     "profile_entropy",
+    # session 4
+    "agg_ab_test",
+    "agg_weighted_percentile",
+    "agg_max_concurrent",
+    "text_gopher_rules",
+    "text_lexical_diversity",
+    "dedup_lines",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
