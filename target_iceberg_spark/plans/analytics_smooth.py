@@ -1,0 +1,162 @@
+"""Time-series smoothing and change detection over the event stream
+(SURVEY.md §2B analytics tier, round-5 post-window).
+
+events_ewma is the exponentially-weighted moving average every
+monitoring / forecasting stack applies before thresholding; the
+level-shift detector compares trailing vs leading rolling means to
+flag step changes (deployment regressions, traffic migrations) that a
+point-anomaly z-score (events_anomaly) misses by design.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 24  # hours of history per smoothed point
+SHIFT_SIGMA = 1.5  # level-shift threshold in per-type std units
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, SUM(value) AS x
+    FROM events GROUP BY 1
+),
+contrib AS (
+    SELECT h + to_hours(CAST(g AS BIGINT)) AS h,
+           POW({1 - EWMA_ALPHA}, g) AS w,
+           POW({1 - EWMA_ALPHA}, g) * x AS wx,
+           CASE WHEN g = 0 THEN x END AS x0
+    FROM (SELECT h, x, unnest(range(0, {EWMA_WINDOW})) AS g FROM hourly)
+)
+SELECT c.h, ROUND(MAX(x0), 4) AS hourly_value,
+       ROUND(SUM(wx) / SUM(w), 4) AS ewma
+FROM contrib c JOIN (SELECT h FROM hourly) p USING (h)
+GROUP BY c.h
+ORDER BY c.h
+""",
+    tags=("timeseries", "smoothing", "events"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly event volume (alpha={EWMA_ALPHA}, pandas
+    ewm adjust=True semantics truncated to {EWMA_WINDOW} h of history):
+    each observed hour's smoothed value is the weight-normalized sum of
+    (1-alpha)^gap-weighted contributions from its trailing window.
+
+    Scale shape: the textbook recursive EWMA is sequential and the
+    closed-form window rewrite overflows ((1-a)^-t explodes past ~700
+    steps), so this plan inverts the dependency: AFTER the hourly
+    pre-aggregation (the only full-data stage, map-side combinable),
+    each hour EXPLODES its bounded {EWMA_WINDOW}-row contribution list
+    forward and one second combinable aggregation sums weights and
+    weighted values per target hour — turning a non-equi band window
+    into an equi-join-free pair of shuffles on a calendar-bounded
+    table. Observed-hours semi filter drops phantom target hours past
+    the series end; missing hours contribute nothing and renormalize
+    automatically (exactly adjust=True handling of gaps)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("x")
+    )
+    contrib = hourly.select(
+        "h", "x", F.explode(F.sequence(F.lit(0), F.lit(EWMA_WINDOW - 1))).alias("g")
+    ).select(
+        F.expr("h + make_interval(0, 0, 0, 0, g, 0, 0)").alias("h"),
+        F.pow(F.lit(1 - EWMA_ALPHA), F.col("g")).alias("w"),
+        (F.pow(F.lit(1 - EWMA_ALPHA), F.col("g")) * F.col("x")).alias("wx"),
+        F.when(F.col("g") == 0, F.col("x")).alias("x0"),
+    )
+    observed = hourly.select("h")
+    return (
+        contrib.join(F.broadcast(observed), "h", "left_semi")
+        .groupBy("h")
+        .agg(
+            F.round(F.max("x0"), 4).alias("hourly_value"),
+            F.round(F.sum("wx") / F.sum("w"), 4).alias("ewma"),
+        )
+        .orderBy("h")
+    )
+
+
+@register(
+    "events_level_shift",
+    oracle=f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS x
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+framed AS (
+    SELECT event_type, h,
+           AVG(x) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS pre,
+           AVG(x) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS post,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_pre,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS n_post,
+           STDDEV_SAMP(x) OVER (PARTITION BY event_type) AS sd
+    FROM hourly
+)
+SELECT event_type, h,
+       ROUND(pre, 4) AS pre_mean,
+       ROUND(post, 4) AS post_mean,
+       ROUND(post - pre, 4) AS shift,
+       (abs(post - pre) > {SHIFT_SIGMA} * sd) AS flagged
+FROM framed
+WHERE n_pre = 7 AND n_post = 7
+ORDER BY event_type, h
+""",
+    tags=("timeseries", "changepoint", "events"),
+)
+def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (step-change) detection per event type: trailing
+    7-hour mean vs leading 7-hour mean of the hourly value series;
+    hours where the level jumps by more than {SHIFT_SIGMA} per-type
+    standard deviations are flagged. Point-anomaly detection
+    (events_anomaly) finds spikes; this finds sustained regime changes
+    whose individual points all look normal.
+
+    Scale shape: the only full-data stage is the hourly combinable
+    pre-aggregation; every window after it runs over the
+    calendar-bounded (event_type, hour) series — the bounded-window
+    class this repo's CI sweep whitelists deliberately. Edge hours
+    with partial frames are excluded via frame row-counts rather than
+    silently comparing lopsided means."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pre_f = w.rowsBetween(-7, -1)
+    post_f = w.rowsBetween(0, 6)
+    framed = hourly.select(
+        "event_type",
+        "h",
+        F.avg("x").over(pre_f).alias("pre"),
+        F.avg("x").over(post_f).alias("post"),
+        F.count(F.lit(1)).over(pre_f).alias("n_pre"),
+        F.count(F.lit(1)).over(post_f).alias("n_post"),
+        F.stddev_samp("x").over(Window.partitionBy("event_type")).alias("sd"),
+    )
+    return (
+        framed.where((F.col("n_pre") == 7) & (F.col("n_post") == 7))
+        .select(
+            "event_type",
+            "h",
+            F.round("pre", 4).alias("pre_mean"),
+            F.round("post", 4).alias("post_mean"),
+            F.round(F.col("post") - F.col("pre"), 4).alias("shift"),
+            (
+                F.abs(F.col("post") - F.col("pre"))
+                > SHIFT_SIGMA * F.col("sd")
+            ).alias("flagged"),
+        )
+        .orderBy("event_type", "h")
+    )

@@ -140,6 +140,9 @@ def _load_all() -> None:
         stats_inference,
         gopher_quality,
         dedup_lines,
+        analytics_smooth,
+        similarity_knn,
+        profiling_rules,
     )
 
 

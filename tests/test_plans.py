@@ -89,6 +89,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "profile_drift_psi",  # cross of the one-row totals aggregate
             "sim_ann_quality",  # composes the probe arms' one-row crosses
             "sim_topk_incremental",  # cross of the one-row τ threshold
+            "sim_knn_classify",  # broadcast KNN_PROBES-row probe set,
+            # same class as sim_cosine_topk_batch
         ), f"unexpected BNLJ in {name}"
 
 

@@ -149,6 +149,10 @@ NEW_IN_R5_POST_WINDOW = {
     "text_gopher_rules",
     "text_lexical_diversity",
     "dedup_lines",
+    "events_ewma",
+    "events_level_shift",
+    "sim_knn_classify",
+    "profile_expectations",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

@@ -228,3 +228,143 @@ def test_dedup_lines_matches_pure_python_corpus_scan(spark, sf_oracle):
     assert total_dropped > 0
     # removal is surgical: some doc both dropped and kept segments
     assert any(0 < r["n_dropped"] < r["n_segments"] for r in rows)
+
+
+# -- events_ewma -----------------------------------------------------------
+
+
+def test_ewma_matches_pure_python_truncated_adjust(spark, sf_oracle):
+    from target_iceberg_spark.plans.analytics_smooth import (
+        EWMA_ALPHA,
+        EWMA_WINDOW,
+    )
+
+    rows = SPECS["events_ewma"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    hourly = dict(
+        con.execute(
+            f"""
+            SELECT date_trunc('hour', ts), SUM(value)
+            FROM read_parquet('{sf_oracle}/events.parquet')
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        num = den = 0.0
+        for g in range(EWMA_WINDOW):
+            h = r["h"] - dt.timedelta(hours=g)
+            if h in hourly:
+                w = (1 - EWMA_ALPHA) ** g
+                num += w * hourly[h]
+                den += w
+        assert abs(r["ewma"] - num / den) < 1e-3, (r["h"], r["ewma"], num / den)
+        assert abs(r["hourly_value"] - hourly[r["h"]]) < 1e-3
+    # smoothing: the EWMA series varies less than the raw series
+    import numpy as np
+
+    raw = np.array([r["hourly_value"] for r in rows])
+    smooth = np.array([r["ewma"] for r in rows])
+    assert np.std(np.diff(smooth)) < np.std(np.diff(raw))
+
+
+# -- events_level_shift ----------------------------------------------------
+
+
+def test_level_shift_matches_pure_python(spark, sf_oracle):
+    from target_iceberg_spark.plans.analytics_smooth import SHIFT_SIGMA
+
+    rows = SPECS["events_level_shift"].builder(spark, sf_oracle).collect()
+    assert rows
+    import statistics
+
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS x
+        FROM read_parquet('{sf_oracle}/events.parquet')
+        GROUP BY event_type, h ORDER BY event_type, h
+        """
+    ).fetchall()
+    by_type: dict[str, list] = {}
+    for et, h, x in series:
+        by_type.setdefault(et, []).append((h, x))
+    checked = 0
+    by_key = {(r["event_type"], r["h"]): r for r in rows}
+    for et, pts in by_type.items():
+        xs = [x for _, x in pts]
+        sd = statistics.stdev(xs)
+        for i in range(7, len(pts) - 6):
+            pre = sum(xs[i - 7 : i]) / 7
+            post = sum(xs[i : i + 7]) / 7
+            r = by_key[(et, pts[i][0])]
+            assert abs(r["pre_mean"] - pre) < 1e-3
+            assert abs(r["post_mean"] - post) < 1e-3
+            assert r["flagged"] == (abs(post - pre) > SHIFT_SIGMA * sd)
+            checked += 1
+    assert checked == len(rows)  # exactly the full-frame interior rows
+
+
+# -- sim_knn_classify ------------------------------------------------------
+
+
+def test_knn_vote_matches_numpy_bruteforce(spark, sf_oracle):
+    from collections import Counter
+
+    import numpy as np
+
+    from target_iceberg_spark.plans.similarity_knn import KNN_K, KNN_PROBES
+
+    rows = SPECS["sim_knn_classify"].builder(spark, sf_oracle).collect()
+    assert len(rows) == KNN_PROBES
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{sf_oracle}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: np.array(e, dtype=np.float64) for vid, e, _ in data}
+    labels = {vid: lab for vid, _, lab in data}
+    corpus_ids = [vid for vid, _, _ in data if vid >= KNN_PROBES]
+    mat = np.stack([vecs[i] for i in corpus_ids])
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for r in rows:
+        p = vecs[r["probe_id"]]
+        sims = mat_n @ (p / np.linalg.norm(p))
+        # top-k with vec_id tie-break, matching the plan's ordering
+        order = sorted(range(len(corpus_ids)), key=lambda i: (-sims[i], corpus_ids[i]))
+        top = [corpus_ids[i] for i in order[:KNN_K]]
+        votes = Counter(labels[t] for t in top)
+        best_n = max(votes.values())
+        want = min(lab for lab, n in votes.items() if n == best_n)
+        assert r["predicted_label"] == want, (r["probe_id"], r, votes)
+        assert r["n_votes"] == best_n
+        assert r["actual_label"] == labels[r["probe_id"]]
+        assert r["correct"] == (want == labels[r["probe_id"]])
+
+
+# -- profile_expectations --------------------------------------------------
+
+
+def test_expectations_match_duckdb_and_discriminate(spark, sf_oracle):
+    rows = {r["rule"]: r for r in SPECS["profile_expectations"].builder(spark, sf_oracle).collect()}
+    assert len(rows) == 5
+    con = duckdb.connect()
+    n, bad_price, bad_date = con.execute(
+        f"""
+        SELECT COUNT(*),
+               SUM(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN o_orderdate > TIMESTAMP '2001-06-30' THEN 1 ELSE 0 END)
+        FROM read_parquet('{sf_oracle}/orders.parquet')
+        """
+    ).fetchone()
+    for r in rows.values():
+        assert r["n_checked"] == n
+        assert 0.0 <= r["pass_rate"] <= 1.0
+        assert r["passed"] == (r["n_failed"] == 0)
+    # the two discriminating rules really fail; the contract rules pass
+    assert rows["range(o_totalprice,0,450000.0)"]["n_failed"] == bad_price > 0
+    assert rows["date_max(o_orderdate,2001-06-30)"]["n_failed"] == bad_date > 0
+    assert rows["not_null(o_custkey)"]["passed"]
+    assert rows["unique(o_orderkey)"]["passed"]
+    assert rows["values(o_orderstatus)"]["passed"]
