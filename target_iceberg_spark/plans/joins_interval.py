@@ -1,0 +1,107 @@
+"""Interval-overlap self-join via coarse time-bin blocking
+(SURVEY.md §2B joins tier, round-5 post-window).
+
+Spark has no interval/overlap join operator: the naive formulation
+(`a.s <= b.e AND b.s <= a.e`) plans a BroadcastNestedLoopJoin — a
+scale-killer. The public technique (range/interval join optimization
+in Databricks runtime docs and the IEJoin literature) is to EXPLODE
+each interval onto the coarse grid cells it touches and equi-join on
+(key, cell), turning O(n²) into a per-cell candidate join, then
+re-check the exact predicate and dedup pairs that share multiple
+cells. join_range applies the same idea to numeric bands; this is the
+temporal version over genuinely two-sided interval sets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+TOP_SUPPLIERS = 20
+BIN_DAYS = 7  # grid cell width; >= typical interval length (<= 15 d)
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+WITH ivl AS (
+    SELECT l_suppkey,
+           l_orderkey * 8 + l_linenumber AS uid,
+           CAST(l_shipdate AS DATE) AS s,
+           CAST(l_shipdate AS DATE)
+               + CAST(l_orderkey % 14 + 1 AS INTEGER) AS e
+    FROM lineitem
+)
+SELECT a.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM ivl a JOIN ivl b
+  ON a.l_suppkey = b.l_suppkey AND a.uid < b.uid
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.l_suppkey
+ORDER BY n_overlaps DESC, a.l_suppkey
+LIMIT {TOP_SUPPLIERS}
+""",
+    tags=("join", "interval", "blocking"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count pairs of overlapping in-transit intervals per supplier
+    (same deterministic transit spans as agg_max_concurrent), top
+    {TOP_SUPPLIERS} suppliers. The oracle states the O(n²) inequality
+    join; the Spark plan computes the SAME answer with bin blocking:
+
+      1. each interval explodes onto the {BIN_DAYS}-day grid cells it
+         touches (<= 3 cells for <= 15-day spans — bounded fanout,
+         row-local, no shuffle),
+      2. ONE shuffle equi-join on (supplier, cell) generates
+         candidates — only intervals sharing a cell ever meet,
+      3. the exact overlap predicate filters, and the FIRST-SHARED-
+         CELL rule (emit a pair only in the cell where the later
+         interval starts — a cell both sides of an overlapping pair
+         provably touch) makes each pair appear exactly once WITHOUT
+         a pair-level DISTINCT, saving a full shuffle of the pair set,
+      4. a combinable count + TakeOrderedAndProject finish.
+
+    At 100 TB the equi-join shuffles on (supplier, cell) — fine-
+    grained, time-spread keys — where the naive plan is a nested loop
+    over everything. Grid width is the one tunable: ~the p95 interval
+    length balances fanout (wider = fewer copies) against candidate
+    precision (narrower = fewer false candidates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    s = F.to_date("l_shipdate")
+    ivl = li.select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        s.alias("s"),
+        F.date_add(s, (F.col("l_orderkey") % 14 + 1).cast("int")).alias("e"),
+    ).select(
+        "*",
+        F.floor(F.datediff(F.col("s"), epoch) / BIN_DAYS).alias("ws"),
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff(F.col("s"), epoch) / BIN_DAYS),
+                F.floor(F.datediff(F.col("e"), epoch) / BIN_DAYS),
+            )
+        ).alias("cell"),
+    )
+    a, b = ivl.alias("a"), ivl.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+        & (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.uid") < F.col("b.uid"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # first-shared-cell: the cell holding max(s_a, s_b) is inside
+        # BOTH intervals of an overlapping pair, so emitting only
+        # there yields each pair exactly once — no DISTINCT needed
+        & (F.col("a.cell") == F.greatest(F.col("a.ws"), F.col("b.ws"))),
+    ).select(F.col("a.l_suppkey").alias("l_suppkey"))
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), "l_suppkey")
+        .limit(TOP_SUPPLIERS)
+    )

@@ -143,6 +143,8 @@ def _load_all() -> None:
         analytics_smooth,
         similarity_knn,
         profiling_rules,
+        joins_interval,
+        similarity_sparse,
     )
 
 

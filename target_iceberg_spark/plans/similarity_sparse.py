@@ -1,0 +1,130 @@
+"""Sparse TF-IDF pairwise document similarity via an inverted index
+(SURVEY.md §2B similarity north star, round-5 post-window).
+
+The dense arm (plans/similarity.py) compares embedding vectors; this
+is the complementary SPARSE technique — term-at-a-time pairwise cosine
+over tf-idf weights, the classic inverted-index document-similarity
+join (Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity Search",
+public) that search engines and semantic-dedup pipelines run when no
+embeddings exist.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+TOP_PAIRS = 20
+DF_CAP_FRAC = 1.0  # drop terms with df > frac*N (1.0 = keep all; the
+# synthetic 30-word vocabulary appears in nearly every doc, so any
+# real cap would empty the index — production corpora use ~0.1-0.5)
+
+
+@register(
+    "sim_tfidf_pairs",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, source, word, COUNT(*) AS tf
+    FROM tok GROUP BY doc_id, source, word
+),
+df AS (
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+    SELECT doc_id, source, word,
+           tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+    FROM tf JOIN df USING (word), n
+    WHERE df <= {DF_CAP_FRAC} * n_docs
+),
+norms AS (
+    SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+),
+wn AS (
+    SELECT doc_id, source, word, w / nrm AS wn
+    FROM w JOIN norms USING (doc_id)
+)
+SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(SUM(a.wn * b.wn), 6) AS cos_sim
+FROM wn a JOIN wn b
+  ON a.word = b.word AND a.source = b.source AND a.doc_id < b.doc_id
+GROUP BY a.source, a.doc_id, b.doc_id
+ORDER BY cos_sim DESC, doc_a, doc_b
+LIMIT {TOP_PAIRS}
+""",
+    tags=("similarity", "tfidf", "sparse"),
+)
+def sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_PAIRS} most similar document pairs by tf-idf cosine,
+    computed term-at-a-time over an inverted index: tf per (doc,
+    term), idf from corpus document frequency, pair dot products from
+    the SELF-JOIN OF POSTINGS ON TERM (only pairs sharing a term are
+    ever scored — the sparsity win), normalized by per-doc norms.
+
+    Scale shape: every stage is a combinable aggregation or an
+    equi-join; nothing all-pairs. The two published safety valves are
+    built in: (1) the df cap drops stop-terms whose posting lists
+    would dominate the join (a no-op on this 30-word synthetic
+    vocabulary, parameterized for real corpora), (2) same-source
+    blocking bounds each posting self-join — the standard
+    partition-then-pair discipline shared with dedup_ngram_jaccard.
+    The one-row corpus count broadcasts (whitelisted scalar cross).
+    TakeOrderedAndProject finishes the global top-k; ordering is on
+    the ROUNDED score with doc-id tie-breaks so the cut is
+    engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") <= DF_CAP_FRAC * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "source",
+            "word",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    # normalize BEFORE the pair join: unit-weighted postings make the
+    # pair dot product the cosine directly, so the two norm joins move
+    # off the (large) pair set onto the (small) posting set
+    wn = w.join(norms, "doc_id").select(
+        "doc_id", "source", "word", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+    a, b = wn.alias("a"), wn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+        .limit(TOP_PAIRS)
+    )

@@ -91,6 +91,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_topk_incremental",  # cross of the one-row τ threshold
             "sim_knn_classify",  # broadcast KNN_PROBES-row probe set,
             # same class as sim_cosine_topk_batch
+            "sim_tfidf_pairs",  # cross of the one-row corpus doc count,
+            # same class as text_tfidf
         ), f"unexpected BNLJ in {name}"
 
 

@@ -153,6 +153,8 @@ NEW_IN_R5_POST_WINDOW = {
     "events_level_shift",
     "sim_knn_classify",
     "profile_expectations",
+    "join_interval_overlap",
+    "sim_tfidf_pairs",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

@@ -368,3 +368,126 @@ def test_expectations_match_duckdb_and_discriminate(spark, sf_oracle):
     assert rows["not_null(o_custkey)"]["passed"]
     assert rows["unique(o_orderkey)"]["passed"]
     assert rows["values(o_orderstatus)"]["passed"]
+
+
+# -- join_interval_overlap -------------------------------------------------
+
+
+def test_interval_overlap_matches_bruteforce_and_is_equijoin(spark, sf_oracle):
+    rows = SPECS["join_interval_overlap"].builder(spark, sf_oracle).collect()
+    assert rows
+    top = rows[0]
+    con = duckdb.connect()
+    ivls = con.execute(
+        f"""
+        SELECT l_orderkey * 8 + l_linenumber,
+               CAST(l_shipdate AS DATE),
+               CAST(l_shipdate AS DATE) + CAST(l_orderkey % 14 + 1 AS INTEGER)
+        FROM read_parquet('{sf_oracle}/lineitem.parquet')
+        WHERE l_suppkey = ?
+        """,
+        [top["l_suppkey"]],
+    ).fetchall()
+    brute = sum(
+        1
+        for i, (ua, sa, ea) in enumerate(ivls)
+        for ub, sb, eb in ivls[i + 1 :]
+        if ua != ub and sa <= eb and sb <= ea
+    )
+    assert top["n_overlaps"] == brute
+    # the plan must be the blocked equi-join, not a nested loop
+    plan = (
+        SPECS["join_interval_overlap"]
+        .builder(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_bin_blocking_loses_no_pair(spark):
+    """Planted adversarial intervals: pairs overlapping exactly at a
+    bin boundary, long intervals spanning several bins (dedup), and
+    touching-at-endpoint pairs must all be counted exactly once."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.plans.joins_interval import BIN_DAYS
+
+    rows = [
+        # (uid, start, end) — supplier fixed
+        (1, "2024-01-01", "2024-01-08"),  # crosses the 7-day bin edge
+        (2, "2024-01-08", "2024-01-10"),  # touches uid 1 at its end
+        (3, "2024-01-02", "2024-01-25"),  # long: shares 3 bins with 1
+        (4, "2024-02-10", "2024-02-11"),  # disjoint from all
+    ]
+    df = spark.createDataFrame(rows, "uid int, s string, e string").select(
+        F.lit(1).alias("k"), "uid", F.col("s").cast("date").alias("s"),
+        F.col("e").cast("date").alias("e"),
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    ivl = df.select(
+        "*",
+        F.floor(F.datediff(F.col("s"), epoch) / BIN_DAYS).alias("ws"),
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff(F.col("s"), epoch) / BIN_DAYS),
+                F.floor(F.datediff(F.col("e"), epoch) / BIN_DAYS),
+            )
+        ).alias("cell"),
+    )
+    a, b = ivl.alias("a"), ivl.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.uid") < F.col("b.uid"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        & (F.col("a.cell") == F.greatest(F.col("a.ws"), F.col("b.ws"))),
+    ).select(F.col("a.uid").alias("ua"), F.col("b.uid").alias("ub"))
+    got = sorted((r["ua"], r["ub"]) for r in pairs.collect())
+    # first-shared-cell rule: each pair exactly ONCE without DISTINCT,
+    # even the pair sharing 3 bins; endpoint-touching counts; 4 isolated
+    assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+# -- sim_tfidf_pairs -------------------------------------------------------
+
+
+def test_tfidf_pair_cosines_match_numpy(spark, sf_oracle):
+    """Recompute the reported pair cosines from raw text with an
+    independent dense tf-idf implementation."""
+    import math
+    from collections import Counter
+
+    rows = SPECS["sim_tfidf_pairs"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_oracle}/documents.parquet')"
+    ).fetchall()
+    texts = {d: t for d, _, t in data}
+    sources = {d: s for d, s, _ in data}
+    n_docs = len(texts)
+    df: Counter = Counter()
+    for t in texts.values():
+        df.update(set(t.split(" ")))
+
+    def weights(did):
+        tf = Counter(texts[did].split(" "))
+        return {w: c * math.log(n_docs / df[w]) for w, c in tf.items()}
+
+    for r in rows:
+        wa, wb = weights(r["doc_a"]), weights(r["doc_b"])
+        dot = sum(wa[w] * wb.get(w, 0.0) for w in wa)
+        na = math.sqrt(sum(v * v for v in wa.values()))
+        nb = math.sqrt(sum(v * v for v in wb.values()))
+        assert abs(r["cos_sim"] - dot / (na * nb)) < 1e-4
+        assert sources[r["doc_a"]] == sources[r["doc_b"]] == r["source"]
+        assert 0.0 <= r["cos_sim"] <= 1.0 + 1e-9
+    # report is sorted by similarity
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
