@@ -85,12 +85,24 @@ def asof_join(
             eq = F.col(f"b.{c}").eqNullSafe(F.col(f"f.{c}"))
             cond = eq if cond is None else (cond & eq)
         merged = bwd.join(fwd, cond, "inner")
-        d_b = F.abs(
-            F.col(f"b.{left_ts}").cast("double") - F.col("_bwd_ts").cast("double")
-        )
-        d_f = F.abs(
-            F.col("_fwd_ts").cast("double") - F.col(f"b.{left_ts}").cast("double")
-        )
+
+        # Distance needs a numeric axis. A bare double cast works for
+        # numeric ts columns but is ILLEGAL for timestamp/timestamp_ntz
+        # in Spark 4 — route those through unix_micros (ntz values are
+        # pinned to UTC first so the delta is tz-independent).
+        ts_type = dict(left.dtypes)[left_ts]
+
+        def _axis(c: "F.Column") -> "F.Column":
+            if ts_type.startswith("timestamp_ntz"):
+                return F.unix_micros(F.to_utc_timestamp(c, "UTC")).cast("double")
+            if ts_type.startswith("timestamp"):
+                return F.unix_micros(c).cast("double")
+            if ts_type == "date":
+                return F.unix_date(c).cast("double")
+            return c.cast("double")
+
+        d_b = F.abs(_axis(F.col(f"b.{left_ts}")) - _axis(F.col("_bwd_ts")))
+        d_f = F.abs(_axis(F.col("_fwd_ts")) - _axis(F.col(f"b.{left_ts}")))
         pick_backward = F.col("_fwd_ts").isNull() | (
             F.col("_bwd_ts").isNotNull() & (d_b <= d_f)  # ties go backward
         )

@@ -160,3 +160,64 @@ def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+SEASONAL_LAG_H = 24  # seasonal-naive horizon: same hour yesterday
+
+
+@register(
+    "events_seasonal_error",
+    oracle=f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, SUM(value) AS x
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+pred AS (
+    SELECT event_type, h, x,
+           lag(x, {SEASONAL_LAG_H}) OVER (
+               PARTITION BY event_type ORDER BY h) AS yhat
+    FROM hourly
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_evaluated,
+       ROUND(AVG(abs(x - yhat)), 4) AS mae,
+       ROUND(AVG(abs(x - yhat) / abs(x)), 4) AS mape
+FROM pred
+WHERE yhat IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("timeseries", "forecast", "events"),
+)
+def events_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's total
+    event value by the SAME HOUR YESTERDAY (lag {SEASONAL_LAG_H} on
+    the hourly series) and report MAE / MAPE per event type — the
+    baseline error every forecasting effort must beat before any model
+    earns its compute, computed directly inside the engine.
+
+    Scale shape: identical discipline to events_ewma — one combinable
+    hourly pre-aggregation is the only full-data stage; the lag window
+    and the error aggregation run over the calendar-bounded per-type
+    series. Hours with no yesterday-counterpart are excluded, not
+    imputed (they would silently deflate MAPE)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum("value").alias("x"))
+    yhat = F.lag("x", SEASONAL_LAG_H).over(
+        Window.partitionBy("event_type").orderBy("h")
+    )
+    pred = hourly.select("event_type", "x", yhat.alias("yhat")).where(
+        F.col("yhat").isNotNull()
+    )
+    err = F.abs(F.col("x") - F.col("yhat"))
+    return (
+        pred.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_evaluated"),
+            F.round(F.avg(err), 4).alias("mae"),
+            F.round(F.avg(err / F.abs(F.col("x"))), 4).alias("mape"),
+        )
+        .orderBy("event_type")
+    )

@@ -469,3 +469,61 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+# --------------------------------------------------------------------
+# curation_corpus_report — the per-source "datacard" composition report
+# --------------------------------------------------------------------
+
+
+@register(
+    "curation_corpus_report",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*),
+             6) AS exact_dup_rate,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+             / COUNT(*), 2) AS mean_doc_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("curation", "report", "datacard"),
+)
+def curation_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report — the "datacard" table
+    every published training corpus ships: document count, exact-
+    duplicate rate (via text content hash), token totals and means,
+    and language coverage, in ONE aggregation pass per source.
+
+    Scale shape: whitespace token counts are row-local (size of
+    split — no explode), the content hash is md5 computed in the scan
+    projection, and every statistic is a combinable COUNT/SUM or a
+    two-phase partial DISTINCT over the same shuffle — the report
+    costs one scan regardless of corpus size. This is the summary the
+    dedup / quality / mix queries in this tier feed into; at 100 TB
+    it is the only affordable first look at a new crawl drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.size(F.split("text", " "))
+    return (
+        docs.select("source", "lang", F.md5("text").alias("h"), tokens.alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique_texts"),
+            F.round(
+                1.0 - F.countDistinct("h").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("exact_dup_rate"),
+            F.sum("tok").alias("total_tokens"),
+            F.round(
+                F.sum("tok").cast("double") / F.count(F.lit(1)), 2
+            ).alias("mean_doc_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

@@ -128,3 +128,80 @@ def sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
         .limit(TOP_PAIRS)
     )
+
+
+KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "text_keywords_tfidf",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+),
+df AS (
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+    SELECT doc_id, word,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS weight
+    FROM tf JOIN df USING (word), n
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, word, weight
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY weight DESC, word) AS rnk
+    FROM w
+)
+WHERE rnk <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rnk
+""",
+    tags=("text", "tfidf", "keywords"),
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: the top-{KEYWORDS_PER_DOC} highest tf-idf
+    terms per document (ties toward the lexically smaller term) — the
+    classic statistical auto-tagging step (the degenerate-but-exact
+    core of RAKE/YAKE-style extractors) used for corpus browsing and
+    topic routing.
+
+    Scale shape: tf and df are stacked combinable aggregations; the
+    rank window is partitioned PER DOCUMENT over that document's own
+    distinct terms (bounded by per-doc vocabulary, never corpus size).
+    The one-row corpus count broadcasts. Weights are rounded BEFORE
+    ranking so the rank-boundary cut is engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("weight"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("weight"), "word")
+    )
+    return (
+        w.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "rnk", "word", "weight")
+        .orderBy("doc_id", "rnk")
+    )

@@ -248,3 +248,82 @@ def agg_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_in_transit"), "l_suppkey")
         .limit(TOP_SUPPLIERS)
     )
+
+
+GINI_BIN_WIDTH = 50_000.0  # customer-spend bin width (spend <= ~7.5M)
+
+
+@register(
+    "agg_gini_binned",
+    oracle=f"""
+WITH spend AS (
+    SELECT o_custkey, SUM(o_totalprice) AS s
+    FROM orders GROUP BY o_custkey
+),
+bins AS (
+    SELECT CAST(floor(s / {GINI_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n, SUM(s) AS tot
+    FROM spend GROUP BY 1
+),
+lorenz AS (
+    SELECT bin, n, tot,
+           SUM(n) OVER w AS cum_n,
+           SUM(tot) OVER w AS cum_s,
+           SUM(n) OVER () AS all_n,
+           SUM(tot) OVER () AS all_s
+    FROM bins
+    WINDOW w AS (ORDER BY bin)
+)
+SELECT ROUND(1.0 - SUM(
+           (CAST(n AS DOUBLE) / all_n)
+           * ((cum_s + cum_s - tot) / all_s)
+       ), 6) AS gini,
+       CAST(MAX(all_n) AS BIGINT) AS n_customers,
+       ROUND(MAX(all_s), 2) AS total_spend
+FROM lorenz
+""",
+    tags=("aggregate", "statistics", "concentration"),
+)
+def agg_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration from BINNED
+    data: per-customer totals collapse into fixed-width spend bins,
+    the Lorenz curve is swept over bins, and the trapezoid formula
+    G = 1 - sum p_i (L_i + L_(i-1)) yields the grouped-data Gini —
+    the standard concentration KPI ("do 20% of customers carry 80% of
+    revenue?").
+
+    Scale shape: the EXACT Gini needs a global sort of every customer
+    by spend — the one thing to refuse at 100 TB. Binning first makes
+    both windows run over <= (max_spend / bin_width) rows (~150 here),
+    an aggregate-bounded frame in this repo's whitelisted class, while
+    both aggregation stages stay map-side combinable. The binned value
+    converges to the exact one from below as the width shrinks;
+    width is the explicit precision/scale knob, and both engines
+    compute the identical binned statistic so the check is hash-exact,
+    not approximate-vs-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    bins = spend.groupBy(
+        F.floor(F.col("s") / GINI_BIN_WIDTH).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("tot"))
+    w = Window.orderBy("bin")
+    whole = Window.partitionBy()
+    lorenz = bins.select(
+        "n",
+        "tot",
+        F.sum("tot").over(w).alias("cum_s"),
+        F.sum("n").over(whole).alias("all_n"),
+        F.sum("tot").over(whole).alias("all_s"),
+    )
+    return lorenz.agg(
+        F.round(
+            1.0
+            - F.sum(
+                (F.col("n").cast("double") / F.col("all_n"))
+                * ((F.col("cum_s") + F.col("cum_s") - F.col("tot")) / F.col("all_s"))
+            ),
+            6,
+        ).alias("gini"),
+        F.max("all_n").cast("bigint").alias("n_customers"),
+        F.round(F.max("all_s"), 2).alias("total_spend"),
+    )

@@ -583,3 +583,77 @@ def cdc_current_state(
         "append",
         timeout_conf,
     )
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Streaming EXACT recursive EWMA per key: s_0 = x_0,
+    s_t = alpha*x_t + (1-alpha)*s_{t-1} over the full history.
+
+    The recursion is inherently sequential — the one smoothing form a
+    batch engine cannot parallelize exactly without overflow-prone
+    closed forms (see plans/analytics_smooth.py::events_ewma, which
+    therefore ships the TRUNCATED adjust=True variant for batch). A
+    stateful stream is the natural home: per-key state is O(1) — just
+    (n_seen, ewma) — updated by folding each micro-batch's rows in
+    (ts, value) order, so the operator maintains the infinite-history
+    EWMA incrementally over an unbounded stream at any key cardinality.
+
+    Each micro-batch emits one snapshot row per touched key tagged
+    with an update epoch; consumers keep the highest epoch per key
+    (same convention as streaming_heavy_hitters). Arrival order IS
+    fold order across batches — the file-source guarantee the repo's
+    bounded pipelines provide; bound disorder upstream with a
+    watermark + sort if the transport can reorder."""
+    import pandas as pd  # executor-side; local import for pickling
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    out_schema = f"{key_col} STRING, epoch LONG, n_seen LONG, ewma DOUBLE"
+    state_schema = "n_seen LONG, ewma DOUBLE, epoch LONG"
+
+    def ewma_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            n_seen, s, epoch = state.get
+        else:
+            n_seen, s, epoch = 0, 0.0, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for x in pdf.sort_values(["ts", "x"], kind="mergesort")["x"]:
+                x = float(x)
+                s = x if n_seen == 0 else alpha * x + (1.0 - alpha) * s
+                n_seen += 1
+        epoch += 1
+        state.update((int(n_seen), float(s), int(epoch)))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "epoch": [epoch],
+                "n_seen": [int(n_seen)],
+                "ewma": [float(s)],
+            }
+        )
+
+    return keyed.groupBy("k").applyInPandasWithState(
+        ewma_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

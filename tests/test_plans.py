@@ -93,6 +93,7 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # same class as sim_cosine_topk_batch
             "sim_tfidf_pairs",  # cross of the one-row corpus doc count,
             # same class as text_tfidf
+            "text_keywords_tfidf",  # same one-row corpus count cross
         ), f"unexpected BNLJ in {name}"
 
 
@@ -309,6 +310,8 @@ UNPARTITIONED_WINDOW_OK = {
     "agg_mom_growth",  # monthly series (<= months-of-history rows)
     "sim_hybrid_rrf",  # two rank windows over the arms' k-row top-k lists
     "text_zipf",  # rank window over the top-k-bounded 100-row input
+    "agg_gini_binned",  # Lorenz sweep over <= max_spend/bin_width
+    # (~150) fixed-width bins — aggregate-bounded by construction
 }
 
 

@@ -155,6 +155,11 @@ NEW_IN_R5_POST_WINDOW = {
     "profile_expectations",
     "join_interval_overlap",
     "sim_tfidf_pairs",
+    "join_asof_nearest",
+    "events_seasonal_error",
+    "text_keywords_tfidf",
+    "agg_gini_binned",
+    "curation_corpus_report",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

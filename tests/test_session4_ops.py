@@ -491,3 +491,150 @@ def test_tfidf_pair_cosines_match_numpy(spark, sf_oracle):
     # report is sorted by similarity
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+# -- join_asof_nearest -----------------------------------------------------
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark, sf_oracle):
+    import pandas as pd
+
+    rows = SPECS["join_asof_nearest"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    probes = con.execute(
+        f"SELECT event_id, user_id, ts FROM "
+        f"read_parquet('{sf_oracle}/events.parquet') "
+        f"WHERE event_type='error' ORDER BY ts, event_id"
+    ).df()
+    signups = con.execute(
+        f"SELECT event_id AS signup_event_id, user_id, ts FROM "
+        f"read_parquet('{sf_oracle}/events.parquet') "
+        f"WHERE event_type='signup' ORDER BY ts, signup_event_id"
+    ).df()
+    want = pd.merge_asof(
+        probes, signups, on="ts", by="user_id", direction="nearest"
+    )
+    want_map = dict(zip(want["event_id"], want["signup_event_id"]))
+    assert len(rows) == len(probes)
+    for r in rows:
+        w = want_map[r["event_id"]]
+        got = r["signup_event_id"]
+        if pd.isna(w):
+            assert got is None
+        else:
+            assert got == int(w), (r["event_id"], got, w)
+
+
+# -- events_seasonal_error -------------------------------------------------
+
+
+def test_seasonal_error_matches_pure_python(spark, sf_oracle):
+    rows = SPECS["events_seasonal_error"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        SELECT event_type, date_trunc('hour', ts) AS h, SUM(value) AS x
+        FROM read_parquet('{sf_oracle}/events.parquet')
+        GROUP BY event_type, h ORDER BY event_type, h
+        """
+    ).fetchall()
+    by_type: dict[str, list] = {}
+    for et, _, x in series:
+        by_type.setdefault(et, []).append(x)
+    for r in rows:
+        xs = by_type[r["event_type"]]
+        pairs = [(xs[i], xs[i - 24]) for i in range(24, len(xs))]
+        mae = sum(abs(a - b) for a, b in pairs) / len(pairs)
+        mape = sum(abs(a - b) / abs(a) for a, b in pairs) / len(pairs)
+        assert r["n_evaluated"] == len(pairs)
+        assert abs(r["mae"] - mae) < 1e-3
+        assert abs(r["mape"] - mape) < 1e-3
+
+
+# -- text_keywords_tfidf ---------------------------------------------------
+
+
+def test_keywords_are_each_docs_true_tfidf_argmax(spark, sf_oracle):
+    import math
+    from collections import Counter
+
+    rows = SPECS["text_keywords_tfidf"].builder(spark, sf_oracle).collect()
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_oracle}/documents.parquet')"
+    ).fetchall()
+    texts = dict(data)
+    df: Counter = Counter()
+    for t in texts.values():
+        df.update(set(t.split(" ")))
+    n = len(texts)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for did in list(texts)[:50]:
+        tf = Counter(texts[did].split(" "))
+        w = {
+            t: round(c * math.log(n / df[t]), 6) for t, c in tf.items()
+        }
+        want = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = sorted(by_doc[did], key=lambda r: r["rnk"])
+        assert [(g["word"], g["weight"]) for g in got] == want
+
+
+# -- agg_gini_binned -------------------------------------------------------
+
+
+def test_gini_binned_close_to_exact_and_bounded(spark, sf_oracle):
+    import numpy as np
+
+    row = SPECS["agg_gini_binned"].builder(spark, sf_oracle).collect()[0]
+    con = duckdb.connect()
+    spend = np.sort(
+        con.execute(
+            f"SELECT SUM(o_totalprice) FROM "
+            f"read_parquet('{sf_oracle}/orders.parquet') GROUP BY o_custkey"
+        ).df()
+        .iloc[:, 0]
+        .to_numpy()
+    )
+    n = len(spend)
+    exact = (2 * np.sum(np.arange(1, n + 1) * spend)) / (
+        n * spend.sum()
+    ) - (n + 1) / n
+    assert 0.0 <= row["gini"] <= 1.0
+    # grouped-data Gini underestimates; must sit just below exact
+    assert row["gini"] <= exact + 1e-9
+    assert abs(row["gini"] - exact) < 0.02  # 50k-wide bins are tight here
+    assert row["n_customers"] == n
+    assert abs(row["total_spend"] - round(float(spend.sum()), 2)) < 0.02
+
+
+# -- curation_corpus_report ------------------------------------------------
+
+
+def test_corpus_report_matches_pure_python(spark, sf_oracle):
+    rows = {r["source"]: r for r in SPECS["curation_corpus_report"].builder(spark, sf_oracle).collect()}
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT source, lang, text FROM "
+        f"read_parquet('{sf_oracle}/documents.parquet')"
+    ).fetchall()
+    by_src: dict[str, list] = {}
+    for s, lang, t in data:
+        by_src.setdefault(s, []).append((lang, t))
+    assert set(rows) == set(by_src)
+    for s, docs in by_src.items():
+        r = rows[s]
+        texts = [t for _, t in docs]
+        toks = [len(t.split(" ")) for t in texts]
+        assert r["n_docs"] == len(docs)
+        assert r["n_unique_texts"] == len(set(texts))
+        assert r["total_tokens"] == sum(toks)
+        assert abs(r["mean_doc_tokens"] - sum(toks) / len(docs)) < 1e-2
+        assert r["n_langs"] == len({lang for lang, _ in docs})
+        assert abs(
+            r["exact_dup_rate"] - (1 - len(set(texts)) / len(docs))
+        ) < 1e-5

@@ -1155,3 +1155,86 @@ def test_stateful_cdc_current_state_string_value_column(spark, tmp_path):
     rows = {r["key"]: r for r in spark.table("cdc_str_out").collect()}
     assert rows[1]["value"] == "bob" and not rows[1]["is_deleted"]
     assert rows[2]["value"] is None and rows[2]["is_deleted"]
+
+
+def test_streaming_ewma_equals_batch_recursion_across_batches(spark, tmp_path):
+    """Two chronologically-ordered micro-batches: the carried (n, s)
+    state must make the final per-key snapshot equal a from-scratch
+    pandas recursion over the WHOLE series, and the batch-1 snapshot
+    equal the recursion over the prefix."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import streaming_ewma
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    series = {
+        "click": [1.0, 5.0, 2.0, 8.0, 3.0, 9.0],
+        "view": [10.0, 20.0, 30.0, 40.0],
+    }
+
+    def rows_for(keys_slice):
+        out = []
+        for k, vals in keys_slice:
+            for i, v in vals:
+                out.append((k, int((t0 + pd.Timedelta(minutes=i)).value), v))
+        return out
+
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    b1 = rows_for(
+        [("click", list(enumerate(series["click"][:3]))),
+         ("view", list(enumerate(series["view"][:2])))]
+    )
+    b2 = rows_for(
+        [("click", list(enumerate(series["click"][3:], start=3))),
+         ("view", list(enumerate(series["view"][2:], start=2)))]
+    )
+    for name, rows, mt in (("a.parquet", b1, 1_000_000), ("b.parquet", b2, 2_000_000)):
+        pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        ).to_parquet(src / name)
+        os.utime(src / name, (mt, mt))
+
+    stream = (
+        spark.readStream.schema("event_type STRING, ts LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream = stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp")
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ewma_stream").collect()
+
+    def recur(vals, alpha=0.3):
+        s = None
+        for x in vals:
+            s = x if s is None else alpha * x + (1 - alpha) * s
+        return s
+
+    by_epoch = {(r["event_type"], r["epoch"]): r for r in got}
+    # final snapshots (epoch 2) = full-series recursion
+    for k, vals in series.items():
+        r = by_epoch[(k, 2)]
+        assert r["n_seen"] == len(vals)
+        assert abs(r["ewma"] - recur(vals)) < 1e-12
+    # intermediate snapshots (epoch 1) = prefix recursion -> proves the
+    # state actually carried rather than being recomputed per batch
+    assert abs(by_epoch[("click", 1)]["ewma"] - recur(series["click"][:3])) < 1e-12
+    assert by_epoch[("click", 1)]["n_seen"] == 3
+    assert abs(by_epoch[("view", 1)]["ewma"] - recur(series["view"][:2])) < 1e-12
