@@ -221,3 +221,69 @@ def events_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ACF_MAX_LAG = 24  # autocorrelation horizon (hours)
+
+
+@register(
+    "events_acf",
+    oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, SUM(value) AS x
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT x, row_number() OVER (ORDER BY h) AS rn FROM hourly
+),
+lagged AS (
+    SELECT g.lag, a.x AS x0, b.x AS x1
+    FROM (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag) g
+    JOIN idx a ON TRUE
+    JOIN idx b ON b.rn = a.rn - g.lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(x0, x1), 4) AS acf
+FROM lagged
+GROUP BY lag
+ORDER BY lag
+""",
+    tags=("timeseries", "autocorrelation", "events"),
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of the hourly event-value series at lags
+    1..{ACF_MAX_LAG} (Pearson correlation of the series with its
+    lagged self) — the diagnostic that reveals seasonality period and
+    smoothing-window choices (the spike at lag 24 is WHY
+    events_seasonal_error uses a 24-hour horizon).
+
+    Scale shape: the series pre-aggregates to calendar-bounded hourly
+    rows (the only full-data stage, combinable); each lag's pairs come
+    from an EQUI-join of the indexed series against itself shifted by
+    the exploded lag offset — the same bounded-fanout
+    band-to-equi-join rewrite as events_ewma, never a non-equi
+    nested loop — and corr() aggregates with partial merge."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("x")
+    )
+    idx = hourly.select(
+        "x", F.row_number().over(Window.orderBy("h")).alias("rn")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = idx.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("x").alias("x0"), (F.col("rn") - F.col("lag")).alias("rn_b")
+    )
+    b = idx.select(F.col("rn").alias("rn_b"), F.col("x").alias("x1"))
+    return (
+        a.join(b, "rn_b")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("x0", "x1"), 4).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -145,6 +145,7 @@ def _load_all() -> None:
         profiling_rules,
         joins_interval,
         similarity_sparse,
+        similarity_binary,
     )
 
 

@@ -327,3 +327,66 @@ def agg_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("all_n").cast("bigint").alias("n_customers"),
         F.round(F.max("all_s"), 2).alias("total_spend"),
     )
+
+
+@register(
+    "agg_benford",
+    oracle="""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS INT) AS d
+    FROM orders
+    WHERE o_totalprice >= 1
+),
+counted AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(COUNT(*)) OVER () AS total
+    FROM digits GROUP BY d
+)
+SELECT d AS first_digit, n,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS observed,
+       ROUND(log10(1.0 + 1.0 / d), 6) AS benford,
+       ROUND(pow(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / d), 2)
+             / log10(1.0 + 1.0 / d) * total, 4) AS chi2_term
+FROM counted
+ORDER BY first_digit
+""",
+    tags=("aggregate", "statistics", "benford"),
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screening of order totals: observed
+    leading-digit frequencies vs the log10(1+1/d) expectation plus the
+    per-digit chi-square contribution — the classic large-ledger fraud
+    / synthetic-data smell test, run directly inside the engine.
+
+    (This corpus is uniform-random, so it FAILS Benford loudly —
+    demonstrably informative output, not a wall of matches.)
+
+    Scale shape: digit extraction is a row-local string op on the
+    integer part; one combinable 9-group count is the only shuffle,
+    and the total comes from a window over those <= 9 aggregate rows
+    (aggregate-bounded by the digit domain — the whitelisted class).
+    At any corpus size this is one scan + one 9-row reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counted = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .groupBy(d.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "d", "n", F.sum("n").over(Window.partitionBy()).alias("total")
+        )
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1.0 + 1.0 / F.col("d"))
+    return counted.select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(exp, 6).alias("benford"),
+        F.round(F.pow(obs - exp, F.lit(2)) / exp * F.col("total"), 4).alias(
+            "chi2_term"
+        ),
+    ).orderBy("first_digit")

@@ -94,6 +94,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_tfidf_pairs",  # cross of the one-row corpus doc count,
             # same class as text_tfidf
             "text_keywords_tfidf",  # same one-row corpus count cross
+            "sim_binary_hamming",  # broadcast one-row packed probe,
+            # same class as sim_cosine_topk
+            "events_acf",  # broadcast 24-row lag table crossed with the
+            # calendar-bounded hourly aggregate (bounded fanout)
         ), f"unexpected BNLJ in {name}"
 
 
@@ -312,6 +316,8 @@ UNPARTITIONED_WINDOW_OK = {
     "text_zipf",  # rank window over the top-k-bounded 100-row input
     "agg_gini_binned",  # Lorenz sweep over <= max_spend/bin_width
     # (~150) fixed-width bins — aggregate-bounded by construction
+    "events_acf",  # row_number over the calendar-bounded hourly series
+    "agg_benford",  # total-over-9-digit-rows frame
 }
 
 

@@ -160,6 +160,9 @@ NEW_IN_R5_POST_WINDOW = {
     "text_keywords_tfidf",
     "agg_gini_binned",
     "curation_corpus_report",
+    "sim_binary_hamming",
+    "events_acf",
+    "agg_benford",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

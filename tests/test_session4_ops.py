@@ -638,3 +638,114 @@ def test_corpus_report_matches_pure_python(spark, sf_oracle):
         assert abs(
             r["exact_dup_rate"] - (1 - len(set(texts)) / len(docs))
         ) < 1e-5
+
+
+# -- sim_binary_hamming ----------------------------------------------------
+
+
+def test_binary_hamming_matches_numpy_and_has_recall(spark, sf_oracle):
+    """Packing + distance recomputed from scratch with numpy, and the
+    1-bit arm must keep useful recall vs the exact cosine top-k."""
+    import numpy as np
+
+    from target_iceberg_spark.plans.similarity_binary import (
+        PROBE_VEC_ID,
+        TOP_K,
+    )
+
+    rows = SPECS["sim_binary_hamming"].builder(spark, sf_oracle).collect()
+    assert len(rows) == TOP_K
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_oracle}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: np.array(e, dtype=np.float64) for vid, e in data}
+    signs = {vid: (v >= 0).astype(np.int8) for vid, v in vecs.items()}
+    p = signs[PROBE_VEC_ID]
+    ham = {
+        vid: int(np.sum(s != p))
+        for vid, s in signs.items()
+        if vid != PROBE_VEC_ID
+    }
+    # reported distances are the true sign-mismatch counts
+    for r in rows:
+        assert r["hamming"] == ham[r["vec_id"]]
+    # and the report IS the deterministic top-k of that distance
+    want = sorted(ham.items(), key=lambda kv: (kv[1], kv[0]))[:TOP_K]
+    assert [(r["vec_id"], r["hamming"]) for r in rows] == want
+    # recall vs exact cosine top-k: sign-LSH-grade, must beat chance
+    pv = vecs[PROBE_VEC_ID]
+    cos = {
+        vid: float(v @ pv / (np.linalg.norm(v) * np.linalg.norm(pv)))
+        for vid, v in vecs.items()
+        if vid != PROBE_VEC_ID
+    }
+    exact = {v for v, _ in sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]}
+    got = {r["vec_id"] for r in rows}
+    assert len(got & exact) >= 2  # >= 0.2 recall@10; chance is ~0.02
+
+
+# -- events_acf ------------------------------------------------------------
+
+
+def test_acf_matches_numpy_and_finds_no_fake_seasonality(spark, sf_oracle):
+    import numpy as np
+
+    rows = SPECS["events_acf"].builder(spark, sf_oracle).collect()
+    assert len(rows) == 24
+    con = duckdb.connect()
+    xs = np.array(
+        [
+            v
+            for (v,) in con.execute(
+                f"""
+            SELECT SUM(value) FROM read_parquet('{sf_oracle}/events.parquet')
+            GROUP BY date_trunc('hour', ts) ORDER BY date_trunc('hour', ts)
+            """
+            ).fetchall()
+        ]
+    )
+    for r in rows:
+        lag = r["lag"]
+        a, b = xs[lag:], xs[:-lag]
+        assert r["n_pairs"] == len(a)
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert abs(r["acf"] - want) < 1e-3, (lag, r["acf"], want)
+        assert -1.0 <= r["acf"] <= 1.0
+
+
+# -- agg_benford -----------------------------------------------------------
+
+
+def test_benford_matches_pure_python_and_flags_uniform_data(spark, sf_oracle):
+    import math
+    from collections import Counter
+
+    rows = SPECS["agg_benford"].builder(spark, sf_oracle).collect()
+    con = duckdb.connect()
+    vals = [
+        v
+        for (v,) in con.execute(
+            f"SELECT o_totalprice FROM read_parquet('{sf_oracle}/orders.parquet') "
+            f"WHERE o_totalprice >= 1"
+        ).fetchall()
+    ]
+    counts = Counter(int(str(int(math.floor(v)))[0]) for v in vals)
+    total = sum(counts.values())
+    assert {r["first_digit"] for r in rows} == set(counts)
+    chi2 = 0.0
+    for r in rows:
+        d = r["first_digit"]
+        assert r["n"] == counts[d]
+        exp = math.log10(1 + 1 / d)
+        assert abs(r["observed"] - counts[d] / total) < 1e-5
+        assert abs(r["benford"] - exp) < 1e-5
+        assert (
+            abs(r["chi2_term"] - (counts[d] / total - exp) ** 2 / exp * total)
+            < 1e-2
+        )
+        chi2 += r["chi2_term"]
+    # uniform synthetic data must FAIL Benford decisively:
+    # chi2 critical value at 8 dof / p=0.001 is 26.12
+    assert chi2 > 26.12
