@@ -1,0 +1,144 @@
+"""SemDeDup-style semantic deduplication (SURVEY.md §2B dedup north
+star, round-5 post-window).
+
+The published semantic-dedup recipe for web-scale corpora (Abbas et
+al. 2023 "SemDeDup", public): cluster embeddings with a coarse k-means
+quantizer, then search for near-duplicate pairs ONLY WITHIN each
+cluster — the cluster assignment is the blocking key that bounds the
+quadratic, exactly the role LSH bands play in dedup_minhash and sign
+buckets in dedup_embedding. This third blocking strategy is the one
+that follows semantic geometry rather than lexical overlap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.functions.vectors import cosine, cosine_sql
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+SEM_K = 16  # coarse clusters; centroids = first K vectors (see below)
+SEM_TAU = 0.3  # within-cluster cosine >= tau => semantic duplicate
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+WITH c AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id < {SEM_K}
+),
+d AS (
+    SELECT e.vec_id, c.cid,
+           ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(c.cemb[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(c.cemb[i] AS DOUBLE)))), 6) AS d2
+    FROM embeddings e, c
+),
+assigned AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+    FROM (SELECT s.vec_id, s.cid, e.embedding
+          FROM assigned s JOIN embeddings e USING (vec_id)) a
+    JOIN (SELECT s.vec_id, s.cid, e.embedding
+          FROM assigned s JOIN embeddings e USING (vec_id)) b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {SEM_TAU}
+),
+per_cluster AS (
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped
+    FROM pairs GROUP BY cid
+)
+SELECT s.cid AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       COALESCE(MAX(p.n_dup_pairs), 0) AS n_dup_pairs,
+       COALESCE(MAX(p.n_dropped), 0) AS n_dropped,
+       ROUND(CAST(COALESCE(MAX(p.n_dropped), 0) AS DOUBLE) / COUNT(*), 6)
+           AS drop_rate
+FROM assigned s LEFT JOIN per_cluster p ON s.cid = p.cid
+GROUP BY s.cid
+ORDER BY cluster
+""",
+    tags=("dedup", "semantic", "embedding"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every embedding to its nearest of {SEM_K}
+    coarse centroids (deterministic seeding with the first K vectors —
+    the same oracle-portable discipline as emb_kmeans; production
+    swaps in the IVF-trained quantizer, operators/ivf.py), then flag
+    within-cluster pairs with cosine >= {SEM_TAU} and drop every
+    vector that has a LOWER-ID near-duplicate in its cluster.
+    Reports per cluster: size, duplicate pairs, drops, drop rate.
+
+    Scale shape: the published point of SemDeDup is that the cluster
+    assignment BOUNDS the quadratic — the pair join is an equi-join on
+    cluster id, O(sum of cluster_size^2) instead of O(N^2), and
+    cluster count is the knob that caps bucket size (same valve as
+    dedup_minhash_capped's). Assignment is a broadcast of K x dims
+    centroids + one codegen fold per vector (no shuffle); distances
+    and cosines round to 6 before every compare so argmin and
+    threshold cuts are engine-exact. The drop rule (keep the lowest
+    id) is the cheap one-pass survivor policy; dedup_keep_best shows
+    the quality-ranked variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    diff_sq = F.zip_with(
+        "embedding",
+        "cemb",
+        lambda x, c: (x.cast("double") - c.cast("double"))
+        * (x.cast("double") - c.cast("double")),
+    )
+    d2 = F.round(
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, v: acc + v), 6
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    with_vec = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = with_vec.alias("a")
+    b = with_vec.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).where(
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+        >= SEM_TAU
+    )
+    per_cluster = pairs.groupBy(F.col("a.cid").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct(F.col("b.vec_id")).alias("n_dropped"),
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(per_cluster, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.round(
+                F.coalesce("n_dropped", F.lit(0)).cast("double")
+                / F.col("n_vectors"),
+                6,
+            ).alias("drop_rate"),
+        )
+        .orderBy("cluster")
+    )

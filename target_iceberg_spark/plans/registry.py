@@ -146,6 +146,7 @@ def _load_all() -> None:
         joins_interval,
         similarity_sparse,
         similarity_binary,
+        dedup_semantic,
     )
 
 

@@ -390,3 +390,125 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     ).orderBy("first_digit")
+
+
+KM_STUDY_END = "2001-03-31"  # right-censoring cutoff (study end)
+
+
+@register(
+    "agg_survival_km",
+    oracle=f"""
+WITH sp AS (
+    SELECT l_orderkey,
+           CAST(MIN(l_shipdate) AS DATE) AS s0,
+           CAST(MAX(l_shipdate) AS DATE) AS s1
+    FROM lineitem GROUP BY l_orderkey
+),
+obs AS (
+    SELECT date_diff('day', s0,
+                     CASE WHEN s1 <= DATE '{KM_STUDY_END}' THEN s1
+                          ELSE DATE '{KM_STUDY_END}' END) AS dur,
+           CASE WHEN s1 <= DATE '{KM_STUDY_END}' THEN 1 ELSE 0 END AS ev
+    FROM sp WHERE s0 <= DATE '{KM_STUDY_END}'
+),
+per_dur AS (
+    SELECT dur, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM obs GROUP BY dur
+),
+risk AS (
+    SELECT dur, d,
+           SUM(c) OVER () - COALESCE(SUM(c) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS at_risk
+    FROM per_dur
+),
+km AS (
+    SELECT dur, d, at_risk,
+           SUM(CASE WHEN d < at_risk
+                    THEN ln(1.0 - CAST(d AS DOUBLE) / at_risk) END)
+               OVER (ORDER BY dur) AS log_s,
+           MAX(CASE WHEN d = at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur) AS hit_zero
+    FROM risk
+)
+SELECT CAST(dur AS INT) AS duration_days,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       d AS n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE ROUND(exp(log_s), 6) END AS survival
+FROM km
+WHERE d > 0
+ORDER BY duration_days
+""",
+    tags=("aggregate", "statistics", "survival"),
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order shipment-window length
+    (days from an order's first to last shipment), RIGHT-CENSORED at
+    the {KM_STUDY_END} study end: orders still shipping at the cutoff
+    contribute person-time without an event — dropping them (the naive
+    average) would bias the curve optimistic, which is exactly the
+    mistake K-M exists to fix. Output: at-risk count, events, and
+    S(t) at every event time.
+
+    Scale shape: one combinable per-order min/max, one combinable
+    per-duration count, then every K-M quantity — reverse cumulative
+    at-risk, cumulative log-survival, and the absorbing S(t)=0 flag —
+    comes from ordered windows over the DISTINCT-DURATION table,
+    bounded by the calendar span, never the order count. The S(t)=0
+    edge (a duration where every remaining subject fails) is handled
+    with an explicit absorbing flag because ln(0) is NULL in Spark
+    but -inf in DuckDB — the one engine divergence in this plan,
+    fenced out rather than papered over."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(KM_STUDY_END).cast("date")
+    sp = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("s0"),
+        F.max(F.to_date("l_shipdate")).alias("s1"),
+    )
+    obs = sp.where(F.col("s0") <= cutoff).select(
+        F.datediff(F.least("s1", cutoff), F.col("s0")).alias("dur"),
+        (F.col("s1") <= cutoff).cast("int").alias("ev"),
+    )
+    per_dur = obs.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur")
+    risk = per_dur.select(
+        "dur",
+        "d",
+        (
+            F.sum("c").over(w_all)
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    km = risk.select(
+        "dur",
+        "d",
+        "at_risk",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("at_risk"),
+                F.log(1.0 - F.col("d").cast("double") / F.col("at_risk")),
+            )
+        )
+        .over(w_cum)
+        .alias("log_s"),
+        F.max((F.col("d") == F.col("at_risk")).cast("int"))
+        .over(w_cum)
+        .alias("hit_zero"),
+    )
+    return (
+        km.where(F.col("d") > 0)
+        .select(
+            F.col("dur").cast("int").alias("duration_days"),
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            F.col("d").alias("n_events"),
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("log_s"), 6))
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )

@@ -98,6 +98,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # same class as sim_cosine_topk
             "events_acf",  # broadcast 24-row lag table crossed with the
             # calendar-bounded hourly aggregate (bounded fanout)
+            "dedup_semantic",  # broadcast SEM_K-row centroid table for
+            # assignment, same class as emb_centroid_classify/emb_kmeans
         ), f"unexpected BNLJ in {name}"
 
 
@@ -318,6 +320,8 @@ UNPARTITIONED_WINDOW_OK = {
     # (~150) fixed-width bins — aggregate-bounded by construction
     "events_acf",  # row_number over the calendar-bounded hourly series
     "agg_benford",  # total-over-9-digit-rows frame
+    "agg_survival_km",  # K-M sweeps over the distinct-duration table,
+    # bounded by the calendar span of the study window
 }
 
 

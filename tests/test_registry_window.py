@@ -163,6 +163,8 @@ NEW_IN_R5_POST_WINDOW = {
     "sim_binary_hamming",
     "events_acf",
     "agg_benford",
+    "dedup_semantic",
+    "agg_survival_km",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

@@ -749,3 +749,96 @@ def test_benford_matches_pure_python_and_flags_uniform_data(spark, sf_oracle):
     # uniform synthetic data must FAIL Benford decisively:
     # chi2 critical value at 8 dof / p=0.001 is 26.12
     assert chi2 > 26.12
+
+
+# -- dedup_semantic --------------------------------------------------------
+
+
+def test_semantic_dedup_matches_numpy_semdedup(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.plans.dedup_semantic import SEM_K, SEM_TAU
+
+    rows = SPECS["dedup_semantic"].builder(spark, sf_oracle).collect()
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_oracle}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    V = np.array([e for _, e in data], dtype=np.float64)
+    ids = np.array([i for i, _ in data])
+    C = V[:SEM_K]
+    d2 = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+    assign = d2.argmin(1)  # ties: argmin takes first = lowest cid
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    by_cluster = {r["cluster"]: r for r in rows}
+    assert sum(r["n_vectors"] for r in rows) == len(V)
+    total_pairs = 0
+    for k in range(SEM_K):
+        members = np.where(assign == k)[0]
+        if len(members) == 0:
+            assert k not in by_cluster
+            continue
+        S = np.round(Vn[members] @ Vn[members].T, 6)
+        iu, ju = np.triu_indices(len(members), 1)
+        hit = S[iu, ju] >= SEM_TAU
+        n_pairs = int(hit.sum())
+        dropped = {int(ids[members[j]]) for j in ju[hit]}
+        r = by_cluster[k]
+        assert r["n_vectors"] == len(members)
+        assert r["n_dup_pairs"] == n_pairs, (k, r["n_dup_pairs"], n_pairs)
+        assert r["n_dropped"] == len(dropped)
+        assert 0.0 <= r["drop_rate"] <= 1.0
+        total_pairs += n_pairs
+    assert total_pairs > 0  # tau actually fires on this corpus
+
+
+# -- agg_survival_km -------------------------------------------------------
+
+
+def test_kaplan_meier_matches_pure_python(spark, sf_oracle):
+    import math
+    from collections import Counter
+
+    from target_iceberg_spark.plans.stats_inference import KM_STUDY_END
+
+    rows = SPECS["agg_survival_km"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    cutoff = dt.date.fromisoformat(KM_STUDY_END)
+    sp = con.execute(
+        f"""
+        SELECT CAST(MIN(l_shipdate) AS DATE), CAST(MAX(l_shipdate) AS DATE)
+        FROM read_parquet('{sf_oracle}/lineitem.parquet')
+        GROUP BY l_orderkey
+        """
+    ).fetchall()
+    obs = []
+    for s0, s1 in sp:
+        if s0 > cutoff:
+            continue
+        if s1 <= cutoff:
+            obs.append(((s1 - s0).days, 1))
+        else:
+            obs.append(((cutoff - s0).days, 0))
+    n_events_total = sum(e for _, e in obs)
+    assert 0 < n_events_total < len(obs)  # real censoring present
+    d = Counter(t for t, e in obs if e)
+    c = Counter(t for t, _ in obs)
+    s = 1.0
+    at_risk = len(obs)
+    expect = {}
+    for t in sorted(c):
+        if t in d:
+            s *= 1.0 - d[t] / at_risk
+            expect[t] = (at_risk, d[t], s)
+        at_risk -= c[t]
+    assert len(rows) == len(expect)
+    prev = 1.0
+    for r in rows:
+        want_risk, want_d, want_s = expect[r["duration_days"]]
+        assert r["at_risk"] == want_risk
+        assert r["n_events"] == want_d
+        assert abs(r["survival"] - want_s) < 1e-4
+        assert 0.0 <= r["survival"] <= prev + 1e-9  # non-increasing
+        prev = r["survival"]
