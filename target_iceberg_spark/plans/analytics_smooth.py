@@ -287,3 +287,103 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+MEDIAN_WINDOW_H = 7  # trailing rolling-median width (hours)
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           ROUND(AVG(value), 6) AS x
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+contrib AS (
+    SELECT event_type, h + to_hours(CAST(g AS BIGINT)) AS h, x
+    FROM (SELECT event_type, h, x,
+                 unnest(range(0, {MEDIAN_WINDOW_H})) AS g
+          FROM hourly)
+)
+SELECT event_type, h, n_win,
+       CASE WHEN n_win % 2 = 1 THEN arr[(n_win + 1) // 2]
+            ELSE (arr[n_win // 2] + arr[n_win // 2 + 1]) / 2.0
+       END AS roll_median
+FROM (
+    SELECT c.event_type, c.h,
+           CAST(COUNT(*) AS BIGINT) AS n_win,
+           list_sort(list(c.x)) AS arr
+    FROM contrib c
+    JOIN (SELECT event_type, h FROM hourly) p
+      ON c.event_type = p.event_type AND c.h = p.h
+    GROUP BY c.event_type, c.h
+)
+ORDER BY event_type, h
+""",
+    tags=("window", "robust", "timeseries"),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {MEDIAN_WINDOW_H}-hour ROLLING MEDIAN of the hourly
+    value series per event type — the robust twin of the rolling mean
+    (events_level_shift): one wild outlier hour shifts a mean for a
+    full window width but leaves the median untouched.
+
+    Spark cannot evaluate median/percentile over a custom window frame
+    (AnalysisException — percentile-family window functions require
+    the default frame), so the plan reuses the bounded forward-
+    contribution explode from events_ewma: each hour feeds the
+    {MEDIAN_WINDOW_H} target hours it belongs to, and a plain GROUPED
+    median — which Spark does support, with partial aggregation —
+    computes each window. Same shape in DuckDB so grouping semantics
+    (calendar-hour windows, gaps excluded, ragged leading windows
+    reported with their true n_win) are identical by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    # the hourly series rounds to 6 BEFORE the median: an even window
+    # interpolates (avg of the two middle values), and ulp-level AVG
+    # noise between engines would otherwise flip the 4th decimal
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    contrib = hourly.select(
+        "event_type",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(MEDIAN_WINDOW_H - 1))).alias("g"),
+        F.expr("h + make_interval(0, 0, 0, 0, g, 0, 0)").alias("h"),
+    ).select("event_type", "h", "x")
+    observed = hourly.select("event_type", "h")
+    return (
+        contrib.join(F.broadcast(observed), ["event_type", "h"], "left_semi")
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.sort_array(F.collect_list("x")).alias("arr"),
+        )
+        # explicit median from the sorted window: Spark's median()
+        # interpolates even counts as a+(b-a)*0.5 while DuckDB uses
+        # (a+b)/2 — mathematically equal, ulp-DIFFERENT; spelling out
+        # one formula on both engines makes the hash exact
+        .select(
+            "event_type",
+            "h",
+            "n_win",
+            # raw, UNROUNDED: both engines compute (a+b)/2 over the
+            # same 6-decimal inputs, so the double is bit-identical —
+            # while ROUND(x, 4) at the interpolation's exact .5
+            # boundary diverges (Spark rounds the shortest-repr
+            # decimal, DuckDB the binary value)
+            F.when(
+                F.col("n_win") % 2 == 1,
+                F.element_at("arr", ((F.col("n_win") + 1) / 2).cast("int")),
+            )
+            .otherwise(
+                (
+                    F.element_at("arr", (F.col("n_win") / 2).cast("int"))
+                    + F.element_at("arr", (F.col("n_win") / 2 + 1).cast("int"))
+                )
+                / 2.0
+            )
+            .alias("roll_median"),
+        )
+        .orderBy("event_type", "h")
+    )

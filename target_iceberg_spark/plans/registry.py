@@ -147,6 +147,7 @@ def _load_all() -> None:
         similarity_sparse,
         similarity_binary,
         dedup_semantic,
+        embeddings_jl,
     )
 
 

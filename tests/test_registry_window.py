@@ -165,6 +165,8 @@ NEW_IN_R5_POST_WINDOW = {
     "agg_benford",
     "dedup_semantic",
     "agg_survival_km",
+    "win_rolling_median",
+    "emb_jl_projection",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

@@ -842,3 +842,77 @@ def test_kaplan_meier_matches_pure_python(spark, sf_oracle):
         assert abs(r["survival"] - want_s) < 1e-4
         assert 0.0 <= r["survival"] <= prev + 1e-9  # non-increasing
         prev = r["survival"]
+
+
+# -- win_rolling_median ----------------------------------------------------
+
+
+def test_rolling_median_matches_pure_python_and_is_robust(spark, sf_oracle):
+    import statistics
+
+    from target_iceberg_spark.plans.analytics_smooth import MEDIAN_WINDOW_H
+
+    rows = SPECS["win_rolling_median"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(AVG(value), 6) AS x
+        FROM read_parquet('{sf_oracle}/events.parquet')
+        GROUP BY event_type, h
+        """
+    ).fetchall()
+    by_type: dict[str, dict] = {}
+    for et, h, x in series:
+        by_type.setdefault(et, {})[h] = x
+    for r in rows[:300]:
+        hs = by_type[r["event_type"]]
+        window = [
+            hs[r["h"] - dt.timedelta(hours=g)]
+            for g in range(MEDIAN_WINDOW_H)
+            if r["h"] - dt.timedelta(hours=g) in hs
+        ]
+        assert r["n_win"] == len(window)
+        assert abs(r["roll_median"] - statistics.median(window)) < 1e-9
+
+
+# -- emb_jl_projection -----------------------------------------------------
+
+
+def test_jl_projection_matches_numpy_and_preserves_distance(spark, sf_oracle):
+    import hashlib
+
+    import numpy as np
+
+    from target_iceberg_spark.plans.embeddings_jl import JL_DIMS, JL_PROBES
+
+    rows = SPECS["emb_jl_projection"].builder(spark, sf_oracle).collect()
+    assert len(rows) == JL_PROBES * (JL_PROBES - 1) // 2
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_oracle}/embeddings.parquet') "
+        f"WHERE vec_id < {JL_PROBES} ORDER BY vec_id"
+    ).fetchall()
+    V = np.array([e for _, e in data], dtype=np.float64)
+    # rebuild the md5 sign matrix from scratch
+    R = np.zeros((64, JL_DIMS))
+    for i in range(1, 65):
+        for j in range(1, JL_DIMS + 1):
+            h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0]
+            R[i - 1, j - 1] = 1.0 if h in "01234567" else -1.0
+    P = np.round(V @ R / np.sqrt(JL_DIMS), 6)
+    ratios = []
+    for r in rows:
+        a, b = r["vec_a"], r["vec_b"]
+        od = float(np.linalg.norm(V[a] - V[b]))
+        pd = float(np.linalg.norm(P[a] - P[b]))
+        assert abs(r["orig_dist"] - od) < 1e-3
+        assert abs(r["proj_dist"] - pd) < 1e-3
+        assert abs(r["dist_ratio"] - pd / od) < 1e-3
+        ratios.append(r["dist_ratio"])
+    # JL concentration: mean ratio near 1, spread moderate at k=16
+    m = sum(ratios) / len(ratios)
+    assert 0.75 < m < 1.25
+    assert all(0.3 < x < 1.9 for x in ratios)
