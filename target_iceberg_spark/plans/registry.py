@@ -148,6 +148,7 @@ def _load_all() -> None:
         similarity_binary,
         dedup_semantic,
         embeddings_jl,
+        stats_information,
     )
 
 

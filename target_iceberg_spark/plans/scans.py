@@ -452,3 +452,62 @@ def scan_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionByName(b)
     return out.select("src_format", *cols).orderBy("src_format", "n_nationkey")
+
+
+def _derived_nation_malformed_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Headered nation CSV with DELIBERATE corruption planted after
+    every 5th data row (wrong arity + non-numeric key) — the fixture
+    for the PERMISSIVE-mode ingestion path."""
+
+    def write(df: DataFrame, tmp: str) -> None:
+        import os
+
+        rows = df.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+            "n_nationkey"
+        ).collect()  # 25-row dim — bounded fixture write
+        os.makedirs(tmp, exist_ok=True)
+        lines = ["n_nationkey,n_name,n_regionkey"]
+        for i, r in enumerate(rows):
+            lines.append(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}")
+            if (i + 1) % 5 == 0:
+                lines.append(f"not_an_int,CORRUPT_ROW_{i},xyz,extra_field")
+        with open(os.path.join(tmp, "part-00000.csv"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    return _derived_source(spark, sf_dir, "nation", "badcsv", write)
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""",
+    tags=("scan", "csv", "robustness"),
+    bench=False,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode CSV ingestion over a feed with planted corrupt
+    rows (bad arity, unparseable ints): Spark quarantines each bad
+    line into the corrupt-record column instead of failing the job or
+    silently coercing, the clean rows pass through and must equal the
+    parquet-derived oracle exactly. This is the ingestion-robustness
+    contract a production loader needs from a 100 TB third-party feed
+    — fail-fast loses the day's load; silent coercion poisons it; the
+    quarantine column does neither, and the corrupt rows stay
+    queryable for triage (count asserted in tests/test_session4_ops).
+    Excluded from bench (one-time fixture materialization)."""
+    src = _derived_nation_malformed_csv(spark, sf_dir)
+    parsed = (
+        spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+    )
+    return (
+        parsed.where(F.col("_corrupt_record").isNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )

@@ -100,6 +100,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # calendar-bounded hourly aggregate (bounded fanout)
             "dedup_semantic",  # broadcast SEM_K-row centroid table for
             # assignment, same class as emb_centroid_classify/emb_kmeans
+            "text_jsd_sources",  # #sources x #vocab grid built from two
+            # tiny aggregates + the one-row total (bounded crosses)
         ), f"unexpected BNLJ in {name}"
 
 
@@ -322,6 +324,7 @@ UNPARTITIONED_WINDOW_OK = {
     "agg_benford",  # total-over-9-digit-rows frame
     "agg_survival_km",  # K-M sweeps over the distinct-duration table,
     # bounded by the calendar span of the study window
+    "agg_mutual_info",  # marginals over the <= |X|x|Y| contingency cells
 }
 
 

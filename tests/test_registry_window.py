@@ -167,6 +167,9 @@ NEW_IN_R5_POST_WINDOW = {
     "agg_survival_km",
     "win_rolling_median",
     "emb_jl_projection",
+    "agg_mutual_info",
+    "text_jsd_sources",
+    "scan_csv_malformed",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

@@ -8,6 +8,7 @@ import datetime as dt
 import math
 
 import duckdb
+import pyspark.sql.functions as F
 
 from target_iceberg_spark.plans import all_specs
 
@@ -916,3 +917,105 @@ def test_jl_projection_matches_numpy_and_preserves_distance(spark, sf_oracle):
     m = sum(ratios) / len(ratios)
     assert 0.75 < m < 1.25
     assert all(0.3 < x < 1.9 for x in ratios)
+
+
+# -- agg_mutual_info -------------------------------------------------------
+
+
+def test_mutual_info_matches_pure_python(spark, sf_oracle):
+    import math
+    from collections import Counter
+
+    row = SPECS["agg_mutual_info"].builder(spark, sf_oracle).collect()[0]
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT o_orderstatus, o_orderpriority FROM "
+        f"read_parquet('{sf_oracle}/orders.parquet')"
+    ).fetchall()
+    nt = len(pairs)
+    nxy = Counter(pairs)
+    nx = Counter(x for x, _ in pairs)
+    ny = Counter(y for _, y in pairs)
+    mi = sum(
+        (n / nt) * math.log(n * nt / (nx[x] * ny[y]))
+        for (x, y), n in nxy.items()
+    )
+    chi2 = 0.0
+    for x in nx:
+        for y in ny:
+            e = nx[x] * ny[y] / nt
+            chi2 += (nxy.get((x, y), 0) - e) ** 2 / e
+    # NB: the plan only sums chi2 over OBSERVED cells; empty cells
+    # contribute e, not 0 — verify no empty cells exist here
+    assert all((x, y) in nxy for x in nx for y in ny)
+    v = math.sqrt(chi2 / (nt * (min(len(nx), len(ny)) - 1)))
+    assert row["n_rows"] == nt
+    assert abs(row["mutual_info"] - mi) < 1e-5
+    assert abs(row["chi2"] - chi2) < 1e-2
+    assert abs(row["cramers_v"] - v) < 1e-5
+    assert 0.0 <= row["cramers_v"] <= 1.0
+    assert row["mutual_info"] >= -1e-12  # MI is non-negative
+
+
+# -- text_jsd_sources ------------------------------------------------------
+
+
+def test_jsd_matches_scipy_style_recompute_and_is_bounded(spark, sf_oracle):
+    import math
+    from collections import Counter
+
+    rows = SPECS["text_jsd_sources"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT source, text FROM read_parquet('{sf_oracle}/documents.parquet')"
+    ).fetchall()
+    per_src: dict[str, Counter] = {}
+    glob: Counter = Counter()
+    for s, t in data:
+        c = Counter(t.split(" "))
+        per_src.setdefault(s, Counter()).update(c)
+        glob.update(c)
+    g_tot = sum(glob.values())
+    for r in rows:
+        c = per_src[r["source"]]
+        s_tot = sum(c.values())
+        jsd = 0.0
+        for w, gn in glob.items():
+            p = gn / g_tot
+            q = c.get(w, 0) / s_tot
+            m = (p + q) / 2
+            if q > 0:
+                jsd += 0.5 * q * math.log(q / m)
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+        assert abs(r["jsd"] - jsd) < 1e-5
+        assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
+
+
+# -- scan_csv_malformed ----------------------------------------------------
+
+
+def test_malformed_csv_quarantines_exactly_the_planted_rows(spark, sf_oracle):
+    from target_iceberg_spark.plans.scans import _derived_nation_malformed_csv
+
+    src = _derived_nation_malformed_csv(spark, sf_oracle)
+    parsed = (
+        spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+    )
+    corrupt = parsed.where(F.col("_corrupt_record").isNotNull()).collect()
+    n_nation = spark.read.parquet(f"{sf_oracle}/nation.parquet").count()
+    assert len(corrupt) == n_nation // 5  # one planted row per 5 good
+    # quarantined lines carry the raw text for triage, data cols null
+    for r in corrupt:
+        assert r["_corrupt_record"].startswith("not_an_int,CORRUPT_ROW_")
+        assert r["n_nationkey"] is None
+    # and the clean side is byte-equal to the dimension table
+    good = SPECS["scan_csv_malformed"].builder(spark, sf_oracle).collect()
+    assert len(good) == n_nation
