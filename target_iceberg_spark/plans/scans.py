@@ -511,3 +511,78 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+def _derived_orders_nested_json(spark: SparkSession, sf_dir: str) -> str:
+    """Orders as nested JSON documents — each order carries its line
+    items as an embedded array (the denormalized event-doc shape JSON
+    feeds actually arrive in). Fingerprint keys on orders.parquet; the
+    driver regenerates all testdata tables together, so the lineitem
+    content is covered by the same generation."""
+
+    def write(df: DataFrame, tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        nested = (
+            df.join(li, df["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderkey", "o_custkey", "o_orderpriority")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+                    )
+                ).alias("items")
+            )
+        )
+        nested.coalesce(1).write.mode("overwrite").json(tmp)
+
+    return _derived_source(spark, sf_dir, "orders", "njson", write)
+
+
+@register(
+    "scan_json_nested",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("scan", "json", "nested"),
+    bench=False,
+)
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON shredding end-to-end: orders serialized ONCE as
+    denormalized documents (line items embedded as an array of
+    structs — the shape JSON event feeds arrive in), read back with an
+    explicit nested schema, re-flattened with explode, and aggregated
+    — the result must equal the same rollup computed from the
+    RELATIONAL tables, proving the round trip loses nothing.
+
+    Scale shape: explicit nested schema (inference over nested docs is
+    a full extra scan); explode is row-local fanout; the rollup is one
+    combinable aggregation whose distinct-order count rides the same
+    shuffle as the sums (two-phase partial distinct). This is the
+    documented ELT path for document feeds: shred EARLY into columnar
+    relations and let every downstream query run relational. Excluded
+    from bench (one-time fixture materialization)."""
+    src = _derived_orders_nested_json(spark, sf_dir)
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING, "
+        "items ARRAY<STRUCT<l_linenumber: INT, l_quantity: INT, "
+        "l_extendedprice: DOUBLE>>"
+    )
+    docs = spark.read.schema(schema).json(src)
+    flat = docs.select(
+        "o_orderkey", "o_orderpriority", F.explode("items").alias("it")
+    )
+    return (
+        flat.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("it.l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -171,3 +171,50 @@ def text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(contrib), 6).alias("jsd"))
         .orderBy("source")
     )
+
+
+@register(
+    "fn_lambda",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       (len(list_filter(embedding, x -> x > 1.5)) > 0) AS any_big,
+       (len(list_filter(embedding, x -> abs(x) >= 3.0)) = 0) AS all_small,
+       ROUND(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS energy
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+    tags=("function", "lambda", "array"),
+)
+def fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function family fn_array leaves out: exists /
+    forall / filter / fold over an array column, entirely inside
+    whole-stage codegen — the idioms that keep per-element logic OUT
+    of Python UDFs (the 10-100x slow path) at 100 TB.
+
+    DuckDB has no exists/forall builtins, so the oracle states both as
+    list_filter cardinality tests — which is also their formal
+    definition, making the semantic mapping explicit. The fold (sum of
+    squares in double) mirrors functions/vectors.py's sequential-fold
+    discipline so both engines accumulate in the same order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+            F.exists("embedding", lambda x: x > 1.5).alias("any_big"),
+            F.forall("embedding", lambda x: F.abs(x) < 3.0).alias("all_small"),
+            F.round(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                ),
+                4,
+            ).alias("energy"),
+        )
+        .orderBy("vec_id")
+    )

@@ -170,6 +170,8 @@ NEW_IN_R5_POST_WINDOW = {
     "agg_mutual_info",
     "text_jsd_sources",
     "scan_csv_malformed",
+    "scan_json_nested",
+    "fn_lambda",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

@@ -1019,3 +1019,57 @@ def test_malformed_csv_quarantines_exactly_the_planted_rows(spark, sf_oracle):
     # and the clean side is byte-equal to the dimension table
     good = SPECS["scan_csv_malformed"].builder(spark, sf_oracle).collect()
     assert len(good) == n_nation
+
+
+# -- scan_json_nested ------------------------------------------------------
+
+
+def test_nested_json_roundtrip_preserves_items(spark, sf_oracle):
+    from target_iceberg_spark.plans.scans import _derived_orders_nested_json
+
+    src = _derived_orders_nested_json(spark, sf_oracle)
+    docs = spark.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING, "
+        "items ARRAY<STRUCT<l_linenumber: INT, l_quantity: INT, "
+        "l_extendedprice: DOUBLE>>"
+    ).json(src)
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT l_orderkey, COUNT(*) FROM "
+            f"read_parquet('{sf_oracle}/lineitem.parquet') GROUP BY l_orderkey"
+        ).fetchall()
+    )
+    got = {
+        r["o_orderkey"]: r["n"]
+        for r in docs.select(
+            "o_orderkey", F.size("items").alias("n")
+        ).collect()
+    }
+    assert got == want  # every order doc carries ALL its items
+    # items arrive sorted by line number (deterministic serialization)
+    sample = docs.limit(20).collect()
+    for r in sample:
+        nums = [it["l_linenumber"] for it in r["items"]]
+        assert nums == sorted(nums)
+
+
+# -- fn_lambda -------------------------------------------------------------
+
+
+def test_lambda_family_matches_python_semantics(spark, sf_oracle):
+    rows = SPECS["fn_lambda"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    embs = dict(
+        con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_oracle}/embeddings.parquet') WHERE vec_id < 100"
+        ).fetchall()
+    )
+    for r in rows:
+        e = embs[r["vec_id"]]
+        assert r["n_pos"] == sum(1 for x in e if x > 0)
+        assert r["any_big"] == any(x > 1.5 for x in e)
+        assert r["all_small"] == all(abs(x) < 3.0 for x in e)
+        assert abs(r["energy"] - sum(float(x) ** 2 for x in e)) < 1e-2
