@@ -89,20 +89,31 @@ def asof_join(
         # Distance needs a numeric axis. A bare double cast works for
         # numeric ts columns but is ILLEGAL for timestamp/timestamp_ntz
         # in Spark 4 — route those through unix_micros (ntz values are
-        # pinned to UTC first so the delta is tz-independent).
-        ts_type = dict(left.dtypes)[left_ts]
+        # pinned to UTC first so the delta is tz-independent). The axis
+        # conversion is chosen PER COLUMN from that column's dtype IN
+        # THE PASS OUTPUT: the probe ts arrives union-COERCED to the
+        # common (left_ts, right_ts) type, while _bwd_ts/_fwd_ts keep
+        # the right frame's original type inside the payload struct —
+        # reading the input frames' dtypes would mis-route a mixed
+        # date-vs-timestamp call. Dates scale to microseconds so both
+        # sides share one axis unit.
+        probe_ts_type = dict(bwd.dtypes)[left_ts]
+        bwd_ts_type = dict(bwd.dtypes)["_bwd_ts"]
+        fwd_ts_type = dict(fwd.dtypes)["_fwd_ts"]
+        us_per_day = 86_400_000_000.0
 
-        def _axis(c: "F.Column") -> "F.Column":
+        def _axis(c: "F.Column", ts_type: str) -> "F.Column":
             if ts_type.startswith("timestamp_ntz"):
                 return F.unix_micros(F.to_utc_timestamp(c, "UTC")).cast("double")
             if ts_type.startswith("timestamp"):
                 return F.unix_micros(c).cast("double")
             if ts_type == "date":
-                return F.unix_date(c).cast("double")
+                return F.unix_date(c).cast("double") * us_per_day
             return c.cast("double")
 
-        d_b = F.abs(_axis(F.col(f"b.{left_ts}")) - _axis(F.col("_bwd_ts")))
-        d_f = F.abs(_axis(F.col("_fwd_ts")) - _axis(F.col(f"b.{left_ts}")))
+        probe_axis = _axis(F.col(f"b.{left_ts}"), probe_ts_type)
+        d_b = F.abs(probe_axis - _axis(F.col("_bwd_ts"), bwd_ts_type))
+        d_f = F.abs(_axis(F.col("_fwd_ts"), fwd_ts_type) - probe_axis)
         pick_backward = F.col("_fwd_ts").isNull() | (
             F.col("_bwd_ts").isNotNull() & (d_b <= d_f)  # ties go backward
         )
@@ -150,13 +161,29 @@ def asof_join(
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_asof_payload"),
     )
 
+    # Third sort key: DESCENDING payload struct, so `last()` lands on
+    # the MINIMUM payload tuple among reference rows that tie on
+    # (ts, side) — without it two references with identical (key, ts)
+    # resolve by shuffle order, which a hash-checked oracle cannot
+    # reproduce. Probe rows carry a NULL payload; desc puts NULLs last
+    # within their (ts, side) group, which cannot cross the side
+    # boundary, so probe ordering is unaffected. Requires value_cols
+    # to be orderable types (true for every Spark atomic type).
     if direction == "backward":
-        order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
+        order = [
+            F.col("_asof_ts").asc(),
+            F.col("_asof_side").asc(),
+            F.col("_asof_payload").desc(),
+        ]
     else:  # forward: earliest reference at-or-after the probe — walk the
         # timeline in reverse so "last seen reference" is the nearest
         # future one; side stays ascending so the inclusive/exclusive
         # tie-break keeps working.
-        order = [F.col("_asof_ts").desc(), F.col("_asof_side").asc()]
+        order = [
+            F.col("_asof_ts").desc(),
+            F.col("_asof_side").asc(),
+            F.col("_asof_payload").desc(),
+        ]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

@@ -97,10 +97,8 @@ framed AS (
                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS pre,
            AVG(x) OVER (PARTITION BY event_type ORDER BY h
                         ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS post,
-           COUNT(*) OVER (PARTITION BY event_type ORDER BY h
-                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_pre,
-           COUNT(*) OVER (PARTITION BY event_type ORDER BY h
-                          ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS n_post,
+           lag(h, 7) OVER (PARTITION BY event_type ORDER BY h) AS h_pre7,
+           lead(h, 6) OVER (PARTITION BY event_type ORDER BY h) AS h_post6,
            STDDEV_SAMP(x) OVER (PARTITION BY event_type) AS sd
     FROM hourly
 )
@@ -110,7 +108,7 @@ SELECT event_type, h,
        ROUND(post - pre, 4) AS shift,
        (abs(post - pre) > {SHIFT_SIGMA} * sd) AS flagged
 FROM framed
-WHERE n_pre = 7 AND n_post = 7
+WHERE h_pre7 = h - to_hours(7) AND h_post6 = h + to_hours(6)
 ORDER BY event_type, h
 """,
     tags=("timeseries", "changepoint", "events"),
@@ -126,9 +124,12 @@ def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the only full-data stage is the hourly combinable
     pre-aggregation; every window after it runs over the
     calendar-bounded (event_type, hour) series — the bounded-window
-    class this repo's CI sweep whitelists deliberately. Edge hours
-    with partial frames are excluded via frame row-counts rather than
-    silently comparing lopsided means."""
+    class this repo's CI sweep whitelists deliberately. Frames are
+    guarded for CALENDAR CONTIGUITY (the 7-rows-back hour must be
+    exactly 7 hours back, 6-rows-ahead exactly 6 ahead): a gappy
+    series makes a 7-ROW frame span far more than 7 hours, and a mere
+    row-count guard would compare lopsided time spans while claiming
+    the frame is complete."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
@@ -141,12 +142,16 @@ def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.avg("x").over(pre_f).alias("pre"),
         F.avg("x").over(post_f).alias("post"),
-        F.count(F.lit(1)).over(pre_f).alias("n_pre"),
-        F.count(F.lit(1)).over(post_f).alias("n_post"),
+        F.lag("h", 7).over(w).alias("h_pre7"),
+        F.lead("h", 6).over(w).alias("h_post6"),
         F.stddev_samp("x").over(Window.partitionBy("event_type")).alias("sd"),
     )
+    hour = lambda n: F.expr(f"make_interval(0, 0, 0, 0, {n}, 0, 0)")  # noqa: E731
     return (
-        framed.where((F.col("n_pre") == 7) & (F.col("n_post") == 7))
+        framed.where(
+            (F.col("h_pre7") == F.col("h") - hour(7))
+            & (F.col("h_post6") == F.col("h") + hour(6))
+        )
         .select(
             "event_type",
             "h",
@@ -173,17 +178,16 @@ WITH hourly AS (
     FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
 pred AS (
-    SELECT event_type, h, x,
-           lag(x, {SEASONAL_LAG_H}) OVER (
-               PARTITION BY event_type ORDER BY h) AS yhat
-    FROM hourly
+    SELECT c.event_type, c.x, p.x AS yhat
+    FROM hourly c JOIN hourly p
+      ON p.event_type = c.event_type
+     AND p.h + to_hours({SEASONAL_LAG_H}) = c.h
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_evaluated,
        ROUND(AVG(abs(x - yhat)), 4) AS mae,
        ROUND(AVG(abs(x - yhat) / abs(x)), 4) AS mape
 FROM pred
-WHERE yhat IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """,
@@ -197,19 +201,25 @@ def events_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     earns its compute, computed directly inside the engine.
 
     Scale shape: identical discipline to events_ewma — one combinable
-    hourly pre-aggregation is the only full-data stage; the lag window
-    and the error aggregation run over the calendar-bounded per-type
-    series. Hours with no yesterday-counterpart are excluded, not
-    imputed (they would silently deflate MAPE)."""
+    hourly pre-aggregation is the only full-data stage; the alignment
+    is an equi-join ON THE CALENDAR HOUR (cur.h = prev.h + 24h), not a
+    row-offset lag — a gappy series row-shifts into the wrong
+    counterpart silently, which is exactly how a forecast eval quietly
+    lies. Hours with no yesterday-counterpart drop out of the inner
+    join: excluded, not imputed (imputing would deflate MAPE)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.sum("value").alias("x"))
-    yhat = F.lag("x", SEASONAL_LAG_H).over(
-        Window.partitionBy("event_type").orderBy("h")
+    prev = hourly.select(
+        "event_type",
+        F.expr(
+            f"h + make_interval(0, 0, 0, 0, {SEASONAL_LAG_H}, 0, 0)"
+        ).alias("h"),
+        F.col("x").alias("yhat"),
     )
-    pred = hourly.select("event_type", "x", yhat.alias("yhat")).where(
-        F.col("yhat").isNotNull()
+    pred = hourly.join(prev, ["event_type", "h"]).select(
+        "event_type", "x", "yhat"
     )
     err = F.abs(F.col("x") - F.col("yhat"))
     return (
@@ -233,14 +243,11 @@ WITH hourly AS (
     SELECT date_trunc('hour', ts) AS h, SUM(value) AS x
     FROM events GROUP BY 1
 ),
-idx AS (
-    SELECT x, row_number() OVER (ORDER BY h) AS rn FROM hourly
-),
 lagged AS (
     SELECT g.lag, a.x AS x0, b.x AS x1
     FROM (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag) g
-    JOIN idx a ON TRUE
-    JOIN idx b ON b.rn = a.rn - g.lag
+    JOIN hourly a ON TRUE
+    JOIN hourly b ON b.h = a.h - to_hours(CAST(g.lag AS BIGINT))
 )
 SELECT CAST(lag AS INT) AS lag,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -260,26 +267,26 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the series pre-aggregates to calendar-bounded hourly
     rows (the only full-data stage, combinable); each lag's pairs come
-    from an EQUI-join of the indexed series against itself shifted by
-    the exploded lag offset — the same bounded-fanout
+    from an EQUI-join of the series against itself shifted by the
+    exploded CALENDAR-HOUR offset — a row-index shift would silently
+    pair across gaps in the series — the same bounded-fanout
     band-to-equi-join rewrite as events_ewma, never a non-equi
     nested loop — and corr() aggregates with partial merge."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.sum("value").alias("x")
     )
-    idx = hourly.select(
-        "x", F.row_number().over(Window.orderBy("h")).alias("rn")
-    )
     lags = spark.range(1, ACF_MAX_LAG + 1).select(
         F.col("id").cast("int").alias("lag")
     )
-    a = idx.crossJoin(F.broadcast(lags)).select(
-        "lag", F.col("x").alias("x0"), (F.col("rn") - F.col("lag")).alias("rn_b")
+    a = hourly.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.col("x").alias("x0"),
+        F.expr("h - make_interval(0, 0, 0, 0, lag, 0, 0)").alias("h_b"),
     )
-    b = idx.select(F.col("rn").alias("rn_b"), F.col("x").alias("x1"))
+    b = hourly.select(F.col("h").alias("h_b"), F.col("x").alias("x1"))
     return (
-        a.join(b, "rn_b")
+        a.join(b, "h_b")
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

@@ -12,7 +12,7 @@ embeddings exist.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -21,6 +21,35 @@ TOP_PAIRS = 20
 DF_CAP_FRAC = 1.0  # drop terms with df > frac*N (1.0 = keep all; the
 # synthetic 30-word vocabulary appears in nearly every doc, so any
 # real cap would empty the index — production corpora use ~0.1-0.5)
+
+
+def _tfidf_postings(
+    docs: DataFrame, *, with_source: bool, df_cap_frac: float = 1.0
+) -> DataFrame:
+    """Shared tf-idf posting builder: tokenize -> tf per (doc, term) ->
+    corpus df -> weight tf * ln(N/df), with the optional df cap. One
+    implementation so the idf formula / cap / double-promotion
+    discipline cannot drift between the pair-similarity and keyword
+    plans. Returns (doc_id, [source,] word, w) with w UNROUNDED —
+    each caller rounds at its own output boundary."""
+    keys = ["doc_id", "source"] if with_source else ["doc_id"]
+    tok = docs.select(*keys, F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy(*keys, "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") <= df_cap_frac * F.col("n_docs"))
+        .select(
+            *keys,
+            "word",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
 
 
 @register(
@@ -80,28 +109,7 @@ def sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED score with doc-id tie-breaks so the cut is
     engine-deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
-    )
-    tf = tok.groupBy("doc_id", "source", "word").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = (
-        tf.join(df, "word")
-        .crossJoin(F.broadcast(n))
-        .where(F.col("df") <= DF_CAP_FRAC * F.col("n_docs"))
-        .select(
-            "doc_id",
-            "source",
-            "word",
-            (
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df"))
-            ).alias("w"),
-        )
-    )
+    w = _tfidf_postings(docs, with_source=True, df_cap_frac=DF_CAP_FRAC)
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
@@ -175,26 +183,8 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The one-row corpus count broadcasts. Weights are rounded BEFORE
     ranking so the rank-boundary cut is engine-deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    )
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = (
-        tf.join(df, "word")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "word",
-            F.round(
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df")),
-                6,
-            ).alias("weight"),
-        )
+    w = _tfidf_postings(docs, with_source=False).select(
+        "doc_id", "word", F.round("w", 6).alias("weight")
     )
     rnk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.desc("weight"), "word")

@@ -632,10 +632,20 @@ def streaming_ewma(
             n_seen, s, epoch = state.get
         else:
             n_seen, s, epoch = 0, 0.0, 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            for x in pdf.sort_values(["ts", "x"], kind="mergesort")["x"]:
+        # A key's micro-batch arrives as MULTIPLE Arrow chunks (bounded
+        # by arrow.maxRecordsPerBatch) in no particular order: the
+        # order-sensitive fold must concat ALL chunks and sort the
+        # whole batch ONCE — sorting each chunk independently folds
+        # chunks in arrival order and corrupts the recursion (same
+        # discipline as sessionize/attribution above).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            for x in batch.sort_values(["ts", "x"], kind="mergesort")["x"]:
                 x = float(x)
                 s = x if n_seen == 0 else alpha * x + (1.0 - alpha) * s
                 n_seen += 1

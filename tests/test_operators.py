@@ -638,3 +638,54 @@ def test_snapshot_diff_classifies_nulls_correctly(spark):
         4: "deleted",
         5: "inserted",
     }
+
+
+def test_asof_duplicate_ts_references_resolve_to_min_payload(spark):
+    """Two reference rows with IDENTICAL (key, ts): the winner must be
+    the minimum payload tuple — a documented deterministic rule, not
+    shuffle order (a hash-checked oracle cannot reproduce the latter)."""
+    left = spark.createDataFrame([(1, 10, "p")], "k int, t int, probe string")
+    right = spark.createDataFrame(
+        [(1, 5, 200), (1, 5, 100), (1, 5, 150)], "k int, t int, rid int"
+    ).repartition(3)  # spread the ties across partitions on purpose
+    for direction in ("backward", "nearest"):
+        out = asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            value_cols=("rid",), direction=direction,
+        )
+        assert out.collect()[0]["rid"] == 100, direction
+    # forward: equal-ts ties ahead of the probe
+    right_f = spark.createDataFrame(
+        [(1, 15, 300), (1, 15, 250)], "k int, t int, rid int"
+    ).repartition(2)
+    out = asof_join(
+        left, right_f, on="k", left_ts="t", right_ts="t",
+        value_cols=("rid",), direction="forward",
+    )
+    assert out.collect()[0]["rid"] == 250
+
+
+def test_asof_nearest_mixed_date_and_timestamp_axes(spark):
+    """left_ts date, right_ts timestamp: each side converts on ITS OWN
+    dtype (a shared conversion keyed on the left type would crash or
+    mis-scale the right side)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10), "p")], "k int, d date, probe string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 8, 12, 0), "early"),
+            (1, dt.datetime(2024, 1, 10, 6, 0), "close"),
+            (1, dt.datetime(2024, 1, 20, 0, 0), "far"),
+        ],
+        "k int, ts timestamp, val string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="d", right_ts="ts",
+        value_cols=("val",), direction="nearest",
+    )
+    # probe axis = 2024-01-10 00:00; nearest is 'close' (6h) vs
+    # 'early' (36h) and 'far' (10d)
+    assert out.collect()[0]["val"] == "close"

@@ -320,7 +320,6 @@ UNPARTITIONED_WINDOW_OK = {
     "text_zipf",  # rank window over the top-k-bounded 100-row input
     "agg_gini_binned",  # Lorenz sweep over <= max_spend/bin_width
     # (~150) fixed-width bins — aggregate-bounded by construction
-    "events_acf",  # row_number over the calendar-bounded hourly series
     "agg_benford",  # total-over-9-digit-rows frame
     "agg_survival_km",  # K-M sweeps over the distinct-duration table,
     # bounded by the calendar span of the study window

@@ -291,20 +291,31 @@ def test_level_shift_matches_pure_python(spark, sf_oracle):
     by_type: dict[str, list] = {}
     for et, h, x in series:
         by_type.setdefault(et, []).append((h, x))
-    checked = 0
+    checked = skipped_gap_windows = 0
     by_key = {(r["event_type"], r["h"]): r for r in rows}
     for et, pts in by_type.items():
         xs = [x for _, x in pts]
+        hs = [h for h, _ in pts]
         sd = statistics.stdev(xs)
         for i in range(7, len(pts) - 6):
+            # only CALENDAR-CONTIGUOUS 14-hour windows qualify: a
+            # row-contiguous frame spanning a gap must NOT be reported
+            contiguous = hs[i - 7] == hs[i] - dt.timedelta(hours=7) and hs[
+                i + 6
+            ] == hs[i] + dt.timedelta(hours=6)
+            if not contiguous:
+                skipped_gap_windows += 1
+                assert (et, hs[i]) not in by_key
+                continue
             pre = sum(xs[i - 7 : i]) / 7
             post = sum(xs[i : i + 7]) / 7
-            r = by_key[(et, pts[i][0])]
+            r = by_key[(et, hs[i])]
             assert abs(r["pre_mean"] - pre) < 1e-3
             assert abs(r["post_mean"] - post) < 1e-3
             assert r["flagged"] == (abs(post - pre) > SHIFT_SIGMA * sd)
             checked += 1
-    assert checked == len(rows)  # exactly the full-frame interior rows
+    assert checked == len(rows)  # exactly the contiguous interior rows
+    assert skipped_gap_windows > 0  # the guard is exercised at this SF
 
 
 # -- sim_knn_classify ------------------------------------------------------
@@ -541,17 +552,29 @@ def test_seasonal_error_matches_pure_python(spark, sf_oracle):
         GROUP BY event_type, h ORDER BY event_type, h
         """
     ).fetchall()
-    by_type: dict[str, list] = {}
-    for et, _, x in series:
-        by_type.setdefault(et, []).append(x)
+    by_type: dict[str, dict] = {}
+    for et, h, x in series:
+        by_type.setdefault(et, {})[h] = x
+    any_gap_skipped = False
     for r in rows:
-        xs = by_type[r["event_type"]]
-        pairs = [(xs[i], xs[i - 24]) for i in range(24, len(xs))]
+        hs = by_type[r["event_type"]]
+        # CALENDAR alignment: pair each hour with the same hour
+        # yesterday; hours whose counterpart is missing are EXCLUDED
+        pairs = [
+            (x, hs[h - dt.timedelta(hours=24)])
+            for h, x in hs.items()
+            if h - dt.timedelta(hours=24) in hs
+        ]
+        any_gap_skipped |= len(pairs) < sum(
+            1 for h in hs if h - dt.timedelta(hours=24) >= min(hs)
+        )
         mae = sum(abs(a - b) for a, b in pairs) / len(pairs)
         mape = sum(abs(a - b) / abs(a) for a, b in pairs) / len(pairs)
         assert r["n_evaluated"] == len(pairs)
         assert abs(r["mae"] - mae) < 1e-3
         assert abs(r["mape"] - mape) < 1e-3
+    # the series really has gaps at this SF — the guard is exercised
+    assert any_gap_skipped
 
 
 # -- text_keywords_tfidf ---------------------------------------------------
@@ -696,21 +719,26 @@ def test_acf_matches_numpy_and_finds_no_fake_seasonality(spark, sf_oracle):
     rows = SPECS["events_acf"].builder(spark, sf_oracle).collect()
     assert len(rows) == 24
     con = duckdb.connect()
-    xs = np.array(
-        [
-            v
-            for (v,) in con.execute(
-                f"""
-            SELECT SUM(value) FROM read_parquet('{sf_oracle}/events.parquet')
-            GROUP BY date_trunc('hour', ts) ORDER BY date_trunc('hour', ts)
+    series = dict(
+        con.execute(
+            f"""
+            SELECT date_trunc('hour', ts), SUM(value)
+            FROM read_parquet('{sf_oracle}/events.parquet')
+            GROUP BY 1
             """
-            ).fetchall()
-        ]
+        ).fetchall()
     )
     for r in rows:
         lag = r["lag"]
-        a, b = xs[lag:], xs[:-lag]
-        assert r["n_pairs"] == len(a)
+        # CALENDAR pairing: (h, h - lag hours), only when both exist
+        pairs = [
+            (x, series[h - dt.timedelta(hours=lag)])
+            for h, x in series.items()
+            if h - dt.timedelta(hours=lag) in series
+        ]
+        assert r["n_pairs"] == len(pairs)
+        a = np.array([p[0] for p in pairs])
+        b = np.array([p[1] for p in pairs])
         want = float(np.corrcoef(a, b)[0, 1])
         assert abs(r["acf"] - want) < 1e-3, (lag, r["acf"], want)
         assert -1.0 <= r["acf"] <= 1.0

@@ -1238,3 +1238,70 @@ def test_streaming_ewma_equals_batch_recursion_across_batches(spark, tmp_path):
     assert abs(by_epoch[("click", 1)]["ewma"] - recur(series["click"][:3])) < 1e-12
     assert by_epoch[("click", 1)]["n_seen"] == 3
     assert abs(by_epoch[("view", 1)]["ewma"] - recur(series["view"][:2])) < 1e-12
+
+
+def test_streaming_ewma_multichunk_batch_folds_in_global_ts_order(
+    spark, tmp_path
+):
+    """Regression: with arrow.maxRecordsPerBatch small enough that one
+    key's micro-batch spans several pandas chunks, the fold must sort
+    the WHOLE batch, not each chunk (chunk-local sorting folds chunks
+    in arrival order and corrupts the recursion)."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import streaming_ewma
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0]
+    src = tmp_path / "ewma_chunks"
+    src.mkdir()
+    # one file = one micro-batch, rows written in REVERSE ts order
+    pd.DataFrame(
+        {
+            "event_type": ["click"] * len(vals),
+            "ts": [
+                int((t0 + pd.Timedelta(minutes=i)).value)
+                for i in reversed(range(len(vals)))
+            ],
+            "value": list(reversed(vals)),
+        }
+    ).to_parquet(src / "a.parquet")
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema("event_type STRING, ts LONG, value DOUBLE")
+            .parquet(str(src))
+        )
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
+                "timestamp"
+            ),
+        )
+        q = (
+            streaming_ewma(stream, alpha=0.3)
+            .writeStream.format("memory")
+            .queryName("ewma_chunked")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ewma_ch"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    rows = spark.table("ewma_chunked").collect()
+    s = None
+    for x in vals:
+        s = x if s is None else 0.3 * x + 0.7 * s
+    final = max(rows, key=lambda r: r["epoch"])
+    assert final["n_seen"] == len(vals)
+    assert abs(final["ewma"] - s) < 1e-12, (final["ewma"], s)

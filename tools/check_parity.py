@@ -5,12 +5,15 @@ same comparison tests/test_oracle_parity.py uses, without pytest
 collection overhead. Dev tool only — CI runs the full parity suite.
 """
 
+import os
 import sys
 import time
 
-from target_iceberg_spark.plans.registry import all_specs
-from target_iceberg_spark.session import get_spark
-from tests.oracle_harness import check_query
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from target_iceberg_spark.plans.registry import all_specs  # noqa: E402
+from target_iceberg_spark.session import get_spark  # noqa: E402
+from tests.oracle_harness import check_query  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 
