@@ -15,6 +15,8 @@ template-generated text that rule thresholds miss.
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf resolves the
+# stringified pd.Series annotations against module globals
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -141,3 +143,44 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("text_compression_ratio", oracle=None, tags=("text", "quality", "udf"))
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal per document: deflate the
+    UTF-8 text at a FIXED zlib level and report compressed/raw bytes —
+    the cheap, model-free redundancy detector (boilerplate and
+    template spam compress far below prose; random keyboard mash
+    barely compresses at all) used as a pre-filter alongside the rule
+    (text_gopher_rules) and statistical (text_lexical_diversity)
+    screens.
+
+    Rows-only check: SQL has no DEFLATE, so no DuckDB oracle exists —
+    instead tests/test_session4_ops.py pins determinism and the
+    discriminative ordering (repetitive < natural < high-entropy) with
+    a from-scratch zlib recompute. The UDF is an Arrow-batched
+    SCALAR pandas UDF (never row-at-a-time Python): at 100 TB this is
+    an embarrassingly parallel map whose only cost is one
+    zlib pass per document — the same shape the multimodal decode
+    tier uses, and the standard escape hatch for logic Spark
+    expressions cannot state."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(_ratio("text"), 6).alias("compression_ratio"),
+    ).orderBy("doc_id")

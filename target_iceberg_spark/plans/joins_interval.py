@@ -166,3 +166,81 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "signup_event_id")
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_scd2_pit",
+    oracle="""
+WITH o AS (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events WHERE event_type <> 'purchase'
+),
+hist AS (
+    SELECT user_id, ts AS valid_from, event_type
+    FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+),
+p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, h.event_type AS state_at,
+       h.valid_from AS state_since
+FROM p ASOF LEFT JOIN hist h
+  ON p.user_id = h.user_id AND p.ts >= h.valid_from
+ORDER BY p.event_id
+""",
+    tags=("join", "scd2", "point-in-time"),
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: every purchase
+    event picks up the user's ACTIVITY STATE (the non-purchase
+    event-type run, per events_scd2's interval construction) that was
+    valid at purchase time — the "what was the entity's state at T"
+    query that is the entire reason warehouses build SCD2 history.
+
+    Scale shape: because SCD2 intervals TILE each entity's timeline,
+    the interval predicate (valid_from <= t < valid_to) collapses to a
+    backward as-of on valid_from — so the plan reuses
+    operators/asof.py's single-shuffle union+window pass instead of a
+    between-join with range residuals, and inherits its deterministic
+    tie-breaks. The history build itself is the one-shuffle lag/filter
+    reshape shared with events_scd2. The DuckDB oracle states the same
+    collapse with its native ASOF JOIN."""
+    from pyspark.sql import Window
+
+    from target_iceberg_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    nonp = ev.where(F.col("event_type") != "purchase")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        nonp.select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state_at"),
+            F.lag("event_type").over(order_w).alias("_prev"),
+        )
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("state_at")))
+        .select(
+            "user_id",
+            "valid_from",
+            "state_at",
+            F.col("valid_from").alias("state_since"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        asof_join(
+            purchases,
+            hist,
+            on="user_id",
+            left_ts="ts",
+            right_ts="valid_from",
+            value_cols=("state_at", "state_since"),
+        )
+        .select("event_id", "user_id", "state_at", "state_since")
+        .orderBy("event_id")
+    )

@@ -35,7 +35,10 @@ def _tfidf_postings(
     keys = ["doc_id", "source"] if with_source else ["doc_id"]
     tok = docs.select(*keys, F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy(*keys, "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are unique per (doc, word) by construction, so document
+    # frequency is a plain COUNT — COUNT(DISTINCT) would plan an
+    # unnecessary expand/dedup phase over the posting table
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(df, "word")

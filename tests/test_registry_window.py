@@ -172,6 +172,9 @@ NEW_IN_R5_POST_WINDOW = {
     "scan_csv_malformed",
     "scan_json_nested",
     "fn_lambda",
+    "join_scd2_pit",
+    "text_compression_ratio",  # rows-only by design (no SQL DEFLATE;
+    # zlib-recompute + discrimination test in test_session4_ops)
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

@@ -1101,3 +1101,76 @@ def test_lambda_family_matches_python_semantics(spark, sf_oracle):
         assert r["any_big"] == any(x > 1.5 for x in e)
         assert r["all_small"] == all(abs(x) < 3.0 for x in e)
         assert abs(r["energy"] - sum(float(x) ** 2 for x in e)) < 1e-2
+
+
+# -- join_scd2_pit ---------------------------------------------------------
+
+
+def test_scd2_pit_matches_interval_containment(spark, sf_oracle):
+    """The as-of collapse must agree with the DEFINITIONAL interval
+    containment (valid_from <= t < next valid_from) recomputed in
+    Python from the raw history."""
+    rows = SPECS["join_scd2_pit"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_id, ts, event_type FROM "
+        f"read_parquet('{sf_oracle}/events.parquet') ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    hist: dict[int, list] = {}
+    purchases = []
+    for uid, eid, ts, et in ev:
+        if et == "purchase":
+            purchases.append((eid, uid, ts))
+        else:
+            runs = hist.setdefault(uid, [])
+            if not runs or runs[-1][1] != et:
+                runs.append((ts, et))
+    by_id = {r["event_id"]: r for r in rows}
+    assert set(by_id) == {eid for eid, _, _ in purchases}
+    n_matched = 0
+    for eid, uid, ts in purchases:
+        runs = hist.get(uid, [])
+        active = None
+        for vf, et in runs:  # runs are ts-ascending
+            if vf <= ts:
+                active = (vf, et)
+            else:
+                break
+        r = by_id[eid]
+        if active is None:
+            assert r["state_at"] is None
+        else:
+            assert (r["state_since"], r["state_at"]) == active, (eid, uid)
+            n_matched += 1
+    assert n_matched > 0
+
+
+# -- text_compression_ratio ------------------------------------------------
+
+
+def test_compression_ratio_matches_zlib_and_discriminates(spark, sf_oracle):
+    import zlib
+
+    rows = SPECS["text_compression_ratio"].builder(spark, sf_oracle).collect()
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_oracle}/documents.parquet')"
+        ).fetchall()
+    )
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        want = len(zlib.compress(raw, 6)) / len(raw)
+        assert abs(r["compression_ratio"] - want) < 1e-5
+        assert r["n_chars"] == len(texts[r["doc_id"]])
+    # discrimination: a pathological repeat compresses far better than
+    # the word-salad corpus mean, which itself compresses below 1.0
+    corpus_mean = sum(r["compression_ratio"] for r in rows) / len(rows)
+    spam_raw = ("spam " * 200).encode()
+    hexs_raw = ("4be1bb48822ac311acf66d88e072917141db17c" * 25).encode()
+    spam = len(zlib.compress(spam_raw, 6)) / len(spam_raw)
+    hexs = len(zlib.compress(hexs_raw, 6)) / len(hexs_raw)
+    assert spam < corpus_mean < 1.0
+    assert hexs > spam
