@@ -394,3 +394,73 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+WAU_DAYS = 7  # trailing window for weekly-active
+
+
+@register(
+    "events_dau_wau",
+    oracle=f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+contrib AS (
+    SELECT user_id, day + CAST(g AS INTEGER) AS day
+    FROM (SELECT user_id, day, unnest(range(0, {WAU_DAYS})) AS g FROM ud)
+),
+wau AS (
+    SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN (SELECT DISTINCT day FROM ud) p USING (day)
+    GROUP BY c.day
+),
+dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+)
+SELECT day, dau, wau,
+       ROUND(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+FROM dau JOIN wau USING (day)
+ORDER BY day
+""",
+    tags=("events", "engagement", "analytics"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / trailing-{WAU_DAYS}-day active users and the DAU/WAU
+    stickiness ratio — the product-engagement headline metric.
+
+    Scale shape: the full-data stage is ONE distinct over (user, day)
+    — map-side combinable, and the natural place for
+    approx_count_distinct/HLL at 100 TB (agg_hll_rollup is exactly
+    that sketch path; exact form kept here for the hash oracle). The
+    trailing-window distinct then runs over the (user, day) PAIRS, not
+    events: each pair contributes itself forward to the {WAU_DAYS}
+    calendar days it keeps the user 'weekly active' for (the
+    events_ewma contribution explode), and one distinct count per
+    target day finishes. Observed-days semi filter drops phantom
+    trailing days beyond the series end."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(WAU_DAYS - 1))).alias("g"),
+        F.col("day"),
+    ).select("user_id", F.expr("date_add(day, g)").alias("day"))
+    observed = ud.select("day").distinct()
+    wau = (
+        contrib.join(F.broadcast(observed), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

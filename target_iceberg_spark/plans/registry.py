@@ -149,6 +149,7 @@ def _load_all() -> None:
         dedup_semantic,
         embeddings_jl,
         stats_information,
+        graph_core,
     )
 
 

@@ -102,6 +102,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # assignment, same class as emb_centroid_classify/emb_kmeans
             "text_jsd_sources",  # #sources x #vocab grid built from two
             # tiny aggregates + the one-row total (bounded crosses)
+            "graph_kcore",  # per-round cross of two ONE-ROW stats
+            # aggregates (node count x edge count)
         ), f"unexpected BNLJ in {name}"
 
 

@@ -175,6 +175,8 @@ NEW_IN_R5_POST_WINDOW = {
     "join_scd2_pit",
     "text_compression_ratio",  # rows-only by design (no SQL DEFLATE;
     # zlib-recompute + discrimination test in test_session4_ops)
+    "graph_kcore",
+    "events_dau_wau",
 }
 
 GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

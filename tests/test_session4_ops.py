@@ -1174,3 +1174,83 @@ def test_compression_ratio_matches_zlib_and_discriminates(spark, sf_oracle):
     hexs = len(zlib.compress(hexs_raw, 6)) / len(hexs_raw)
     assert spam < corpus_mean < 1.0
     assert hexs > spam
+
+
+# -- graph_kcore -----------------------------------------------------------
+
+
+def test_kcore_matches_networkx_free_python_peel(spark, sf_oracle):
+    """Recompute the fixed-round peel from raw lineitem in pure Python
+    and verify the per-round (nodes, edges) trajectory shrinks
+    monotonically toward the true 3-core."""
+    from collections import Counter
+
+    from target_iceberg_spark.plans.graph_core import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        KCORE_SUPPORT,
+    )
+
+    rows = SPECS["graph_kcore"].builder(spark, sf_oracle).collect()
+    assert len(rows) == KCORE_ROUNDS + 1
+    con = duckdb.connect()
+    items = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{sf_oracle}/lineitem.parquet')"
+    ).fetchall()
+    by_order: dict[int, list] = {}
+    for o, p in items:
+        by_order.setdefault(o, []).append(p)
+    pair_counts: Counter = Counter()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i, pa in enumerate(ps):
+            for pb in ps[i + 1 :]:
+                pair_counts[(pa, pb)] += 1
+    edges = {e for e, n in pair_counts.items() if n >= KCORE_SUPPORT}
+
+    def stats(es):
+        nodes = {a for a, _ in es} | {b for _, b in es}
+        return len(nodes), len(es)
+
+    expect = [stats(edges)]
+    for _ in range(KCORE_ROUNDS):
+        deg: Counter = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        expect.append(stats(edges))
+    got = [(r["n_nodes"], r["n_edges"]) for r in sorted(rows, key=lambda r: r["round"])]
+    assert got == expect
+    # peeling must shrink monotonically (and actually peel something)
+    assert all(got[i] >= got[i + 1] for i in range(len(got) - 1))
+    assert got[0] > got[-1]
+
+
+# -- events_dau_wau --------------------------------------------------------
+
+
+def test_dau_wau_matches_pure_python_and_is_bounded(spark, sf_oracle):
+    rows = SPECS["events_dau_wau"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    ud = con.execute(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) FROM "
+        f"read_parquet('{sf_oracle}/events.parquet')"
+    ).fetchall()
+    by_day: dict = {}
+    for uid, day in ud:
+        by_day.setdefault(day, set()).add(uid)
+    for r in rows:
+        day = r["day"]
+        dau = by_day[day]
+        wau = set()
+        for g in range(7):
+            wau |= by_day.get(day - dt.timedelta(days=g), set())
+        assert r["dau"] == len(dau)
+        assert r["wau"] == len(wau)
+        assert abs(r["stickiness"] - len(dau) / len(wau)) < 1e-3
+        assert r["dau"] <= r["wau"]  # DAU is a subset of trailing WAU
+        assert 0.0 < r["stickiness"] <= 1.0
