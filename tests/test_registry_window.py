@@ -12,9 +12,11 @@ ROUND-6 NOTE — do these IN ORDER before registering any new query:
   2. Rebuild registry._HOIST for round 6: any r5 FAILs first, then
      NEW_IN_R5_POST_WINDOW (first driver check), then whatever
      round-6 work changes outputs, then brand-new queries.
-  3. The window holds 50; anything unverified beyond it must go into
-     a new POST_WINDOW set, and this file's tests enforce both
-     bookkeeping steps.
+  3. The window holds 50 and NEW_IN_R5_POST_WINDOW has 41 entries, so
+     after hoisting them (+ any FAILs) at most a handful of slots
+     remain: round-6's own new queries should go straight into a
+     NEW_IN_R6_POST_WINDOW set rather than competing for the window,
+     and this file's tests enforce both bookkeeping steps.
 """
 
 from __future__ import annotations
