@@ -129,3 +129,75 @@ def test_mmr_lambda_one_is_pure_relevance(cands, k):
     picked = mmr_select(cands, k, 1.0)
     want = [c[0] for c in sorted(cands, key=lambda c: (-c[2], c[0]))[:k]]
     assert [p[0] for p in picked] == want
+
+
+# -- asof_join (all three directions) vs pandas.merge_asof ------------------
+
+
+@st.composite
+def _asof_case(draw):
+    n_keys = draw(st.integers(min_value=1, max_value=3))
+    probes = []
+    refs = []
+    pid = 0
+    for k in range(n_keys):
+        for t in draw(
+            st.lists(
+                st.integers(min_value=0, max_value=100),
+                min_size=0,
+                max_size=6,
+            )
+        ):
+            probes.append((k, t, f"p{pid}"))
+            pid += 1
+        # unique ts per key on the right: pandas merge_asof tie rules
+        # for duplicate ts differ from this operator's documented
+        # min-payload rule (covered by its own unit test)
+        rts = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=100),
+                min_size=0,
+                max_size=6,
+                unique=True,
+            )
+        )
+        for t in rts:
+            refs.append((k, t, pid * 1000 + t))
+    return probes, refs
+
+
+@given(case=_asof_case(), direction=st.sampled_from(["backward", "forward", "nearest"]))
+@settings(max_examples=20, deadline=None)
+def test_asof_join_fuzz_matches_pandas(spark, case, direction):
+    import pandas as pd
+
+    from target_iceberg_spark.operators.asof import asof_join
+
+    probes, refs = case
+    if not probes:
+        return
+    left = spark.createDataFrame(probes, "k int, t long, probe string")
+    right = (
+        spark.createDataFrame(refs, "k int, t long, rid long")
+        if refs
+        else spark.createDataFrame([], "k int, t long, rid long")
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        value_cols=("rid",), direction=direction,
+    ).collect()
+    lp = pd.DataFrame(probes, columns=["k", "t", "probe"]).sort_values(
+        ["t", "probe"], kind="mergesort"
+    )
+    rp = pd.DataFrame(refs, columns=["k", "t", "rid"]).sort_values(
+        ["t", "rid"], kind="mergesort"
+    )
+    want = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+    want_map = dict(zip(want["probe"], want["rid"]))
+    assert len(out) == len(probes)
+    for r in out:
+        w = want_map[r["probe"]]
+        if pd.isna(w):
+            assert r["rid"] is None, (direction, r["probe"])
+        else:
+            assert r["rid"] == int(w), (direction, r["probe"], r["rid"], w)
