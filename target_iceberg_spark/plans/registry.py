@@ -154,68 +154,61 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries with NO current external driver evidence. Round 5: the 25
-# round-4 session-3 queries that were registered AFTER the round-4
-# window was already exactly full (each green in the local
-# oracle-parity suite; this is their first driver check — the whole
-# point of the rotation design), followed by queries added new in
-# round 5. Everything round 4 checked came back green
-# (CORRECTNESS_r04.json: 48/48 hash-green + the 2 declared rows-only
-# ANN rows) and rotates behind. The evidence ledger lives in
+# queries with NO current external driver evidence. Round 6: the
+# entire 41-entry round-5 post-window backlog (the session-4
+# stats/Gopher/SemDeDup/k-core tier plus the 8 round-5 post-window
+# items — each green in the local oracle-parity suite; this is their
+# first driver check, the whole point of the rotation design).
+# Everything round 5 checked came back green (CORRECTNESS_r05.json:
+# 48/48 hash-green + the 2 declared rows-only rows) and rotates
+# behind. The window holds 50, so up to 9 round-6 additions may
+# append at the end; further round-6 queries go to
+# NEW_IN_R6_POST_WINDOW. The evidence ledger lives in
 # tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-4 post-window backlog (driver evidence owed) ----------
-    "events_gapfill",
-    "events_ohlc",
-    "events_time_weighted",
-    "graph_pagerank",
-    "text_chunk_overlap",
-    "emb_pca",  # rows-only by design (driver-side eigensolve)
-    "agg_hll_rollup",  # rows-only by design (HLL estimate)
-    "join_bucketed",
-    "scan_binaryfile",
-    "cdc_snapshot_diff",
-    "profile_moments",
-    "dedup_keep_best",
-    "sim_range_search",
-    "skyline_pareto",
-    "text_sentiment",
-    "sim_trajectory_users",
-    "rollup_incremental",
-    "join_shuffle_hash",
-    "agg_listagg",
-    "events_funnel_windowed",
-    "sim_recall_audit",
-    "multimodal_dedup",
-    "scan_federated",
-    "text_bm25",
-    "sim_hybrid_rrf",
-    # -- new in round 5 ----------------------------------------------
-    "sim_ann_quality",
-    "dedup_url",
-    "curation_token_budget",
-    "curation_neardup_keepbest",
-    "profile_drift_psi",
-    "cdc_apply_changelog",
-    "text_zipf",
-    "emb_norm_stats",
-    "events_rfm",
-    "win_ntile",
-    "agg_corr_matrix",
-    "fn_url",
-    "events_window_topk",
-    "agg_bitmap_distinct",
-    "agg_copurchase",
-    "text_quality_logistic",
-    "text_dup_ngram_fraction",
-    "graph_also_bought",
-    "sim_topk_incremental",
-    "scan_dpp",
-    "scan_merge_schema",
-    "fn_variant",
-    "sample_weighted",
-    "graph_triangles",
-    "text_boilerplate_strip",
+    # -- round-5 post-window backlog (driver evidence owed) ----------
+    "emb_mmr",  # rows-only by design (greedy MMR; numpy-equivalence)
+    "dedup_cdc_chunks",
+    "join_asof_tolerance",
+    "profile_topk_values",
+    "agg_outlier_mad",
+    "fn_try_arithmetic",
+    "sim_matryoshka_prefix",
+    "profile_entropy",
+    "agg_ab_test",
+    "agg_weighted_percentile",
+    "agg_max_concurrent",
+    "text_gopher_rules",
+    "text_lexical_diversity",
+    "dedup_lines",
+    "events_ewma",
+    "events_level_shift",
+    "sim_knn_classify",
+    "profile_expectations",
+    "join_interval_overlap",
+    "sim_tfidf_pairs",
+    "join_asof_nearest",
+    "events_seasonal_error",
+    "text_keywords_tfidf",
+    "agg_gini_binned",
+    "curation_corpus_report",
+    "sim_binary_hamming",
+    "events_acf",
+    "agg_benford",
+    "dedup_semantic",
+    "agg_survival_km",
+    "win_rolling_median",
+    "emb_jl_projection",
+    "agg_mutual_info",
+    "text_jsd_sources",
+    "scan_csv_malformed",
+    "scan_json_nested",
+    "fn_lambda",
+    "join_scd2_pit",
+    "text_compression_ratio",  # rows-only by design (no SQL DEFLATE)
+    "graph_kcore",
+    "events_dau_wau",
+    # -- new in round 6 (at most 9; window is exactly 50) ------------
 )
 
 

@@ -189,8 +189,14 @@ def test_asof_join_fuzz_matches_pandas(spark, case, direction):
     lp = pd.DataFrame(probes, columns=["k", "t", "probe"]).sort_values(
         ["t", "probe"], kind="mergesort"
     )
-    rp = pd.DataFrame(refs, columns=["k", "t", "rid"]).sort_values(
-        ["t", "rid"], kind="mergesort"
+    # explicit dtypes: an empty refs list would otherwise build an
+    # all-object frame and merge_asof raises MergeError before any
+    # comparison (the engine side handles the empty case via its
+    # explicit schema; the reference frame must too)
+    rp = (
+        pd.DataFrame(refs, columns=["k", "t", "rid"])
+        .astype({"k": "int64", "t": "int64", "rid": "int64"})
+        .sort_values(["t", "rid"], kind="mergesort")
     )
     want = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
     want_map = dict(zip(want["probe"], want["rid"]))

@@ -5,17 +5,16 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-6 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r05 into this ledger (every green row moves
-     from NEW_IN_R5 into a new ROUND5_GREEN set; any FAIL stays
+ROUND-7 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r06 into this ledger (every green row moves
+     from NEW_IN_R6 into a new ROUND6_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 6: any r5 FAILs first, then
-     NEW_IN_R5_POST_WINDOW (first driver check), then whatever
-     round-6 work changes outputs, then brand-new queries.
-  3. The window holds 50 and NEW_IN_R5_POST_WINDOW has 41 entries, so
-     after hoisting them (+ any FAILs) at most a handful of slots
-     remain: round-6's own new queries should go straight into a
-     NEW_IN_R6_POST_WINDOW set rather than competing for the window,
+  2. Rebuild registry._HOIST for round 7: any r6 FAILs first, then
+     NEW_IN_R6_POST_WINDOW (first driver check), then whatever
+     round-7 work changes outputs, then brand-new queries.
+  3. Round-7's own new queries fill whatever window slots remain
+     after the hoist; overflow goes straight into a
+     NEW_IN_R7_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -105,11 +104,10 @@ ROUND4_GREEN = {
     "sim_ann_ivf", "sim_ann_pq",
 }
 
-# Queries with NO driver evidence yet, hoisted for round 5: the 25
-# round-4 session-3 post-window queries (first driver check) plus
-# whatever round 5 adds. Kept in one set because both get their first
-# driver row from the round-5 run.
-NEW_IN_R5 = {
+# Driver rows from round 5 (CORRECTNESS_r05.json: 48/48 hash-green —
+# the round-4 session-3 backlog plus the round-5 window additions —
+# plus the two declared rows-only rows recorded the same round).
+ROUND5_GREEN = {
     # round-4 post-window backlog
     "events_gapfill", "events_ohlc", "events_time_weighted",
     "graph_pagerank", "text_chunk_overlap",
@@ -132,10 +130,11 @@ NEW_IN_R5 = {
     "sample_weighted", "graph_triangles", "text_boilerplate_strip",
 }
 
-# Registered AFTER the round-5 window filled (the round-4 session-3
-# pattern): no driver row yet BY DESIGN — covered by local
-# property/parity tests and first in line for the round-6 hoist.
-NEW_IN_R5_POST_WINDOW = {
+# Queries with NO driver evidence yet, hoisted for round 6: the full
+# 41-entry round-5 post-window backlog (first driver check) plus any
+# round-6 additions that fit the remaining window slots. All get
+# their first driver row from the round-6 run.
+NEW_IN_R6 = {
     "emb_mmr",  # rows-only by design (greedy MMR; numpy-equivalence test)
     "dedup_cdc_chunks",
     "join_asof_tolerance",
@@ -181,7 +180,14 @@ NEW_IN_R5_POST_WINDOW = {
     "events_dau_wau",
 }
 
-GREEN = ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
+# Registered AFTER the round-6 window filled: no driver row yet BY
+# DESIGN — covered by local property/parity tests and first in line
+# for the round-7 hoist.
+NEW_IN_R6_POST_WINDOW: set[str] = set()
+
+GREEN = (
+    ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN | ROUND5_GREEN
+)
 
 
 def test_unverified_queries_inside_checker_window():
@@ -190,7 +196,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R5_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R6_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -199,9 +205,9 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert NEW_IN_R5 == set(_HOIST)
+    assert NEW_IN_R6 == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = NEW_IN_R5 - set(names)
+    missing = NEW_IN_R6 - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
 
 
@@ -209,5 +215,5 @@ def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - NEW_IN_R5 - NEW_IN_R5_POST_WINDOW
+    unaccounted = names - GREEN - NEW_IN_R6 - NEW_IN_R6_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
