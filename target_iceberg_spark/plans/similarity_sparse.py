@@ -21,6 +21,16 @@ TOP_PAIRS = 20
 DF_CAP_FRAC = 1.0  # drop terms with df > frac*N (1.0 = keep all; the
 # synthetic 30-word vocabulary appears in nearly every doc, so any
 # real cap would empty the index — production corpora use ~0.1-0.5)
+POSTING_CAP = 64  # champion-list bound: keep only the top-CAP
+# postings per (source, word) by normalized weight before the pair
+# join. THIS is the active scale valve on this corpus (the df cap is
+# a no-op on a 31-word vocabulary): it bounds the self-join to
+# O(vocab * sources * CAP^2) pair rows REGARDLESS of corpus size —
+# impact-ordered index pruning, standard in all-pairs similarity
+# (Bayardo WWW'07 prefix filtering is the exact-threshold variant;
+# champion lists are the top-k variant). The rank key is the weight
+# ROUNDED to 9 dp with doc_id tie-break so the boundary cut is
+# engine-deterministic; the oracle mirrors the identical truncation.
 
 
 def _tfidf_postings(
@@ -79,9 +89,19 @@ w AS (
 norms AS (
     SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
 ),
-wn AS (
+wn_all AS (
     SELECT doc_id, source, word, w / nrm AS wn
     FROM w JOIN norms USING (doc_id)
+),
+wn AS (
+    SELECT doc_id, source, word, wn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source, word
+            ORDER BY ROUND(wn, 9) DESC, doc_id) AS prnk
+        FROM wn_all
+    )
+    WHERE prnk <= {POSTING_CAP}
 )
 SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(SUM(a.wn * b.wn), 6) AS cos_sim
@@ -101,12 +121,18 @@ def sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever scored — the sparsity win), normalized by per-doc norms.
 
     Scale shape: every stage is a combinable aggregation or an
-    equi-join; nothing all-pairs. The two published safety valves are
-    built in: (1) the df cap drops stop-terms whose posting lists
-    would dominate the join (a no-op on this 30-word synthetic
-    vocabulary, parameterized for real corpora), (2) same-source
-    blocking bounds each posting self-join — the standard
-    partition-then-pair discipline shared with dedup_ngram_jaccard.
+    equi-join; nothing all-pairs. Three published safety valves: (1)
+    the ACTIVE champion-list cap truncates every (source, word)
+    posting list to its top-{POSTING_CAP} weights before the pair
+    join, so pair volume is O(vocab * sources * CAP^2) independent of
+    corpus size — the top-k analogue of Bayardo prefix filtering,
+    mirrored exactly in the oracle; (2) the df cap drops stop-terms
+    whose posting lists would dominate (a no-op on this 31-word
+    synthetic vocabulary — every term is near-ubiquitous, so any real
+    frac would empty the index — parameterized for real corpora);
+    (3) same-source blocking bounds each posting self-join — the
+    standard partition-then-pair discipline shared with
+    dedup_ngram_jaccard.
     The one-row corpus count broadcasts (whitelisted scalar cross).
     TakeOrderedAndProject finishes the global top-k; ordering is on
     the ROUNDED score with doc-id tie-breaks so the cut is
@@ -121,6 +147,22 @@ def sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # off the (large) pair set onto the (small) posting set
     wn = w.join(norms, "doc_id").select(
         "doc_id", "source", "word", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+    # champion-list truncation: only the top-POSTING_CAP postings per
+    # (source, word) enter the pair join, bounding it to
+    # O(vocab * sources * CAP^2) regardless of corpus size. Rank on
+    # the ROUNDED weight (doc_id tie-break) so the cut is
+    # engine-deterministic; the per-cell window is bounded by the
+    # posting list, never the corpus.
+    prnk = F.row_number().over(
+        Window.partitionBy("source", "word").orderBy(
+            F.desc(F.round("wn", 9)), "doc_id"
+        )
+    )
+    wn = (
+        wn.withColumn("prnk", prnk)
+        .where(F.col("prnk") <= POSTING_CAP)
+        .drop("prnk")
     )
     a, b = wn.alias("a"), wn.alias("b")
     return (

@@ -505,6 +505,62 @@ def test_tfidf_pair_cosines_match_numpy(spark, sf_oracle):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_tfidf_pair_champion_list_truncation(spark, sf_oracle, monkeypatch):
+    """With the posting cap forced below the per-source doc count, the
+    reported score must equal the cosine over the TRUNCATED index
+    (only words where both docs survive their champion list), i.e. the
+    cap genuinely bounds the pair join rather than silently keeping
+    every posting. At sf0.01 posting lists are <=25 so the production
+    cap (64) is inactive; cap=2 makes every list overflow."""
+    import math
+    from collections import Counter
+
+    from target_iceberg_spark.plans import similarity_sparse as ss
+
+    monkeypatch.setattr(ss, "POSTING_CAP", 2)
+    rows = SPECS["sim_tfidf_pairs"].builder(spark, sf_oracle).collect()
+    assert rows
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_oracle}/documents.parquet')"
+    ).fetchall()
+    texts = {d: t for d, _, t in data}
+    sources = {d: s for d, s, _ in data}
+    n_docs = len(texts)
+    df: Counter = Counter()
+    for t in texts.values():
+        df.update(set(t.split(" ")))
+
+    def unit_weights(did):
+        tf = Counter(texts[did].split(" "))
+        w = {t: c * math.log(n_docs / df[t]) for t, c in tf.items()}
+        nrm = math.sqrt(sum(v * v for v in w.values()))
+        return {t: v / nrm for t, v in w.items()}
+
+    # replicate the champion list: top-2 docs per (source, word) by
+    # rounded normalized weight, doc_id tie-break
+    wn = {d: unit_weights(d) for d in texts}
+    survivors: dict = {}
+    for d, ws in wn.items():
+        for t, v in ws.items():
+            survivors.setdefault((sources[d], t), []).append(
+                (round(v, 9), d)
+            )
+    kept = {
+        cell: {d for _, d in sorted(lst, key=lambda x: (-x[0], x[1]))[:2]}
+        for cell, lst in survivors.items()
+    }
+    for r in rows:
+        a, b = r["doc_a"], r["doc_b"]
+        dot = sum(
+            va * wn[b].get(t, 0.0)
+            for t, va in wn[a].items()
+            if a in kept[(r["source"], t)] and b in kept[(r["source"], t)]
+        )
+        assert abs(r["cos_sim"] - dot) < 1e-4, (a, b)
+
+
 # -- join_asof_nearest -----------------------------------------------------
 
 
