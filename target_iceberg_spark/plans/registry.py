@@ -151,6 +151,14 @@ def _load_all() -> None:
         stats_information,
         graph_core,
     )
+    # Round-6 additions (hoisted into the window's remaining slots).
+    from target_iceberg_spark.plans import (  # noqa: F401
+        stats_tests,
+        analytics_risk,
+        graph_communities,
+        embeddings_outliers,
+        text_tokenizer,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -209,6 +217,15 @@ _HOIST: tuple[str, ...] = (
     "graph_kcore",
     "events_dau_wau",
     # -- new in round 6 (at most 9; window is exactly 50) ------------
+    "agg_chi_square",
+    "agg_mann_whitney",
+    "agg_bootstrap_ci",
+    "events_cusum",
+    "events_drawdown",
+    "graph_label_propagation",
+    "emb_outliers",
+    "text_bpe_merges",
+    "text_readability",
 )
 
 

@@ -104,6 +104,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # tiny aggregates + the one-row total (bounded crosses)
             "graph_kcore",  # per-round cross of two ONE-ROW stats
             # aggregates (node count x edge count)
+            "agg_chi_square",  # r x c category grid built from the two
+            # tiny marginal aggregates + the one-row total (bounded
+            # crosses, same class as text_jsd_sources)
         ), f"unexpected BNLJ in {name}"
 
 

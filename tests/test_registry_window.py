@@ -178,6 +178,16 @@ NEW_IN_R6 = {
     # zlib-recompute + discrimination test in test_session4_ops)
     "graph_kcore",
     "events_dau_wau",
+    # round-6 additions filling the window's remaining 9 slots
+    "agg_chi_square",
+    "agg_mann_whitney",
+    "agg_bootstrap_ci",
+    "events_cusum",
+    "events_drawdown",
+    "graph_label_propagation",
+    "emb_outliers",
+    "text_bpe_merges",
+    "text_readability",
 }
 
 # Registered AFTER the round-6 window filled: no driver row yet BY

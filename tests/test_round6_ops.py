@@ -1,0 +1,355 @@
+"""Independent recomputations for the round-6 query tier (stats tests,
+cumulative-series diagnostics, label propagation, embedding outliers,
+tokenizer/readability stats).
+
+Each test re-derives the registered query's claim with a SEPARATE
+implementation (pure python / pandas / hashlib) so a shared
+misconception between the Spark plan and its DuckDB oracle cannot pass
+silently — the same discipline as tests/test_session4_ops.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+
+from target_iceberg_spark.plans.registry import all_specs
+
+SPECS = all_specs()
+
+
+# -- agg_chi_square --------------------------------------------------------
+
+
+def test_chi_square_matches_pure_python(spark, sf_smoke):
+    rows = SPECS["agg_chi_square"].builder(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT o_orderstatus, o_orderpriority FROM "
+        f"read_parquet('{sf_smoke}/orders.parquet')"
+    ).fetchall()
+    obs = Counter(data)
+    row_t = Counter(s for s, _ in data)
+    col_t = Counter(p for _, p in data)
+    n = len(data)
+    chi2 = sum(
+        (obs.get((s, p), 0) - row_t[s] * col_t[p] / n) ** 2
+        / (row_t[s] * col_t[p] / n)
+        for s in row_t
+        for p in col_t
+    )
+    assert r["n"] == n
+    assert r["dof"] == (len(row_t) - 1) * (len(col_t) - 1)
+    assert abs(r["chi2"] - chi2) < 1e-3
+    v = math.sqrt(chi2 / (n * min(len(row_t) - 1, len(col_t) - 1)))
+    assert abs(r["cramers_v"] - v) < 1e-5
+
+
+# -- agg_mann_whitney ------------------------------------------------------
+
+
+def test_mann_whitney_matches_naive_ranks(spark, sf_smoke):
+    """Recompute U and z with the naive pooled midrank assignment (sort
+    the raw values, average tied ranks) — the textbook O(n log n)
+    single-machine form the distinct-value sweep must equal."""
+    rows = {
+        r["pri"]: r
+        for r in SPECS["agg_mann_whitney"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT o_orderpriority, o_orderstatus, o_totalprice FROM "
+        f"read_parquet('{sf_smoke}/orders.parquet') "
+        f"WHERE o_orderstatus IN ('F', 'O')"
+    ).fetchall()
+    by_pri: dict = {}
+    for pri, st, v in data:
+        by_pri.setdefault(pri, []).append((v, st))
+    for pri, vals in by_pri.items():
+        vals.sort()
+        # midranks with tie averaging
+        ranks: dict = {}
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j][0] == vals[i][0]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            ranks[vals[i][0]] = mid
+            i = j
+        n_f = sum(1 for _, st in vals if st == "F")
+        n_o = len(vals) - n_f
+        r_f = sum(ranks[v] for v, st in vals if st == "F")
+        u = r_f - n_f * (n_f + 1) / 2.0
+        n = len(vals)
+        tie3 = 0
+        for _, cnt in Counter(v for v, _ in vals).items():
+            tie3 += cnt**3 - cnt
+        var_u = n_f * n_o / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+        z = (u - n_f * n_o / 2.0) / math.sqrt(var_u)
+        got = rows[pri]
+        assert got["n_f"] == n_f and got["n_o"] == n_o
+        assert abs(got["u_stat"] - u) < 0.51  # u rounded to 2dp
+        assert abs(got["z"] - z) < 1e-3, pri
+
+
+# -- agg_bootstrap_ci ------------------------------------------------------
+
+
+def test_bootstrap_weights_match_hashlib(spark, sf_smoke):
+    """Re-derive replicate-0's weighted mean for one priority with
+    hashlib md5 — pins the engine's hash/substring indexing to the
+    spec (4 uniforms per digest, word b%4, digest b//4)."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.plans import stats_tests as st
+
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT o_orderkey, o_orderpriority, o_totalprice FROM "
+        f"read_parquet('{sf_smoke}/orders.parquet')"
+    ).fetchall()
+
+    def weight(key: int, b: int) -> float:
+        h = hashlib.md5(f"{key}_{b // 4}".encode()).hexdigest()
+        word = h[(b % 4) * 8 : (b % 4) * 8 + 8]
+        u = (int(word, 16) + 0.5) / 2**32
+        return -math.log(u)
+
+    # expected CI inputs: all B replicate means for one priority
+    pris = sorted({p for _, p, _ in data})
+    pri = pris[0]
+    sub = [(k, v) for k, p, v in data if p == pri]
+    means = []
+    for b in range(st.BOOT_B):
+        ws = [weight(k, b) for k, _ in sub]
+        means.append(
+            sum(w * v for w, (_, v) in zip(ws, sub)) / sum(ws)
+        )
+    est = sum(means) / len(means)
+    mvar = sum((m - est) ** 2 for m in means) / (len(means) - 1)
+    se = math.sqrt(mvar)
+    got = {
+        r["pri"]: r
+        for r in SPECS["agg_bootstrap_ci"].builder(spark, sf_smoke).collect()
+    }[pri]
+    assert abs(got["est"] - est) < 1e-3
+    assert abs(got["se"] - se) < 1e-3
+    assert abs(got["ci_lo"] - (est - st.BOOT_Z * se)) < 2e-3
+    assert abs(got["ci_hi"] - (est + st.BOOT_Z * se)) < 2e-3
+
+
+# -- events_cusum / events_drawdown ----------------------------------------
+
+
+def _daily(sf_dir: str, agg: str):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, ROUND({agg}, 6) "
+        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        f"GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+
+
+def test_cusum_matches_pandas(spark, sf_smoke):
+    rows = {
+        r["event_type"]: r
+        for r in SPECS["events_cusum"].builder(spark, sf_smoke).collect()
+    }
+    series: dict = {}
+    for et, day, x in _daily(sf_smoke, "AVG(value)"):
+        series.setdefault(et, []).append((day, x))
+    for et, pts in series.items():
+        m = sum(x for _, x in pts) / len(pts)
+        s, best = 0.0, None
+        for day, x in pts:  # pts already day-ordered
+            s += x - m
+            sr = round(s, 6)
+            if best is None or abs(sr) > abs(best[1]) + 1e-12:
+                best = (day, sr)
+        got = rows[et]
+        assert got["cp_day"] == best[0], et
+        assert abs(got["max_abs_cusum"] - abs(best[1])) < 1e-3
+        assert got["n_days"] == len(pts)
+
+
+def test_drawdown_matches_pure_python(spark, sf_smoke):
+    rows = {
+        r["event_type"]: r
+        for r in SPECS["events_drawdown"].builder(spark, sf_smoke).collect()
+    }
+    series: dict = {}
+    for et, day, x in _daily(sf_smoke, "SUM(value)"):
+        series.setdefault(et, []).append((day, x))
+    for et, pts in series.items():
+        c, peak, best = 0.0, -math.inf, None
+        for day, x in pts:
+            c = round(c + x, 6)
+            peak = max(peak, c)
+            draw = round(peak - c, 6)
+            if best is None or draw > best[1] + 1e-12:
+                best = (day, draw)
+        got = rows[et]
+        assert got["trough_day"] == best[0], et
+        assert abs(got["max_drawdown"] - best[1]) < 1e-3
+
+
+# -- graph_label_propagation -----------------------------------------------
+
+
+def test_lpa_final_round_bounds_components(spark, sf_smoke):
+    """After k rounds, labels are min node ids within k hops, so the
+    label count is >= the true component count and <= the node count;
+    recompute both with a pure-python BFS over the same edge set and
+    check the per-round label counts are monotonically decreasing
+    toward the component count."""
+    from target_iceberg_spark.plans import graph_communities as gc
+
+    out = {
+        r["round"]: r
+        for r in SPECS["graph_label_propagation"]
+        .builder(spark, sf_smoke)
+        .collect()
+    }
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH it AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{sf_smoke}/lineitem.parquet'))
+        SELECT a.l_partkey, b.l_partkey
+        FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {gc.LPA_SUPPORT}
+        """
+    ).fetchall()
+    adj: dict = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        nodes.update((a, b))
+    # BFS component count
+    seen: set = set()
+    n_comp = 0
+    for n in nodes:
+        if n in seen:
+            continue
+        n_comp += 1
+        stack = [n]
+        seen.add(n)
+        while stack:
+            v = stack.pop()
+            for w in adj.get(v, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+    assert out[0]["n_labels"] == len(nodes)
+    counts = [out[i]["n_labels"] for i in range(gc.LPA_ROUNDS + 1)]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] >= n_comp
+    # exact k-hop min-label simulation for the final round
+    labels = {n: n for n in nodes}
+    for _ in range(gc.LPA_ROUNDS):
+        labels = {
+            n: min([labels[n]] + [labels[w] for w in adj.get(n, ())])
+            for n in nodes
+        }
+    assert out[gc.LPA_ROUNDS]["n_labels"] == len(set(labels.values()))
+    assert out[gc.LPA_ROUNDS]["largest"] == max(
+        Counter(labels.values()).values()
+    )
+
+
+# -- emb_outliers ----------------------------------------------------------
+
+
+def test_emb_outliers_matches_numpy(spark, sf_smoke):
+    np = pytest.importorskip("numpy")
+    rows = SPECS["emb_outliers"].builder(spark, sf_smoke).collect()
+    assert rows
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{sf_smoke}/embeddings.parquet')"
+    ).fetchall()
+    by_label: dict = {}
+    for vid, lbl, emb in data:
+        by_label.setdefault(lbl, []).append((vid, np.array(emb, dtype=np.float64)))
+    z_all = {}
+    for lbl, vecs in by_label.items():
+        cent = np.round(np.mean([v for _, v in vecs], axis=0), 6)
+        dists = {
+            vid: round(float(np.sqrt(((v - cent) ** 2).sum())), 6)
+            for vid, v in vecs
+        }
+        dvals = np.array(list(dists.values()))
+        mu, sd = dvals.mean(), dvals.std(ddof=1)
+        for vid, d in dists.items():
+            z_all[vid] = (lbl, d, (d - mu) / sd)
+    for r in rows:
+        lbl, d, z = z_all[r["vec_id"]]
+        assert r["label"] == lbl
+        assert abs(r["dist"] - d) < 1e-3
+        assert abs(r["z"] - z) < 1e-3
+    # the report is the true global top by z
+    want = sorted(z_all.items(), key=lambda kv: (-round(kv[1][2], 4), kv[0]))
+    assert [r["vec_id"] for r in rows] == [vid for vid, _ in want[: len(rows)]]
+
+
+# -- text_bpe_merges / text_readability ------------------------------------
+
+
+def test_bpe_merges_match_counter(spark, sf_smoke):
+    rows = SPECS["text_bpe_merges"].builder(spark, sf_smoke).collect()
+    con = duckdb.connect()
+    texts = [
+        t
+        for t, in con.execute(
+            f"SELECT text FROM read_parquet('{sf_smoke}/documents.parquet')"
+        ).fetchall()
+    ]
+    pairs: Counter = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        pairs.update(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r["pair"], r["cnt"]) for r in rows] == want
+
+
+def test_readability_matches_pure_python(spark, sf_smoke):
+    import re
+
+    rows = {
+        r["source"]: r
+        for r in SPECS["text_readability"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT source, text FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    per_source: dict = {}
+    for src, t in data:
+        words = len(t.split(" "))
+        sentences = max(len(re.findall(r"[.!?]", t)), 1)
+        syllables = len(re.findall(r"[aeiouy]+", t.lower()))
+        fl = round(
+            206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words),
+            4,
+        )
+        per_source.setdefault(src, []).append((words, fl))
+    for src, vals in per_source.items():
+        got = rows[src]
+        assert got["n_docs"] == len(vals)
+        assert abs(got["avg_words"] - sum(w for w, _ in vals) / len(vals)) < 0.01
+        assert abs(got["avg_flesch"] - sum(f for _, f in vals) / len(vals)) < 0.01
+        assert abs(got["min_flesch"] - min(f for _, f in vals)) < 0.01
+        assert abs(got["max_flesch"] - max(f for _, f in vals)) < 0.01
