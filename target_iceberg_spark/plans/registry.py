@@ -159,6 +159,15 @@ def _load_all() -> None:
         embeddings_outliers,
         text_tokenizer,
     )
+    # Round-6 POST-window additions: registered after the 50-slot
+    # window filled — local oracle-parity/property evidence now,
+    # first in line for the round-7 hoist
+    # (tests/test_registry_window.py NEW_IN_R6_POST_WINDOW).
+    from target_iceberg_spark.plans import (  # noqa: F401
+        corpus_novelty,
+        graph_linkpred,
+        embeddings_drift,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):

@@ -331,3 +331,110 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("est") - BOOT_Z * F.col("se"), 4).alias("ci_lo"),
         F.round(F.col("est") + BOOT_Z * F.col("se"), 4).alias("ci_hi"),
     ).orderBy("pri")
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+WITH vals AS (
+    SELECT o_orderpriority AS pri, o_totalprice AS v,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+per_val AS (
+    SELECT pri, v,
+           CAST(SUM(is_f) AS DOUBLE) AS c_f,
+           CAST(COUNT(*) - SUM(is_f) AS DOUBLE) AS c_o
+    FROM vals GROUP BY pri, v
+),
+tot AS (
+    SELECT pri, SUM(c_f) AS n_f, SUM(c_o) AS n_o
+    FROM per_val GROUP BY pri
+),
+ecdf AS (
+    SELECT p.pri,
+           SUM(p.c_f) OVER (
+               PARTITION BY p.pri ORDER BY p.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / t.n_f AS f_f,
+           SUM(p.c_o) OVER (
+               PARTITION BY p.pri ORDER BY p.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / t.n_o AS f_o,
+           t.n_f, t.n_o
+    FROM per_val p JOIN tot t USING (pri)
+)
+SELECT pri,
+       CAST(n_f AS BIGINT) AS n_f,
+       CAST(n_o AS BIGINT) AS n_o,
+       ROUND(MAX(abs(f_f - f_o)), 6) AS d_stat,
+       ROUND(MAX(abs(f_f - f_o))
+             * sqrt(n_f * n_o / (n_f + n_o)), 4) AS ks_scaled
+FROM ecdf
+GROUP BY pri, n_f, n_o
+ORDER BY pri
+""",
+    tags=("aggregate", "statistics", "nonparametric"),
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic for order value between
+    finished ('F') and open ('O') orders per priority: the maximum
+    gap between the two empirical CDFs, plus the sqrt(n_f*n_o/n)
+    scaling the KS significance tables take. Completes the
+    two-sample toolkit (Welch t = means, Mann-Whitney = ranks, KS =
+    whole-distribution shape) — the distribution-drift test feature
+    stores run between training snapshots.
+
+    Scale shape: identical to agg_mann_whitney — ONE combinable
+    (priority, value) count, a cumulative window over DISTINCT values
+    per priority (bounded by value cardinality), and a final grouped
+    MAX. ECDF steps at distinct values are exactly where the sup gap
+    is attained, so the sweep is exact, not a discretization. ECDFs
+    are ratios of exact counts, so rounding at 6 is boundary-safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_f"),
+    )
+    per_val = vals.groupBy("pri", "v").agg(
+        F.sum("is_f").cast("double").alias("c_f"),
+        (F.count(F.lit(1)) - F.sum("is_f")).cast("double").alias("c_o"),
+    )
+    tot = per_val.groupBy("pri").agg(
+        F.sum("c_f").alias("n_f"), F.sum("c_o").alias("n_o")
+    )
+    sweep = (
+        Window.partitionBy("pri")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = per_val.join(tot, "pri").select(
+        "pri",
+        (F.sum("c_f").over(sweep) / F.col("n_f")).alias("f_f"),
+        (F.sum("c_o").over(sweep) / F.col("n_o")).alias("f_o"),
+        "n_f",
+        "n_o",
+    )
+    gap = F.max(F.abs(F.col("f_f") - F.col("f_o")))
+    return (
+        ecdf.groupBy("pri", "n_f", "n_o")
+        .agg(
+            F.round(gap, 6).alias("d_stat"),
+            F.round(
+                gap
+                * F.sqrt(
+                    F.col("n_f") * F.col("n_o") / (F.col("n_f") + F.col("n_o"))
+                ),
+                4,
+            ).alias("ks_scaled"),
+        )
+        .select(
+            "pri",
+            F.col("n_f").cast("bigint").alias("n_f"),
+            F.col("n_o").cast("bigint").alias("n_o"),
+            "d_stat",
+            "ks_scaled",
+        )
+        .orderBy("pri")
+    )

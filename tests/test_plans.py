@@ -107,6 +107,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "agg_chi_square",  # r x c category grid built from the two
             # tiny marginal aggregates + the one-row total (bounded
             # crosses, same class as text_jsd_sources)
+            "text_ngram_novelty",  # cross of the one-row max-doc-id
+            # aggregate (decile bucketing), same class as text_tfidf
+            "text_zipf_skewed",  # crosses of the one-row token/vocab
+            # totals onto the one-row slope fit
         ), f"unexpected BNLJ in {name}"
 
 
@@ -329,6 +333,9 @@ UNPARTITIONED_WINDOW_OK = {
     "agg_survival_km",  # K-M sweeps over the distinct-duration table,
     # bounded by the calendar span of the study window
     "agg_mutual_info",  # marginals over the <= |X|x|Y| contingency cells
+    "text_zipf_skewed",  # rank window over the <= ZIPF_V-row (1000)
+    # synthetic rank-frequency aggregate — vocabulary-bounded by
+    # construction, same class as text_zipf
 }
 
 

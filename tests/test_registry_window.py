@@ -193,7 +193,13 @@ NEW_IN_R6 = {
 # Registered AFTER the round-6 window filled: no driver row yet BY
 # DESIGN — covered by local property/parity tests and first in line
 # for the round-7 hoist.
-NEW_IN_R6_POST_WINDOW: set[str] = set()
+NEW_IN_R6_POST_WINDOW: set[str] = {
+    "agg_ks_test",
+    "text_ngram_novelty",
+    "text_zipf_skewed",
+    "graph_link_prediction",
+    "emb_drift_snapshots",
+}
 
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN | ROUND5_GREEN

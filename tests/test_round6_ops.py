@@ -353,3 +353,212 @@ def test_readability_matches_pure_python(spark, sf_smoke):
         assert abs(got["avg_flesch"] - sum(f for _, f in vals) / len(vals)) < 0.01
         assert abs(got["min_flesch"] - min(f for _, f in vals)) < 0.01
         assert abs(got["max_flesch"] - max(f for _, f in vals)) < 0.01
+
+
+# -- agg_ks_test -----------------------------------------------------------
+
+
+def test_ks_matches_naive_ecdf(spark, sf_smoke):
+    rows = {
+        r["pri"]: r
+        for r in SPECS["agg_ks_test"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT o_orderpriority, o_orderstatus, o_totalprice FROM "
+        f"read_parquet('{sf_smoke}/orders.parquet') "
+        f"WHERE o_orderstatus IN ('F', 'O')"
+    ).fetchall()
+    by_pri: dict = {}
+    for pri, st, v in data:
+        by_pri.setdefault(pri, {"F": [], "O": []})[st].append(v)
+    for pri, d in by_pri.items():
+        f, o = sorted(d["F"]), sorted(d["O"])
+        grid = sorted(set(f) | set(o))
+        import bisect
+
+        dmax = max(
+            abs(
+                bisect.bisect_right(f, v) / len(f)
+                - bisect.bisect_right(o, v) / len(o)
+            )
+            for v in grid
+        )
+        got = rows[pri]
+        assert got["n_f"] == len(f) and got["n_o"] == len(o)
+        assert abs(got["d_stat"] - dmax) < 1e-5, pri
+        scaled = dmax * math.sqrt(len(f) * len(o) / (len(f) + len(o)))
+        assert abs(got["ks_scaled"] - scaled) < 1e-3
+
+
+# -- text_ngram_novelty ----------------------------------------------------
+
+
+def test_ngram_novelty_matches_pure_python(spark, sf_smoke):
+    from target_iceberg_spark.plans import corpus_novelty as cn
+
+    rows = {
+        r["bucket"]: r
+        for r in SPECS["text_ngram_novelty"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    doc_grams = {}
+    for did, t in data:
+        toks = t.split(" ")
+        if len(toks) < cn.NOV_N:
+            continue
+        doc_grams[did] = {
+            " ".join(toks[i : i + cn.NOV_N])
+            for i in range(len(toks) - cn.NOV_N + 1)
+        }
+    firsts: dict = {}
+    for did in sorted(doc_grams):
+        for g in doc_grams[did]:
+            firsts.setdefault(g, did)
+    mx = max(did for did, _ in data)
+    per_bucket: dict = {}
+    for did, grams in doc_grams.items():
+        nov = sum(1 for g in grams if firsts[g] == did) / len(grams)
+        per_bucket.setdefault(did * cn.NOV_BUCKETS // (mx + 1), []).append(nov)
+    for bucket, novs in per_bucket.items():
+        got = rows[bucket]
+        assert got["n_docs"] == len(novs)
+        assert abs(got["avg_novelty"] - sum(novs) / len(novs)) < 1e-3
+        assert abs(got["min_novelty"] - min(novs)) < 1e-3
+    # novelty must decay from the first to the last ingest decile
+    assert rows[0]["avg_novelty"] >= rows[max(rows)]["avg_novelty"]
+
+
+# -- text_zipf_skewed ------------------------------------------------------
+
+
+def test_zipf_skewed_slope_near_minus_one(spark, sf_smoke):
+    """The derived corpus is Zipf(1) by construction, so the fitted
+    log-log slope must land near -1 with a tight fit — and the
+    hottest synthetic rank must dominate, proving the derivation
+    actually produced skew (the fixture corpus itself is uniform)."""
+    rows = SPECS["text_zipf_skewed"].builder(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert -1.35 < r["zipf_slope"] < -0.7, r
+    assert r["fit_r2"] > 0.9
+    assert r["vocab"] <= 1000 and r["n_tokens"] > r["vocab"]
+
+
+def test_zipf_skewed_draw_matches_hashlib(spark, sf_smoke):
+    """Pin the md5 -> uniform -> rank derivation to the spec for one
+    document's first token."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.plans import corpus_novelty as cn
+
+    con = duckdb.connect()
+    did, text = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet') ORDER BY doc_id LIMIT 1"
+    ).fetchone()
+    h = hashlib.md5(f"{did}:1".encode()).hexdigest()
+    u = (int(h[:8], 16) + 0.5) / 2**32
+    want = int(math.floor(math.exp(u * math.log(cn.ZIPF_V))))
+    got = (
+        spark.createDataFrame([(did, 1)], "doc_id long, i int")
+        .select(
+            F.floor(
+                F.exp(
+                    F.expr(
+                        "(cast(conv(substring(md5(concat(cast(doc_id as string),"
+                        " ':', cast(i as string))), 1, 8), 16, 10) as double)"
+                        " + 0.5) / 4294967296.0"
+                    )
+                    * F.lit(math.log(cn.ZIPF_V))
+                )
+            ).cast("int")
+        )
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+# -- graph_link_prediction -------------------------------------------------
+
+
+def test_link_prediction_matches_pure_python(spark, sf_smoke):
+    from target_iceberg_spark.plans import graph_linkpred as lp
+
+    rows = SPECS["graph_link_prediction"].builder(spark, sf_smoke).collect()
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH it AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{sf_smoke}/lineitem.parquet'))
+        SELECT a.l_partkey, b.l_partkey
+        FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {lp.LP_SUPPORT}
+        """
+    ).fetchall()
+    adj: dict = {}
+    eset = set()
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        eset.add((a, b))
+    centers = {n for n, ns in adj.items() if len(ns) <= lp.LP_DEG_CAP}
+    cand: dict = {}
+    for c in centers:
+        nbrs = sorted(adj[c])
+        for i, a in enumerate(nbrs):
+            for b in nbrs[i + 1 :]:
+                cand[(a, b)] = cand.get((a, b), 0) + 1
+    scored = []
+    for (a, b), cn_ in cand.items():
+        if (a, b) in eset:
+            continue
+        j = cn_ / (len(adj[a]) + len(adj[b]) - cn_)
+        scored.append((round(j, 6), a, b, cn_))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = scored[: len(rows)]
+    got = [
+        (r["jaccard"], r["part_a"], r["part_b"], r["common_nbrs"])
+        for r in rows
+    ]
+    assert got == [(j, a, b, cn_) for j, a, b, cn_ in want]
+
+
+# -- emb_drift_snapshots ---------------------------------------------------
+
+
+def test_emb_drift_matches_numpy(spark, sf_smoke):
+    np = pytest.importorskip("numpy")
+    rows = {
+        r["label"]: r
+        for r in SPECS["emb_drift_snapshots"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{sf_smoke}/embeddings.parquet')"
+    ).fetchall()
+    by: dict = {}
+    for vid, lbl, emb in data:
+        by.setdefault((lbl, vid % 2), []).append(
+            np.array(emb, dtype=np.float64)
+        )
+    for lbl in {l for l, _ in by}:
+        ca = np.round(np.mean(by[(lbl, 0)], axis=0), 6)
+        cb = np.round(np.mean(by[(lbl, 1)], axis=0), 6)
+        cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        l2 = float(np.linalg.norm(ca - cb))
+        got = rows[lbl]
+        assert got["n_a"] == len(by[(lbl, 0)])
+        assert got["n_b"] == len(by[(lbl, 1)])
+        assert abs(got["cos_sim"] - cos) < 1e-5
+        assert abs(got["l2_dist"] - l2) < 1e-3
+        # NOTE: no "cos near 1" sanity bound — the fixture embeddings
+        # are near-zero-mean, so half-split centroids are tiny vectors
+        # whose directions are noise; the operator's claim is the
+        # exact arithmetic above, not the fixture's stability.
