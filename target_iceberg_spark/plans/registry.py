@@ -167,6 +167,8 @@ def _load_all() -> None:
         corpus_novelty,
         graph_linkpred,
         embeddings_drift,
+        analytics_burst,
+        profiling_bloom,
     )
 
 

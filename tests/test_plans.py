@@ -111,6 +111,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # aggregate (decile bucketing), same class as text_tfidf
             "text_zipf_skewed",  # crosses of the one-row token/vocab
             # totals onto the one-row slope fit
+            "profile_bloom_fpr",  # crosses of the one-row audit /
+            # key-count / word-count aggregates (three one-row frames)
         ), f"unexpected BNLJ in {name}"
 
 

@@ -199,6 +199,8 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "text_zipf_skewed",
     "graph_link_prediction",
     "emb_drift_snapshots",
+    "events_burst",
+    "profile_bloom_fpr",
 }
 
 GREEN = (

@@ -562,3 +562,102 @@ def test_emb_drift_matches_numpy(spark, sf_smoke):
         # are near-zero-mean, so half-split centroids are tiny vectors
         # whose directions are noise; the operator's claim is the
         # exact arithmetic above, not the fixture's stability.
+
+
+# -- events_burst ----------------------------------------------------------
+
+
+def test_burst_episodes_match_pure_python(spark, sf_smoke):
+    from target_iceberg_spark.plans import analytics_burst as ab
+
+    rows = [
+        (r["event_type"], r["start_h"], r["end_h"], r["n_hours"], r["n_events"])
+        for r in SPECS["events_burst"].builder(spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    hourly = con.execute(
+        f"SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) "
+        f"FROM read_parquet('{sf_smoke}/events.parquet') "
+        f"GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for et, h, c in hourly:
+        series.setdefault(et, []).append((h, c))
+    want = []
+    from datetime import timedelta
+
+    for et, pts in series.items():
+        mean = sum(c for _, c in pts) / len(pts)
+        hot = [(h, c) for h, c in pts if c > ab.BURST_MULT * mean]
+        # group maximal consecutive-hour runs
+        runs: list = []
+        for h, c in hot:
+            if runs and h - runs[-1][-1][0] == timedelta(hours=1):
+                runs[-1].append((h, c))
+            else:
+                runs.append([(h, c)])
+        for run in runs:
+            if len(run) >= ab.BURST_MIN_HOURS:
+                want.append(
+                    (
+                        et,
+                        run[0][0],
+                        run[-1][0],
+                        len(run),
+                        sum(c for _, c in run),
+                    )
+                )
+    want.sort()
+    assert rows == want
+    assert rows  # the fixture must actually contain bursts
+
+
+# -- profile_bloom_fpr -----------------------------------------------------
+
+
+def test_bloom_filter_matches_hashlib(spark, sf_smoke):
+    """Rebuild the whole filter with hashlib and recompute the probe
+    verdicts — pins the md5-word indexing, the 32-bit word layout,
+    and the all-k membership rule."""
+    from target_iceberg_spark.plans import profiling_bloom as pb
+
+    rows = SPECS["profile_bloom_fpr"].builder(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    con = duckdb.connect()
+    keys = [
+        k
+        for k, in con.execute(
+            f"SELECT DISTINCT c_custkey FROM "
+            f"read_parquet('{sf_smoke}/customer.parquet')"
+        ).fetchall()
+    ]
+
+    def positions(key: int):
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return [
+            int(h[j * 8 : j * 8 + 8], 16) % pb.BLOOM_M
+            for j in range(pb.BLOOM_K)
+        ]
+
+    words: dict = {}
+    for k in keys:
+        for p in positions(k):
+            words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    fp = 0
+    for probe in range(1000000, 1000000 + pb.BLOOM_PROBES):
+        if all(
+            (words.get(p // 32, 0) >> (p % 32)) & 1 for p in positions(probe)
+        ):
+            fp += 1
+    assert r["n_keys"] == len(keys)
+    assert r["words_used"] == len(words)
+    assert r["false_positives"] == fp
+    assert r["n_probes"] == pb.BLOOM_PROBES
+    assert abs(r["observed_fpr"] - fp / pb.BLOOM_PROBES) < 1e-4
+    theo = (1 - math.exp(-pb.BLOOM_K * len(keys) / pb.BLOOM_M)) ** pb.BLOOM_K
+    assert abs(r["theoretical_fpr"] - theo) < 1e-4
+    # the audit must be informative: observed within a loose factor of
+    # theoretical (md5 behaves like a uniform hash)
+    if theo > 0.01:
+        assert 0.5 * theo < r["observed_fpr"] < 2.0 * theo
