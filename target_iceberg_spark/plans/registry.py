@@ -169,6 +169,9 @@ def _load_all() -> None:
         embeddings_drift,
         analytics_burst,
         profiling_bloom,
+        profiling_sketch,
+        joins_spatial,
+        text_lm,
     )
 
 

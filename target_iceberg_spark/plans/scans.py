@@ -213,6 +213,8 @@ def _derived_nation_source(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             writer.option("header", "true").csv(tmp)
         elif fmt == "orc":
             writer.orc(tmp)
+        elif fmt == "xml":
+            writer.format("xml").option("rowTag", "nation").save(tmp)
         else:
             writer.json(tmp)
 
@@ -342,6 +344,35 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true")
         .csv(src)
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "scan_xml",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""",
+    tags=("scan", "xml"),
+    bench=False,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML SOURCE path end-to-end through Spark 4's NATIVE xml data
+    source (the spark-xml package folded into core in 4.0): the nation
+    dim is written once as `<nation>` row elements and read back with
+    an explicit schema — no inference pass, same schema-on-read
+    discipline as the CSV/JSONL twins — and must match the
+    parquet-derived oracle row-for-row. DuckDB has no XML reader, so
+    the oracle reads the logical table: same rows regardless of
+    physical format, which is exactly the claim under test. Excluded
+    from bench (one-time file materialization)."""
+    src = _derived_nation_source(spark, sf_dir, "xml")
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(src)
+        .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
 

@@ -113,6 +113,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # totals onto the one-row slope fit
             "profile_bloom_fpr",  # crosses of the one-row audit /
             # key-count / word-count aggregates (three one-row frames)
+            "profile_kmv_jaccard",  # cross of the two one-row
+            # sketch/exact aggregates
+            "text_bigram_lm",  # cross of the one-row |V| aggregate,
+            # same class as text_perplexity
         ), f"unexpected BNLJ in {name}"
 
 

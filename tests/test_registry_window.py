@@ -201,6 +201,11 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "emb_drift_snapshots",
     "events_burst",
     "profile_bloom_fpr",
+    "profile_cms_error",
+    "profile_kmv_jaccard",
+    "join_spatial_grid",
+    "text_bigram_lm",
+    "scan_xml",
 }
 
 GREEN = (

@@ -661,3 +661,186 @@ def test_bloom_filter_matches_hashlib(spark, sf_smoke):
     # theoretical (md5 behaves like a uniform hash)
     if theo > 0.01:
         assert 0.5 * theo < r["observed_fpr"] < 2.0 * theo
+
+
+# -- profile_cms_error -----------------------------------------------------
+
+
+def test_cms_matches_hashlib_and_is_one_sided(spark, sf_smoke):
+    """Rebuild the whole count-min sketch with hashlib and recompute
+    every top-K estimate — pins the md5-word hashing, the min-over-
+    depth rule, and the CMS one-sided guarantee est >= true."""
+    from target_iceberg_spark.plans import profiling_sketch as ps
+
+    rows = [
+        (r["o_custkey"], r["true_cnt"], r["est_cnt"], r["overest"])
+        for r in SPECS["profile_cms_error"].builder(spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    cnts = dict(
+        con.execute(
+            f"SELECT o_custkey, COUNT(*) FROM "
+            f"read_parquet('{sf_smoke}/orders.parquet') GROUP BY o_custkey"
+        ).fetchall()
+    )
+
+    def positions(key: int):
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return [
+            (d, int(h[d * 8 : d * 8 + 8], 16) % ps.CMS_W)
+            for d in range(ps.CMS_D)
+        ]
+
+    counters: Counter = Counter()
+    for k, c in cnts.items():
+        for dp in positions(k):
+            counters[dp] += c
+    est = {k: min(counters[dp] for dp in positions(k)) for k in cnts}
+    topk = sorted(cnts, key=lambda k: (-cnts[k], k))[: ps.CMS_TOP]
+    want = [(k, cnts[k], est[k], est[k] - cnts[k]) for k in topk]
+    assert rows == want
+    for _, true_cnt, est_cnt, overest in rows:
+        assert est_cnt >= true_cnt  # CMS never underestimates
+        assert overest == est_cnt - true_cnt
+
+
+# -- profile_kmv_jaccard ---------------------------------------------------
+
+
+def test_kmv_matches_hashlib(spark, sf_smoke):
+    """Recompute the bottom-k sketch with hashlib: exact cohort sets,
+    the k smallest hashes, and both estimators — including the
+    degenerate union<k path where the sketch must return the exact
+    union count."""
+    from target_iceberg_spark.plans import profiling_sketch as ps
+
+    rows = SPECS["profile_kmv_jaccard"].builder(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT o_custkey, year(o_orderdate) FROM "
+        f"read_parquet('{sf_smoke}/orders.parquet') "
+        f"WHERE year(o_orderdate) IN ({ps.KMV_YEAR_A}, {ps.KMV_YEAR_B})"
+    ).fetchall()
+    a = {k for k, y in data if y == ps.KMV_YEAR_A}
+    b = {k for k, y in data if y == ps.KMV_YEAR_B}
+    union = a | b
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["n_union"] == len(union) and r["n_inter"] == len(a & b)
+    assert r["jaccard_exact"] == round(len(a & b) / len(union), 4)
+
+    def hv(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+
+    bottom = sorted(union, key=lambda k: (hv(k), k))[: ps.KMV_K]
+    n_both = sum(1 for k in bottom if k in a and k in b)
+    assert r["jaccard_est"] == round(n_both / len(bottom), 4)
+    if len(union) < ps.KMV_K:
+        assert r["union_est"] == len(union)  # sketch IS the set
+    else:
+        h_k = max(hv(k) for k in bottom)
+        assert r["union_est"] == math.floor(
+            (ps.KMV_K - 1) * 4294967296.0 / h_k
+        )
+        # the estimator must be informative on a real population
+        assert 0.5 * len(union) < r["union_est"] < 2.0 * len(union)
+
+
+# -- join_spatial_grid -----------------------------------------------------
+
+
+def test_spatial_grid_matches_brute_force(spark, sf_smoke):
+    """Brute-force O(n*m) recomputation of the radius join — pins the
+    md5 coordinate derivation AND the grid-blocking no-miss guarantee
+    (cell size = R means the 3x3 neighborhood covers every possible
+    within-R pair)."""
+    from target_iceberg_spark.plans import joins_spatial as js
+
+    rows = [
+        (r["c_custkey"], r["s_suppkey"], r["dist2"])
+        for r in SPECS["join_spatial_grid"].builder(spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    custs = [
+        k
+        for k, in con.execute(
+            f"SELECT c_custkey FROM read_parquet('{sf_smoke}/customer.parquet')"
+        ).fetchall()
+    ]
+    supps = [
+        k
+        for k, in con.execute(
+            f"SELECT s_suppkey FROM read_parquet('{sf_smoke}/supplier.parquet')"
+        ).fetchall()
+    ]
+
+    def coord(prefix: str, key: int) -> tuple[float, float]:
+        h = hashlib.md5(f"{prefix}{key}".encode()).hexdigest()
+        return (
+            int(h[:8], 16) / 4294967296.0,
+            int(h[8:16], 16) / 4294967296.0,
+        )
+
+    want = []
+    r2 = js.GRID_R * js.GRID_R
+    for c in custs:
+        cx, cy = coord("c", c)
+        for s in supps:
+            sx, sy = coord("s", s)
+            d2 = (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+            if d2 <= r2:
+                want.append((c, s, d2))
+    want.sort()
+    assert sorted(rows) == want
+    assert rows  # fixture must produce at least one within-R pair
+
+
+# -- text_bigram_lm --------------------------------------------------------
+
+
+def test_bigram_lm_matches_pure_python(spark, sf_smoke):
+    """Refit the add-k bigram LM with collections.Counter and rescore
+    every document — pins the smoothing formula, the context-count
+    derivation, and the two-level averaging."""
+    from target_iceberg_spark.plans import text_lm as tl
+
+    rows = {
+        r["source"]: r
+        for r in SPECS["text_bigram_lm"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, lower(text) FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    c12: Counter = Counter()
+    vocab: set = set()
+    doc_bgs: dict = {}
+    for doc_id, source, text in docs:
+        toks = text.split(" ")
+        vocab.update(toks)
+        bgs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        doc_bgs[(source, doc_id)] = bgs
+        c12.update(bgs)
+    c1: Counter = Counter()
+    for bg, c in c12.items():
+        c1[bg.split(" ")[0]] += c
+    v = float(len(vocab))
+    per_source: dict = {}
+    for (source, _doc_id), bgs in doc_bgs.items():
+        if not bgs:
+            continue
+        ce = sum(
+            -math.log((c12[bg] + tl.LM_K) / (c1[bg.split(" ")[0]] + tl.LM_K * v))
+            for bg in bgs
+        ) / len(bgs)
+        per_source.setdefault(source, []).append((len(bgs), ce))
+    assert set(rows) == set(per_source)
+    for source, docs_ce in per_source.items():
+        r = rows[source]
+        assert r["n_docs"] == len(docs_ce)
+        assert r["n_bigrams"] == sum(n for n, _ in docs_ce)
+        mean_ce = sum(ce for _, ce in docs_ce) / len(docs_ce)
+        assert abs(r["mean_cross_entropy"] - round(mean_ce, 4)) <= 1e-4
+        assert r["mean_cross_entropy"] > 0
