@@ -37,9 +37,10 @@ l{i} AS MATERIALIZED (
 )"""
 
 
-@register(
-    "graph_label_propagation",
-    oracle=f"""
+# Shared CTE prefix: co-purchase edges + LPA rounds l0..l{LPA_ROUNDS}.
+# Both the convergence-report oracle and the modularity oracle build on
+# the IDENTICAL label chain so the two queries can never drift apart.
+_LPA_CTE_PREFIX = f"""
 WITH pairs AS (
     SELECT a.l_partkey AS pa, b.l_partkey AS pb
     FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
@@ -54,7 +55,67 @@ l0 AS MATERIALIZED (
     SELECT node, node AS lbl
     FROM (SELECT pa AS node FROM edges UNION SELECT pb FROM edges)
 ),
-{",".join(_lpa_round_sql(i) for i in range(1, LPA_ROUNDS + 1))}
+{",".join(_lpa_round_sql(i) for i in range(1, LPA_ROUNDS + 1))}"""
+
+
+def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edge list (pa < pb), shared by
+    the whole graph tier. localCheckpoint'ed: every consumer iterates
+    or multi-references it, and without the lineage cut each reference
+    re-derives the O(basket^2) pair join."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= LPA_SUPPORT)
+        .select("pa", "pb")
+    ).localCheckpoint()
+
+
+def lpa_label_frames(edges: DataFrame, rounds: int) -> list[DataFrame]:
+    """[l0, l1, ..., l_rounds]: synchronized min-label frames, each
+    localCheckpoint'ed (graph_kcore lineage-cut discipline)."""
+    labels = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    ).localCheckpoint()
+    frames = [labels]
+    for _ in range(rounds):
+        via_b = edges.join(
+            labels.withColumnRenamed("node", "pb"), "pb"
+        ).select(F.col("pa").alias("node"), "lbl")
+        via_a = edges.join(
+            labels.withColumnRenamed("node", "pa"), "pa"
+        ).select(F.col("pb").alias("node"), "lbl")
+        labels = (
+            labels.select("node", "lbl")
+            .unionAll(via_b)
+            .unionAll(via_a)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        frames.append(labels)
+    return frames
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+{_LPA_CTE_PREFIX}
 SELECT * FROM (
     {" UNION ALL ".join(f'''
     SELECT {i} AS round,
@@ -88,25 +149,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'ed (the graph_kcore lineage-cut discipline —
     without it round i re-derives every earlier round per stats
     frame). No windows, no collected node lists."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= LPA_SUPPORT)
-        .select("pa", "pb")
-    ).localCheckpoint()
+    edges = co_purchase_edges(spark, sf_dir)
 
     def stats(lbls: DataFrame, rnd: int) -> DataFrame:
         sizes = lbls.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
@@ -116,26 +159,110 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sz").cast("bigint").alias("largest"),
         )
 
-    labels = (
+    frames = lpa_label_frames(edges, LPA_ROUNDS)
+    out = stats(frames[0], 0)
+    for i in range(1, LPA_ROUNDS + 1):
+        out = out.unionAll(stats(frames[i], i))
+    return out.orderBy("round")
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+{_LPA_CTE_PREFIX},
+lab AS (SELECT node, lbl FROM l{LPA_ROUNDS}),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS DOUBLE) AS deg
+    FROM (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+    GROUP BY node
+),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM edges),
+intra AS (
+    SELECT la.lbl, CAST(COUNT(*) AS DOUBLE) AS e_c
+    FROM edges e
+    JOIN lab la ON e.pa = la.node
+    JOIN lab lb ON e.pb = lb.node
+    WHERE la.lbl = lb.lbl
+    GROUP BY la.lbl
+),
+dsum AS (
+    SELECT lab.lbl, SUM(deg.deg) AS d_c
+    FROM deg JOIN lab ON deg.node = lab.node
+    GROUP BY lab.lbl
+)
+SELECT CAST(m.m AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM lab) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       ROUND(SUM(COALESCE(intra.e_c, 0) / m.m
+                 - (dsum.d_c / (2 * m.m)) * (dsum.d_c / (2 * m.m))), 4)
+           AS modularity
+FROM dsum
+LEFT JOIN intra ON dsum.lbl = intra.lbl
+CROSS JOIN m
+GROUP BY m.m
+""",
+    tags=("graph", "communities", "quality"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q = sum_c(e_c/m - (d_c/2m)^2) of the
+    partition produced by {LPA_ROUNDS} rounds of min-label propagation
+    over the co-purchase graph — the standard score (Newman & Girvan
+    2004, public) that says whether the communities LPA found are
+    denser than a random graph with the same degrees (Q>0) or
+    artifacts. Sharing `_LPA_CTE_PREFIX` / `lpa_label_frames` with
+    graph_label_propagation guarantees this scores EXACTLY the
+    partition that query reports, not a drifted re-derivation.
+
+    Scale shape: degrees and intra-community edge counts are
+    combinable aggregations over the edge list joined twice to the
+    node-keyed label frame (equi-joins on node id); the per-community
+    frame is communities-sized, folded to ONE row. The only doubles
+    are exact-integer ratios, summed per community and rounded at the
+    end — the established cross-engine float discipline."""
+    edges = co_purchase_edges(spark, sf_dir)
+    lab = lpa_label_frames(edges, LPA_ROUNDS)[-1]
+    deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-    ).localCheckpoint()
-    out = stats(labels, 0)
-    for i in range(1, LPA_ROUNDS + 1):
-        via_b = edges.join(
-            labels.withColumnRenamed("node", "pb"), "pb"
-        ).select(F.col("pa").alias("node"), "lbl")
-        via_a = edges.join(
-            labels.withColumnRenamed("node", "pa"), "pa"
-        ).select(F.col("pb").alias("node"), "lbl")
-        labels = (
-            labels.select("node", "lbl")
-            .unionAll(via_b)
-            .unionAll(via_a)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        out = out.unionAll(stats(labels, i))
-    return out.orderBy("round")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    intra = (
+        edges.join(
+            lab.select(F.col("node").alias("pa"), F.col("lbl").alias("la")),
+            "pa",
+        )
+        .join(
+            lab.select(F.col("node").alias("pb"), F.col("lbl").alias("lb")),
+            "pb",
+        )
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("double").alias("e_c"))
+    )
+    dsum = (
+        deg.join(lab, "node")
+        .groupBy("lbl")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    n_nodes = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    contrib = F.coalesce(F.col("e_c"), F.lit(0.0)) / F.col("m") - (
+        F.col("d_c") / (2 * F.col("m"))
+    ) * (F.col("d_c") / (2 * F.col("m")))
+    return (
+        dsum.join(intra, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            F.round(F.sum(contrib), 4).alias("modularity"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("m").cast("bigint").alias("n_edges"),
+            "n_nodes",
+            "n_communities",
+            "modularity",
+        )
+    )

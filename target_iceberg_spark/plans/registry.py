@@ -172,6 +172,8 @@ def _load_all() -> None:
         profiling_sketch,
         joins_spatial,
         text_lm,
+        similarity_mining,
+        analytics_cohort,
     )
 
 

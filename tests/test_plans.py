@@ -117,6 +117,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # sketch/exact aggregates
             "text_bigram_lm",  # cross of the one-row |V| aggregate,
             # same class as text_perplexity
+            "sim_hard_negatives",  # broadcast HN_PROBES-row anchor
+            # set, same class as sim_cosine_topk_batch
+            "graph_modularity",  # crosses of the one-row edge-count /
+            # node-count aggregates
         ), f"unexpected BNLJ in {name}"
 
 

@@ -206,6 +206,9 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "join_spatial_grid",
     "text_bigram_lm",
     "scan_xml",
+    "graph_modularity",
+    "sim_hard_negatives",
+    "events_cohort_ltv",
 }
 
 GREEN = (

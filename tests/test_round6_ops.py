@@ -844,3 +844,170 @@ def test_bigram_lm_matches_pure_python(spark, sf_smoke):
         mean_ce = sum(ce for _, ce in docs_ce) / len(docs_ce)
         assert abs(r["mean_cross_entropy"] - round(mean_ce, 4)) <= 1e-4
         assert r["mean_cross_entropy"] > 0
+
+
+# -- graph_modularity ------------------------------------------------------
+
+
+def test_modularity_matches_pure_python(spark, sf_smoke):
+    """Re-run min-label propagation and the Newman Q formula in pure
+    python over the same support-thresholded co-purchase graph."""
+    from target_iceberg_spark.plans import graph_communities as gc
+
+    rows = SPECS["graph_modularity"].builder(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        WITH it AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{sf_smoke}/lineitem.parquet'))
+        SELECT a.l_partkey, b.l_partkey
+        FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+    cnt = Counter(pairs)
+    edges = [e for e, c in cnt.items() if c >= gc.LPA_SUPPORT]
+    nodes = {n for e in edges for n in e}
+    lbl = {n: n for n in nodes}
+    adj: dict = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for _ in range(gc.LPA_ROUNDS):
+        lbl = {
+            n: min([lbl[n]] + [lbl[x] for x in adj[n]]) for n in nodes
+        }
+    m = len(edges)
+    deg = {n: len(adj[n]) for n in nodes}
+    e_c: Counter = Counter()
+    d_c: Counter = Counter()
+    for a, b in edges:
+        if lbl[a] == lbl[b]:
+            e_c[lbl[a]] += 1
+    for n in nodes:
+        d_c[lbl[n]] += deg[n]
+    comms = set(lbl.values())
+    q = sum(
+        e_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in comms
+    )
+    assert r["n_edges"] == m
+    assert r["n_nodes"] == len(nodes)
+    assert r["n_communities"] == len(comms)
+    assert abs(r["modularity"] - round(q, 4)) <= 1e-4
+    # LPA's fixpoint is connected components, where e_c = m_c and
+    # d_c = 2*m_c give Q = 1 - sum((m_c/m)^2) >= 0 — exactly 0 when a
+    # single component swallows the graph (the sf0.001 case)
+    assert r["modularity"] >= 0
+
+
+# -- sim_hard_negatives ----------------------------------------------------
+
+
+def test_hard_negatives_match_numpy(spark, sf_smoke):
+    import numpy as np
+
+    from target_iceberg_spark.plans import similarity_mining as sm
+
+    rows = [
+        (r["probe_id"], r["vec_id"], r["neg_label"], r["cos_sim"])
+        for r in SPECS["sim_hard_negatives"].builder(spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {k: np.array(v, dtype=np.float64) for k, _, v in data}
+    labels = {k: lb for k, lb, _ in data}
+    want = []
+    for pid in sorted(k for k in vecs if k < sm.HN_PROBES):
+        p = vecs[pid]
+        scored = []
+        for k, v in vecs.items():
+            if k < sm.HN_PROBES or labels[k] == labels[pid]:
+                continue
+            cs = float(v @ p) / math.sqrt(float(v @ v) * float(p @ p))
+            scored.append((round(cs, 6), k))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        want.extend(
+            (pid, k, labels[k], cs) for cs, k in scored[: sm.HN_K]
+        )
+    assert len(rows) == len(want)
+    for got, exp in zip(rows, want):
+        assert got[:3] == exp[:3]
+        assert abs(got[3] - exp[3]) <= 2e-6  # fold-order ulp wiggle
+    # every mined negative must be labeled differently from its anchor
+    for pid, _vid, neg_label, _cs in rows:
+        assert neg_label != labels[pid]
+
+
+# -- events_cohort_ltv -----------------------------------------------------
+
+
+def test_cohort_ltv_matches_pure_python(spark, sf_smoke):
+    from datetime import timedelta
+
+    rows = [
+        (
+            r["cohort_week"],
+            r["age_week"],
+            r["cohort_users"],
+            r["n_active"],
+            r["retention"],
+            r["ltv_per_user"],
+        )
+        for r in SPECS["events_cohort_ltv"].builder(spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT user_id, ts, value FROM "
+        f"read_parquet('{sf_smoke}/events.parquet')"
+    ).fetchall()
+
+    def week_of(ts):
+        d = ts.date() - timedelta(days=ts.weekday())
+        import datetime as dt
+
+        return dt.datetime(d.year, d.month, d.day)
+
+    firsts: dict = {}
+    for u, ts, _v in data:
+        if u not in firsts or ts < firsts[u]:
+            firsts[u] = ts
+    cohort = {u: week_of(ts) for u, ts in firsts.items()}
+    sizes = Counter(cohort.values())
+    cells: dict = {}
+    for u, ts, v in data:
+        cw = cohort[u]
+        age = (week_of(ts) - cw).days // 7
+        users, vsum = cells.setdefault((cw, age), (set(), [0.0]))
+        users.add(u)
+        vsum[0] += v
+    want = []
+    for cw in sorted(sizes):
+        cum = 0.0
+        ages = sorted(a for c, a in cells if c == cw)
+        for age in ages:
+            users, vsum = cells[(cw, age)]
+            cum += vsum[0]
+            want.append(
+                (
+                    cw,
+                    age,
+                    sizes[cw],
+                    len(users),
+                    round(len(users) / sizes[cw], 4),
+                    round(cum / sizes[cw], 4),
+                )
+            )
+    assert len(rows) == len(want)
+    for got, exp in zip(rows, want):
+        assert got[:4] == exp[:4]
+        assert abs(got[4] - exp[4]) <= 1e-4
+        assert abs(got[5] - exp[5]) <= 1e-3  # double-sum order wiggle
+    # retention must start at 1.0 for age 0 of every cohort
+    for cw, age, _cu, _na, ret, _ltv in rows:
+        if age == 0:
+            assert ret == 1.0
