@@ -174,6 +174,8 @@ def _load_all() -> None:
         text_lm,
         similarity_mining,
         analytics_cohort,
+        curation_pii,
+        profiling_layout,
     )
 
 

@@ -121,6 +121,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # set, same class as sim_cosine_topk_batch
             "graph_modularity",  # crosses of the one-row edge-count /
             # node-count aggregates
+            "profile_zorder_clustering",  # cross of the one-row
+            # key-bounds aggregate, same class as events_active_rolling
         ), f"unexpected BNLJ in {name}"
 
 

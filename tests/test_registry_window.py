@@ -209,6 +209,8 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "graph_modularity",
     "sim_hard_negatives",
     "events_cohort_ltv",
+    "curation_pii_audit",
+    "profile_zorder_clustering",
 }
 
 GREEN = (

@@ -1011,3 +1011,116 @@ def test_cohort_ltv_matches_pure_python(spark, sf_smoke):
     for cw, age, _cu, _na, ret, _ltv in rows:
         if age == 0:
             assert ret == 1.0
+
+
+# -- curation_pii_audit ----------------------------------------------------
+
+
+def test_pii_audit_matches_planted_truth(spark, sf_smoke):
+    """The injection schedule IS the ground truth: recount expected
+    emails/phones/IPs per source straight from doc_id arithmetic and
+    require the regex detector to find exactly those (the synthetic
+    corpus is lowercase word salad with no organic matches)."""
+    from target_iceberg_spark.plans import curation_pii as cp
+
+    rows = {
+        r["source"]: r
+        for r in SPECS["curation_pii_audit"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    per_source: dict = {}
+    for doc_id, source in docs:
+        e = doc_id % cp.PII_EMAIL_MOD == 0
+        p = doc_id % cp.PII_PHONE_MOD == 0
+        i = doc_id % cp.PII_IP_MOD == 0
+        n, w, ne, np_, ni = per_source.get(source, (0, 0, 0, 0, 0))
+        per_source[source] = (
+            n + 1,
+            w + (1 if e or p or i else 0),
+            ne + e,
+            np_ + p,
+            ni + i,
+        )
+    assert set(rows) == set(per_source)
+    for source, (n, w, ne, np_, ni) in per_source.items():
+        r = rows[source]
+        assert r["n_docs"] == n
+        assert r["docs_with_pii"] == w
+        assert r["n_emails"] == ne
+        assert r["n_phones"] == np_
+        assert r["n_ips"] == ni
+        assert abs(r["pii_rate"] - round(w / n, 4)) <= 1e-4
+        assert r["pii_rate"] > 0  # schedule plants into every source
+    # corpus-wide the schedule flags ~54% (1 - 2/3*4/5*6/7), never all
+    tot_docs = sum(n for n, *_ in per_source.values())
+    tot_pii = sum(w for _, w, *_ in per_source.values())
+    assert 0 < tot_pii < tot_docs
+
+
+# -- profile_zorder_clustering ---------------------------------------------
+
+
+def test_zorder_tightens_both_dimensions(spark, sf_smoke):
+    """Recompute both layouts' per-file spans in pure python (manual
+    bit interleave) and pin the audit's POINT: z-order keeps both
+    dimensions' spans far below the date-sort layout's full-width
+    customer span."""
+    from target_iceberg_spark.plans import profiling_layout as pl
+
+    rows = {
+        r["layout"]: r
+        for r in SPECS["profile_zorder_clustering"]
+        .builder(spark, sf_smoke)
+        .collect()
+    }
+    assert set(rows) == {"zorder", "bydate"}
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT o_custkey, o_orderdate FROM "
+        f"read_parquet('{sf_smoke}/orders.parquet')"
+    ).fetchall()
+    min_ck = min(k for k, _ in data)
+    max_ck = max(k for k, _ in data)
+    min_d = min(d for _, d in data)
+    max_d = max(d for _, d in data)
+    dom = 1 << pl.Z_BITS
+    pts = []
+    for ck, d in data:
+        x = math.floor((ck - min_ck) * (dom - 1) / (max_ck - min_ck))
+        y = math.floor(
+            (d - min_d).days * (dom - 1) / (max_d - min_d).days
+        )
+        z = 0
+        for i in range(pl.Z_BITS):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        pts.append((x, y, z))
+    for layout, key in (
+        ("zorder", lambda p: p[2] >> (2 * pl.Z_BITS - pl.Z_FILE_BITS)),
+        ("bydate", lambda p: p[1] >> (pl.Z_BITS - pl.Z_FILE_BITS)),
+    ):
+        files: dict = {}
+        for p in pts:
+            files.setdefault(key(p), []).append(p)
+        ck_spans = [
+            (max(x for x, _, _ in v) - min(x for x, _, _ in v) + 1) / dom
+            for v in files.values()
+        ]
+        d_spans = [
+            (max(y for _, y, _ in v) - min(y for _, y, _ in v) + 1) / dom
+            for v in files.values()
+        ]
+        r = rows[layout]
+        assert r["n_files"] == len(files)
+        assert abs(r["avg_custkey_span"] - round(sum(ck_spans) / len(ck_spans), 6)) <= 1e-6
+        assert abs(r["avg_date_span"] - round(sum(d_spans) / len(d_spans), 6)) <= 1e-6
+    # the layout decision the audit exists to inform:
+    assert (
+        rows["zorder"]["avg_custkey_span"]
+        < 0.5 * rows["bydate"]["avg_custkey_span"]
+    )
+    assert rows["bydate"]["avg_date_span"] < rows["zorder"]["avg_date_span"]
