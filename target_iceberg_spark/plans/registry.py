@@ -176,6 +176,9 @@ def _load_all() -> None:
         analytics_cohort,
         curation_pii,
         profiling_layout,
+        text_winnowing,
+        sampling_fixed,
+        features_decay,
     )
 
 

@@ -211,6 +211,9 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "events_cohort_ltv",
     "curation_pii_audit",
     "profile_zorder_clustering",
+    "text_winnowing",
+    "sample_fixed_k",
+    "events_decay_features",
 }
 
 GREEN = (

@@ -1124,3 +1124,125 @@ def test_zorder_tightens_both_dimensions(spark, sf_smoke):
         < 0.5 * rows["bydate"]["avg_custkey_span"]
     )
     assert rows["bydate"]["avg_date_span"] < rows["zorder"]["avg_date_span"]
+
+
+# -- text_winnowing --------------------------------------------------------
+
+
+def test_winnowing_matches_pure_python(spark, sf_smoke):
+    """Re-run the Schleimer/Schmidt/Aiken selection in pure python
+    (hashlib 5-gram digests, per-window min, df cap, pair counts)."""
+    from target_iceberg_spark.plans import text_winnowing as tw
+
+    rows = [
+        (r["doc_a"], r["doc_b"], r["n_shared"])
+        for r in SPECS["text_winnowing"].builder(spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lower(text) FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    fps: dict = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        hs = [
+            hashlib.md5(
+                " ".join(toks[i : i + tw.WIN_K]).encode()
+            ).hexdigest()
+            for i in range(len(toks) - tw.WIN_K + 1)
+        ]
+        sel = {
+            min(hs[i : i + tw.WIN_W])
+            for i in range(len(hs) - tw.WIN_W + 1)
+        }
+        if sel:
+            fps[doc_id] = sel
+    df: Counter = Counter()
+    for sel in fps.values():
+        df.update(sel)
+    keep = {h for h, c in df.items() if 2 <= c <= tw.WIN_DF_CAP}
+    pair_counts: Counter = Counter()
+    by_hash: dict = {}
+    for doc_id, sel in fps.items():
+        for h in sel & keep:
+            by_hash.setdefault(h, []).append(doc_id)
+    for h, ids in by_hash.items():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pair_counts[(ids[i], ids[j])] += 1
+    want = sorted(
+        (a, b, c)
+        for (a, b), c in pair_counts.items()
+        if c >= tw.WIN_MIN_SHARED
+    )
+    assert rows == want
+    assert rows  # the fixture's planted near-dups must surface
+
+
+# -- sample_fixed_k --------------------------------------------------------
+
+
+def test_fixed_k_sample_matches_hashlib(spark, sf_smoke):
+    """The md5-priority sample is a pure function of the data: re-rank
+    every group with hashlib and require the EXACT same k rows — this
+    also proves the scale prefilter never drops a selected row."""
+    from target_iceberg_spark.plans import sampling_fixed as sf_
+
+    rows = [
+        (r["c_mktsegment"], r["rk"], r["c_custkey"], r["c_acctbal"])
+        for r in SPECS["sample_fixed_k"].builder(spark, sf_smoke).collect()
+    ]
+    con = duckdb.connect()
+    custs = con.execute(
+        f"SELECT c_custkey, c_mktsegment, c_acctbal FROM "
+        f"read_parquet('{sf_smoke}/customer.parquet')"
+    ).fetchall()
+    by_seg: dict = {}
+    for k, seg, bal in custs:
+        hv = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        by_seg.setdefault(seg, []).append((hv, k, bal))
+    want = []
+    for seg in sorted(by_seg):
+        members = sorted(by_seg[seg])
+        for rk, (_hv, k, bal) in enumerate(members[: sf_.SAMPLE_K], 1):
+            want.append((seg, rk, k, bal))
+    assert rows == want
+    # groups smaller than k must be returned whole, never padded
+    for seg, members in by_seg.items():
+        got_n = sum(1 for s, *_ in rows if s == seg)
+        assert got_n == min(len(members), sf_.SAMPLE_K)
+
+
+# -- events_decay_features -------------------------------------------------
+
+
+def test_decay_features_match_pure_python(spark, sf_smoke):
+    from target_iceberg_spark.plans import features_decay as fd
+
+    rows = {
+        r["user_id"]: r
+        for r in SPECS["events_decay_features"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT user_id, ts, value FROM "
+        f"read_parquet('{sf_smoke}/events.parquet')"
+    ).fetchall()
+    t_ref = max(ts for _, ts, _ in data)
+    per_user: dict = {}
+    for u, ts, v in data:
+        age_d = (int(t_ref.timestamp()) - int(ts.timestamp())) / 86400.0
+        n, dc, dv, mn = per_user.get(u, (0, 0.0, 0.0, math.inf))
+        w = math.exp(-fd._LAMBDA * age_d)
+        per_user[u] = (n + 1, dc + w, dv + v * w, min(mn, age_d))
+    assert set(rows) == set(per_user)
+    for u, (n, dc, dv, mn) in per_user.items():
+        r = rows[u]
+        assert r["n_events"] == n
+        assert abs(r["decayed_count"] - dc) < 1e-3
+        assert abs(r["decayed_value"] - dv) < 1e-2
+        assert abs(r["last_seen_days"] - mn) < 1e-3
+        # decay must actually discount: decayed_count < raw count
+        assert r["decayed_count"] < n
