@@ -179,6 +179,8 @@ def _load_all() -> None:
         text_winnowing,
         sampling_fixed,
         features_decay,
+        curation_raking,
+        similarity_eval,
     )
 
 

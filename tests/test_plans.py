@@ -123,6 +123,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # node-count aggregates
             "profile_zorder_clustering",  # cross of the one-row
             # key-bounds aggregate, same class as events_active_rolling
+            "curation_ipf_raking",  # cross of the one-row targets
+            # aggregate onto the grid-sized cell table
+            "sim_ndcg_audit",  # broadcast NDCG_PROBES-row anchor set +
+            # k-row discount fanout, same class as sim_cosine_topk_batch
         ), f"unexpected BNLJ in {name}"
 
 

@@ -214,6 +214,8 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "text_winnowing",
     "sample_fixed_k",
     "events_decay_features",
+    "curation_ipf_raking",
+    "sim_ndcg_audit",
 }
 
 GREEN = (

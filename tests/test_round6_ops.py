@@ -1246,3 +1246,112 @@ def test_decay_features_match_pure_python(spark, sf_smoke):
         assert abs(r["last_seen_days"] - mn) < 1e-3
         # decay must actually discount: decayed_count < raw count
         assert r["decayed_count"] < n
+
+
+# -- curation_ipf_raking ---------------------------------------------------
+
+
+def test_ipf_raking_matches_pure_python(spark, sf_smoke):
+    """Re-run the alternating Deming-Stephan scaling in pure python
+    and verify both the weights and the raking POINT: after the
+    final source step, weighted source marginals match the target
+    exactly, and lang marginals are near-target."""
+    from target_iceberg_spark.plans import curation_raking as cr
+
+    rows = {
+        (r["lang"], r["source"]): r
+        for r in SPECS["curation_ipf_raking"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT lang, source, COUNT(*) FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    cells = {(lg, s): float(c) for lg, s, c in data}
+    langs = sorted({lg for lg, _ in cells})
+    sources = sorted({s for _, s in cells})
+    total = sum(cells.values())
+    t_lang = total / len(langs)
+    t_source = total / len(sources)
+    w = {k: 1.0 for k in cells}
+    for _ in range(cr.IPF_ROUNDS):
+        for lg in langs:
+            s_l = sum(w[k] * cells[k] for k in cells if k[0] == lg)
+            for k in cells:
+                if k[0] == lg:
+                    w[k] = w[k] * t_lang / s_l
+        for s in sources:
+            s_s = sum(w[k] * cells[k] for k in cells if k[1] == s)
+            for k in cells:
+                if k[1] == s:
+                    w[k] = w[k] * t_source / s_s
+    assert set(rows) == set(cells)
+    for k, wk in w.items():
+        r = rows[k]
+        assert r["n_docs"] == int(cells[k])
+        assert abs(r["weight"] - round(wk, 6)) <= 1e-6
+        assert abs(r["expected_docs"] - round(wk * cells[k], 2)) <= 0.011
+    # after the closing source step, source marginals are EXACT
+    for s in sources:
+        m = sum(w[k] * cells[k] for k in cells if k[1] == s)
+        assert abs(m - t_source) < 1e-6
+    # lang marginals have converged to within 2% of target
+    for lg in langs:
+        m = sum(w[k] * cells[k] for k in cells if k[0] == lg)
+        assert abs(m - t_lang) / t_lang < 0.02
+
+
+# -- sim_ndcg_audit --------------------------------------------------------
+
+
+def test_ndcg_matches_numpy(spark, sf_smoke):
+    import numpy as np
+
+    from target_iceberg_spark.plans import similarity_eval as se
+
+    rows = {
+        r["probe_id"]: r
+        for r in SPECS["sim_ndcg_audit"].builder(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {k: np.array(v, dtype=np.float64) for k, _, v in data}
+    labels = {k: lb for k, lb, _ in data}
+    for pid in sorted(k for k in vecs if k < se.NDCG_PROBES):
+        p = vecs[pid]
+        scored = sorted(
+            (
+                -round(
+                    float(v @ p)
+                    / math.sqrt(float(v @ v) * float(p @ p)),
+                    6,
+                ),
+                k,
+            )
+            for k, v in vecs.items()
+            if k >= se.NDCG_PROBES
+        )
+        n_rel = sum(
+            1
+            for k in vecs
+            if k >= se.NDCG_PROBES and labels[k] == labels[pid]
+        )
+        topk = scored[: se.NDCG_K]
+        dcg = sum(
+            1.0 / math.log2(i + 2)
+            for i, (_, k) in enumerate(topk)
+            if labels[k] == labels[pid]
+        )
+        idcg = sum(
+            1.0 / math.log2(i + 2)
+            for i in range(min(n_rel, se.NDCG_K))
+        )
+        r = rows[pid]
+        assert r["n_rel"] == n_rel
+        assert abs(r["dcg"] - dcg) < 1e-5
+        assert abs(r["idcg"] - idcg) < 1e-5
+        assert abs(r["ndcg"] - dcg / idcg) < 1e-5
+        assert 0.0 <= r["ndcg"] <= 1.0
