@@ -181,6 +181,7 @@ def _load_all() -> None:
         features_decay,
         curation_raking,
         similarity_eval,
+        multimodal_phash,
     )
 
 

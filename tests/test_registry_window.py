@@ -216,6 +216,7 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "events_decay_features",
     "curation_ipf_raking",
     "sim_ndcg_audit",
+    "multimodal_phash_neardup",
 }
 
 GREEN = (

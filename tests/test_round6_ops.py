@@ -1355,3 +1355,50 @@ def test_ndcg_matches_numpy(spark, sf_smoke):
         assert abs(r["idcg"] - idcg) < 1e-5
         assert abs(r["ndcg"] - dcg / idcg) < 1e-5
         assert 0.0 <= r["ndcg"] <= 1.0
+
+
+# -- multimodal_phash_neardup ----------------------------------------------
+
+
+def test_phash_neardup_matches_pure_python(spark, sf_smoke):
+    """Recompute every aHash signature and the banded candidate/verify
+    chain in pure python over the raw utf-8 payloads — pins the block
+    thresholding, the band keys, and the pigeonhole guarantee (a
+    brute-force Hamming scan finds NO pair the bands missed)."""
+    from target_iceberg_spark.plans import multimodal_phash as mp
+
+    rows = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in SPECS["multimodal_phash_neardup"]
+        .builder(spark, sf_smoke)
+        .collect()
+    ]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet') "
+        f"WHERE n_chars >= {mp.PH_MIN_BYTES}"
+    ).fetchall()
+    sigs = {}
+    for doc_id, text in docs:
+        raw = text.encode("utf-8")
+        blocks = [
+            sum(raw[j * mp.PH_BLOCK_BYTES : (j + 1) * mp.PH_BLOCK_BYTES])
+            for j in range(mp.PH_BLOCKS)
+        ]
+        tot = sum(blocks)
+        sigs[doc_id] = sum(
+            1 << j
+            for j, b in enumerate(blocks)
+            if mp.PH_BLOCKS * b > tot
+        )
+    ids = sorted(sigs)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= mp.PH_HAM_MAX:
+                want.append((a, b, ham))
+    # brute force == banded: the pigeonhole blocking must miss nothing
+    assert rows == want
+    assert rows  # planted near-dups must collide perceptually
