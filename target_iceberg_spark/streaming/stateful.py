@@ -667,3 +667,103 @@ def streaming_ewma(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_decay_features(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_days: float = 7.0,
+) -> DataFrame:
+    """Streaming maintenance of the exponential-decay recency features
+    (the stateful twin of plans/features_decay.py::events_decay_features):
+    per key, decayed_count = sum(e^(-l*(t_last - t_i))) and
+    decayed_value = sum(v_i * e^(-l*(t_last - t_i))) ANCHORED AT THE
+    KEY'S LATEST EVENT, advanced incrementally by the identity
+    s' = s * e^(-l*dt) + x — O(1) state per key, no history.
+
+    This identity is why the decayed sum is THE streaming recency
+    feature: a sliding-window count must retain the window's raw
+    events, while this folds each event into three numbers. A reader
+    wanting the feature as of reference time T multiplies both sums by
+    e^(-l*(T - t_last)) — pure arithmetic on the snapshot, no state
+    access (pinned in tests).
+
+    Snapshots are epoch-tagged per touched key (keep the highest epoch
+    per key, the streaming_heavy_hitters convention). Arrival order IS
+    fold order across batches; within a batch all Arrow chunks concat
+    and sort once (the sessionize/ewma chunk discipline)."""
+    import math
+
+    import pandas as pd  # executor-side; local import for pickling
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lam = math.log(2.0) / halflife_days
+    keyed = events.select(
+        F.col(key_col).cast("long").alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    out_schema = (
+        f"{key_col} LONG, epoch LONG, n_events LONG, "
+        "decayed_count DOUBLE, decayed_value DOUBLE, last_ts TIMESTAMP"
+    )
+    state_schema = (
+        "n LONG, dc DOUBLE, dv DOUBLE, last_us LONG, epoch LONG"
+    )
+
+    def decay_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            n, dc, dv, last_us, epoch = state.get
+        else:
+            n, dc, dv, last_us, epoch = 0, 0.0, 0.0, None, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            # whole-batch sort once — chunk-local sorting would fold
+            # chunks in arrival order and corrupt the decay recursion
+            for ts, x in batch.sort_values(["ts", "x"], kind="mergesort")[
+                ["ts", "x"]
+            ].itertuples(index=False):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None:
+                    w = math.exp(-lam * (us - last_us) / 86400e6)
+                    dc *= w
+                    dv *= w
+                dc += 1.0
+                dv += float(x)
+                n += 1
+                last_us = us
+        epoch += 1
+        state.update(
+            (int(n), float(dc), float(dv), int(last_us or 0), int(epoch))
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "epoch": [epoch],
+                "n_events": [int(n)],
+                "decayed_count": [float(dc)],
+                "decayed_value": [float(dv)],
+                "last_ts": [pd.Timestamp(int(last_us or 0) * 1000)],
+            }
+        )
+
+    return keyed.groupBy("k").applyInPandasWithState(
+        decay_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

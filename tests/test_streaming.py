@@ -1305,3 +1305,109 @@ def test_streaming_ewma_multichunk_batch_folds_in_global_ts_order(
     final = max(rows, key=lambda r: r["epoch"])
     assert final["n_seen"] == len(vals)
     assert abs(final["ewma"] - s) < 1e-12, (final["ewma"], s)
+
+
+def test_streaming_decay_features_equals_direct_sum_across_batches(
+    spark, tmp_path
+):
+    """Two micro-batches: each key's carried (n, dc, dv, last_ts) state,
+    decayed from its own anchor to a common reference time T, must
+    equal the direct sum(e^(-l*(T-t_i))) / sum(v_i*e^(-l*(T-t_i)))
+    over the WHOLE series — proving both the cross-batch state carry
+    and the reader-side re-anchoring identity."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import (
+        streaming_decay_features,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    series = {
+        7: [(0, 2.0), (30, 6.0), (90, 1.0), (240, 4.0)],
+        9: [(10, 10.0), (2000, 5.0)],
+    }
+
+    def rows_for(slices):
+        return [
+            (k, int((t0 + pd.Timedelta(minutes=m)).value), v)
+            for k, pts in slices
+            for m, v in pts
+        ]
+
+    src = tmp_path / "decay_src"
+    src.mkdir()
+    b1 = rows_for([(7, series[7][:2]), (9, series[9][:1])])
+    b2 = rows_for([(7, series[7][2:]), (9, series[9][1:])])
+    for name, rows, mt in (
+        ("a.parquet", b1, 1_000_000),
+        ("b.parquet", b2, 2_000_000),
+    ):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        ).to_parquet(src / name)
+        os.utime(src / name, (mt, mt))
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
+            "timestamp"
+        ),
+    )
+    q = (
+        streaming_decay_features(stream, halflife_days=7.0)
+        .writeStream.format("memory")
+        .queryName("decay_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["epoch"]): r for r in spark.table("decay_stream").collect()
+    }
+
+    lam = math.log(2.0) / 7.0
+    t_ref = t0 + pd.Timedelta(minutes=3000)
+
+    def direct(pts):
+        dc = sum(
+            math.exp(-lam * (t_ref - (t0 + pd.Timedelta(minutes=m))).total_seconds() / 86400.0)
+            for m, _ in pts
+        )
+        dv = sum(
+            v
+            * math.exp(-lam * (t_ref - (t0 + pd.Timedelta(minutes=m))).total_seconds() / 86400.0)
+            for m, v in pts
+        )
+        return dc, dv
+
+    for k, pts in series.items():
+        r = got[(k, 2)]
+        assert r["n_events"] == len(pts)
+        # re-anchor the snapshot from the key's last event to T
+        age_d = (t_ref - pd.Timestamp(r["last_ts"])).total_seconds() / 86400.0
+        w = math.exp(-lam * age_d)
+        dc_t, dv_t = direct(pts)
+        assert abs(r["decayed_count"] * w - dc_t) < 1e-9
+        assert abs(r["decayed_value"] * w - dv_t) < 1e-9
+    # epoch-1 snapshots = prefix state (the carry is real, not a rerun)
+    r1 = got[(7, 1)]
+    assert r1["n_events"] == 2
+    age_d = (t_ref - pd.Timestamp(r1["last_ts"])).total_seconds() / 86400.0
+    dc_t, dv_t = direct(series[7][:2])
+    w = math.exp(-lam * age_d)
+    assert abs(r1["decayed_count"] * w - dc_t) < 1e-9
+    assert abs(r1["decayed_value"] * w - dv_t) < 1e-9
