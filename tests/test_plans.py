@@ -127,6 +127,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # aggregate onto the grid-sized cell table
             "sim_ndcg_audit",  # broadcast NDCG_PROBES-row anchor set +
             # k-row discount fanout, same class as sim_cosine_topk_batch
+            "sim_hamming_fidelity",  # composes both arms' broadcast
+            # one-row probe crosses, same class as sim_recall_audit
+            "events_decay_features",  # cross of the one-row watermark
+            # (max ts) aggregate, same class as events_active_rolling
         ), f"unexpected BNLJ in {name}"
 
 

@@ -217,6 +217,7 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "curation_ipf_raking",
     "sim_ndcg_audit",
     "multimodal_phash_neardup",
+    "sim_hamming_fidelity",
 }
 
 GREEN = (

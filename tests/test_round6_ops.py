@@ -1402,3 +1402,54 @@ def test_phash_neardup_matches_pure_python(spark, sf_smoke):
     # brute force == banded: the pigeonhole blocking must miss nothing
     assert rows == want
     assert rows  # planted near-dups must collide perceptually
+
+
+# -- sim_hamming_fidelity --------------------------------------------------
+
+
+def test_hamming_fidelity_matches_numpy(spark, sf_smoke):
+    """Recompute both arms with numpy/pure python: pack sign bits,
+    Hamming-rank, cosine-rank, and verify the overlap the audit
+    reports — plus the arm's usefulness floor (the shortlist must
+    catch at least half the exact top-k on this corpus)."""
+    import numpy as np
+
+    from target_iceberg_spark.plans import similarity_binary as sb
+
+    rows = SPECS["sim_hamming_fidelity"].builder(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_smoke}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {k: np.array(v, dtype=np.float64) for k, v in data}
+    p = vecs[sb.PROBE_VEC_ID]
+
+    def sig(v):
+        return tuple(1 if x >= 0 else 0 for x in v)
+
+    ps = sig(p)
+    ham_rank = sorted(
+        (sum(a != b for a, b in zip(sig(v), ps)), k)
+        for k, v in vecs.items()
+        if k != sb.PROBE_VEC_ID
+    )
+    shortlist = {k for _, k in ham_rank[: sb.FID_CAND]}
+    cos_rank = sorted(
+        (
+            -round(
+                float(v @ p) / math.sqrt(float(v @ v) * float(p @ p)), 6
+            ),
+            k,
+        )
+        for k, v in vecs.items()
+        if k != sb.PROBE_VEC_ID
+    )
+    exact_k = {k for _, k in cos_rank[: sb.TOP_K]}
+    overlap = len(exact_k & shortlist)
+    assert r["n_overlap"] == overlap
+    assert r["k"] == sb.TOP_K and r["shortlist"] == sb.FID_CAND
+    assert abs(r["recall_at_k"] - round(overlap / sb.TOP_K, 4)) <= 1e-4
+    assert r["n_overlap"] >= sb.TOP_K // 2  # binary arm stays useful
