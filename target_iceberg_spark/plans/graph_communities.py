@@ -16,8 +16,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.plans.graph_edges import copurchase_edges
 from target_iceberg_spark.plans.registry import register
-from target_iceberg_spark.sources.tables import load_table
 
 LPA_ROUNDS = 3
 LPA_SUPPORT = 2  # co-purchase support threshold (same as triangles/kcore)
@@ -59,29 +59,13 @@ l0 AS MATERIALIZED (
 
 
 def co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-thresholded co-purchase edge list (pa < pb), shared by
-    the whole graph tier. localCheckpoint'ed: every consumer iterates
-    or multi-references it, and without the lineage cut each reference
-    re-derives the O(basket^2) pair join."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= LPA_SUPPORT)
-        .select("pa", "pb")
-    ).localCheckpoint()
+    """Support-thresholded co-purchase edge list (pa < pb), served
+    from the shared content-keyed parquet artifact
+    (plans/graph_edges.py) — every consumer iterates or
+    multi-references the edge set, and the artifact turns each
+    reference into a pruned parquet scan instead of re-deriving the
+    O(basket^2) pair join."""
+    return copurchase_edges(spark, sf_dir, LPA_SUPPORT)
 
 
 def lpa_label_frames(edges: DataFrame, rounds: int) -> list[DataFrame]:

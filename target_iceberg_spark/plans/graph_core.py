@@ -12,8 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.plans.graph_edges import copurchase_edges
 from target_iceberg_spark.plans.registry import register
-from target_iceberg_spark.sources.tables import load_table
 
 KCORE_K = 3
 KCORE_ROUNDS = 3  # fixed peel rounds (see docstring)
@@ -77,6 +77,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     an UPPER BOUND on the true core (the fixpoint may need more
     rounds) — the same declared-iteration discipline as
     graph_pagerank, sized so the report shows the shrink converging.
+    The edge list comes from the shared content-keyed artifact
+    (plans/graph_edges.py) — a pruned parquet scan, not a re-derived
+    basket self-join.
 
     Scale shape per round: ONE combinable degree count over the edge
     endpoints (a union is a plan concatenation, not a shuffle) and a
@@ -87,25 +90,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineage cut, round i's plan re-derives every earlier round for
     EACH of the per-round stats frames — O(rounds²) recomputation that
     measured 10x slower than the materialized form."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= KCORE_SUPPORT)
-        .select("pa", "pb")
-    ).localCheckpoint()
+    edges = copurchase_edges(spark, sf_dir, KCORE_SUPPORT)
 
     def stats(e: DataFrame, rnd: int) -> DataFrame:
         nodes = e.select(F.col("pa").alias("node")).unionAll(

@@ -13,8 +13,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.plans.graph_edges import copurchase_edges
 from target_iceberg_spark.plans.registry import register
-from target_iceberg_spark.sources.tables import load_table
 
 LP_SUPPORT = 2  # co-purchase support threshold (same as triangles/kcore)
 LP_DEG_CAP = 50  # wedge-center degree cap (hub mitigation)
@@ -87,25 +87,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree lookups join on a node key, and TakeOrderedAndProject
     finishes the top-k. Jaccard is a ratio of exact counts — rounding
     at 6 is boundary-safe; ties break on the part ids."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= LP_SUPPORT)
-        .select("pa", "pb")
-    ).localCheckpoint()
+    edges = copurchase_edges(spark, sf_dir, LP_SUPPORT).localCheckpoint()
     adj = edges.select(
         F.col("pa").alias("node"), F.col("pb").alias("nbr")
     ).unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
