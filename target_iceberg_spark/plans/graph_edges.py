@@ -34,8 +34,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from target_iceberg_spark.sources.tables import load_table
-
 
 def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pa, pb, n) for every canonical (pa < pb) part pair sharing an

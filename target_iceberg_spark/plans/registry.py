@@ -182,6 +182,15 @@ def _load_all() -> None:
         curation_raking,
         similarity_eval,
         multimodal_phash,
+        mining_rules,
+        graph_hits,
+        stats_rank,
+        curation_sweep,
+        similarity_gemm,
+        multimodal_scenes,
+        embeddings_quality,
+        dedup_tuning,
+        graph_assortativity,
     )
 
 

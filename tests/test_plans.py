@@ -131,6 +131,19 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # one-row probe crosses, same class as sim_recall_audit
             "events_decay_features",  # cross of the one-row watermark
             # (max ts) aggregate, same class as events_active_rolling
+            "graph_hits",  # cross of the one-row L1-normalizing total
+            "mining_association_rules",  # cross of the one-row
+            # order-count aggregate (lift's N)
+            "curation_filter_sweep",  # cross of the one-row corpus
+            # totals (the retention denominators)
+            "curation_upsample_weights",  # cross of the one-row corpus
+            # totals (target-share denominator)
+            "emb_silhouette",  # cross of the bounded K-row centroid
+            # tables, same class as emb_kmeans
+            "dedup_lsh_band_sweep",  # cross of the one-row pair-count
+            # aggregate per config onto its one-row occupancy stats
+            "curation_filter_overlap",  # cross of the one-row total
+            # (Venn-cell share denominator)
         ), f"unexpected BNLJ in {name}"
 
 
@@ -356,6 +369,8 @@ UNPARTITIONED_WINDOW_OK = {
     "text_zipf_skewed",  # rank window over the <= ZIPF_V-row (1000)
     # synthetic rank-frequency aggregate — vocabulary-bounded by
     # construction, same class as text_zipf
+    "curation_upsample_weights",  # normalizing sum over the
+    # <= #sources-row weight frame, same class as curation_domain_mix
 }
 
 

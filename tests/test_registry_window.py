@@ -218,6 +218,19 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "sim_ndcg_audit",
     "multimodal_phash_neardup",
     "sim_hamming_fidelity",
+    "mining_association_rules",
+    "graph_hits",
+    "agg_anova_f",
+    "agg_spearman",
+    "curation_filter_sweep",
+    "events_peaks",
+    "sim_gemm_topk",
+    "curation_upsample_weights",
+    "multimodal_scene_cuts",
+    "emb_silhouette",
+    "dedup_lsh_band_sweep",
+    "curation_filter_overlap",
+    "graph_assortativity",
 }
 
 GREEN = (
