@@ -191,6 +191,7 @@ def _load_all() -> None:
         embeddings_quality,
         dedup_tuning,
         graph_assortativity,
+        scans_python,
     )
 
 

@@ -231,6 +231,7 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "dedup_lsh_band_sweep",
     "curation_filter_overlap",
     "graph_assortativity",
+    "scan_python_datasource",
 }
 
 GREEN = (

@@ -359,6 +359,71 @@ def test_scene_cuts_match_pure_python(spark, sf_smoke):
     assert n_eligible > 0 and len(rows) == n_eligible
 
 
+# -- scan_python_datasource --------------------------------------------------
+
+
+def test_python_datasource_round_trips_written_jsonl(spark, tmp_path):
+    """The pure-Python connector must read back exactly what Spark's
+    json writer produced, split one-partition-per-file."""
+    from target_iceberg_spark.sources.pyds import JsonlDataSource
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", i % 3) for i in range(20)], "a int, b string, c int"
+    )
+    out = str(tmp_path / "jl")
+    df.repartition(4).write.json(out)
+    spark.dataSource.register(JsonlDataSource)
+    back = (
+        spark.read.format("graft_jsonl")
+        .schema("a int, b string, c int")
+        .option("path", out)
+        .load()
+    )
+    assert back.rdd.getNumPartitions() == 4  # one split per part file
+    assert sorted((r.a, r.b, r.c) for r in back.collect()) == sorted(
+        (i, f"name{i}", i % 3) for i in range(20)
+    )
+    # missing keys surface as NULL, not an error (explicit-schema policy)
+    missing = (
+        spark.read.format("graft_jsonl")
+        .schema("a int, b string, zzz int")
+        .option("path", out)
+        .load()
+    )
+    assert all(r.zzz is None for r in missing.collect())
+
+
+def test_python_datasource_requires_path_and_files(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import (  # noqa: F401
+        PythonException,
+    )
+
+    from target_iceberg_spark.sources.pyds import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="path"):
+        (
+            spark.read.format("graft_jsonl")
+            .schema("a int")
+            .load()
+            .collect()
+        )
+    empty = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty)
+    with _pytest.raises(Exception, match="no \\*\\.json"):
+        (
+            spark.read.format("graft_jsonl")
+            .schema("a int")
+            .option("path", empty)
+            .load()
+            .collect()
+        )
+
+
 # -- graph_assortativity -----------------------------------------------------
 
 
