@@ -196,70 +196,56 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries with NO current external driver evidence. Round 6: the
-# entire 41-entry round-5 post-window backlog (the session-4
-# stats/Gopher/SemDeDup/k-core tier plus the 8 round-5 post-window
-# items — each green in the local oracle-parity suite; this is their
-# first driver check, the whole point of the rotation design).
-# Everything round 5 checked came back green (CORRECTNESS_r05.json:
-# 48/48 hash-green + the 2 declared rows-only rows) and rotates
-# behind. The window holds 50, so up to 9 round-6 additions may
-# append at the end; further round-6 queries go to
-# NEW_IN_R6_POST_WINDOW. The evidence ledger lives in
-# tests/test_registry_window.py.
+# queries with NO current external driver evidence. Round 7: the
+# entire 38-entry round-6 post-window backlog (each green in the
+# local oracle-parity suite; this is their first driver check — the
+# whole point of the rotation design). Everything round 6 checked
+# came back green (CORRECTNESS_r06.json: 48/50 hash-green + the 2
+# declared rows-only rows, 0 FAILs) and rotates behind. The window
+# holds 50, so up to 12 round-7 additions may append at the end;
+# further round-7 queries go to NEW_IN_R7_POST_WINDOW. The evidence
+# ledger lives in tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-5 post-window backlog (driver evidence owed) ----------
-    "emb_mmr",  # rows-only by design (greedy MMR; numpy-equivalence)
-    "dedup_cdc_chunks",
-    "join_asof_tolerance",
-    "profile_topk_values",
-    "agg_outlier_mad",
-    "fn_try_arithmetic",
-    "sim_matryoshka_prefix",
-    "profile_entropy",
-    "agg_ab_test",
-    "agg_weighted_percentile",
-    "agg_max_concurrent",
-    "text_gopher_rules",
-    "text_lexical_diversity",
-    "dedup_lines",
-    "events_ewma",
-    "events_level_shift",
-    "sim_knn_classify",
-    "profile_expectations",
-    "join_interval_overlap",
-    "sim_tfidf_pairs",
-    "join_asof_nearest",
-    "events_seasonal_error",
-    "text_keywords_tfidf",
-    "agg_gini_binned",
-    "curation_corpus_report",
-    "sim_binary_hamming",
-    "events_acf",
-    "agg_benford",
-    "dedup_semantic",
-    "agg_survival_km",
-    "win_rolling_median",
-    "emb_jl_projection",
-    "agg_mutual_info",
-    "text_jsd_sources",
-    "scan_csv_malformed",
-    "scan_json_nested",
-    "fn_lambda",
-    "join_scd2_pit",
-    "text_compression_ratio",  # rows-only by design (no SQL DEFLATE)
-    "graph_kcore",
-    "events_dau_wau",
-    # -- new in round 6 (at most 9; window is exactly 50) ------------
-    "agg_chi_square",
-    "agg_mann_whitney",
-    "agg_bootstrap_ci",
-    "events_cusum",
-    "events_drawdown",
-    "graph_label_propagation",
-    "emb_outliers",
-    "text_bpe_merges",
-    "text_readability",
+    # -- round-6 post-window backlog (driver evidence owed) ----------
+    "agg_ks_test",
+    "text_ngram_novelty",
+    "text_zipf_skewed",
+    "graph_link_prediction",
+    "emb_drift_snapshots",
+    "events_burst",
+    "profile_bloom_fpr",
+    "profile_cms_error",
+    "profile_kmv_jaccard",
+    "join_spatial_grid",
+    "text_bigram_lm",
+    "scan_xml",
+    "graph_modularity",
+    "sim_hard_negatives",
+    "events_cohort_ltv",
+    "curation_pii_audit",
+    "profile_zorder_clustering",
+    "text_winnowing",
+    "sample_fixed_k",
+    "events_decay_features",
+    "curation_ipf_raking",
+    "sim_ndcg_audit",
+    "multimodal_phash_neardup",
+    "sim_hamming_fidelity",
+    "mining_association_rules",
+    "graph_hits",
+    "agg_anova_f",
+    "agg_spearman",
+    "curation_filter_sweep",
+    "events_peaks",
+    "sim_gemm_topk",
+    "curation_upsample_weights",
+    "multimodal_scene_cuts",
+    "emb_silhouette",
+    "dedup_lsh_band_sweep",
+    "curation_filter_overlap",
+    "graph_assortativity",
+    "scan_python_datasource",
+    # -- new in round 7 (at most 12; window is exactly 50) -----------
 )
 
 

@@ -5,16 +5,16 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-7 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r06 into this ledger (every green row moves
-     from NEW_IN_R6 into a new ROUND6_GREEN set; any FAIL stays
+ROUND-8 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r07 into this ledger (every green row moves
+     from NEW_IN_R7 into a new ROUND7_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 7: any r6 FAILs first, then
-     NEW_IN_R6_POST_WINDOW (first driver check), then whatever
-     round-7 work changes outputs, then brand-new queries.
-  3. Round-7's own new queries fill whatever window slots remain
+  2. Rebuild registry._HOIST for round 8: any r7 FAILs first, then
+     NEW_IN_R7_POST_WINDOW (first driver check), then whatever
+     round-8 work changes outputs, then brand-new queries.
+  3. Round-8's own new queries fill whatever window slots remain
      after the hoist; overflow goes straight into a
-     NEW_IN_R7_POST_WINDOW set rather than competing for the window,
+     NEW_IN_R8_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -130,11 +130,11 @@ ROUND5_GREEN = {
     "sample_weighted", "graph_triangles", "text_boilerplate_strip",
 }
 
-# Queries with NO driver evidence yet, hoisted for round 6: the full
-# 41-entry round-5 post-window backlog (first driver check) plus any
-# round-6 additions that fit the remaining window slots. All get
-# their first driver row from the round-6 run.
-NEW_IN_R6 = {
+# Driver rows from round 6 (CORRECTNESS_r06.json: 48/50 hash-green —
+# the full 41-entry round-5 post-window backlog plus the 9 round-6
+# window additions — plus the two declared rows-only rows recorded
+# the same round; 0 FAILs, fifth consecutive clean round).
+ROUND6_GREEN = {
     "emb_mmr",  # rows-only by design (greedy MMR; numpy-equivalence test)
     "dedup_cdc_chunks",
     "join_asof_tolerance",
@@ -190,10 +190,11 @@ NEW_IN_R6 = {
     "text_readability",
 }
 
-# Registered AFTER the round-6 window filled: no driver row yet BY
-# DESIGN — covered by local property/parity tests and first in line
-# for the round-7 hoist.
-NEW_IN_R6_POST_WINDOW: set[str] = {
+# Queries with NO driver evidence yet, hoisted for round 7: the full
+# 38-entry round-6 post-window backlog (first driver check) plus any
+# round-7 additions that fit the remaining window slots. All get
+# their first driver row from the round-7 run.
+NEW_IN_R7 = {
     "agg_ks_test",
     "text_ngram_novelty",
     "text_zipf_skewed",
@@ -232,10 +233,17 @@ NEW_IN_R6_POST_WINDOW: set[str] = {
     "curation_filter_overlap",
     "graph_assortativity",
     "scan_python_datasource",
+    # -- round-7 additions filling the window's remaining 12 slots ---
 }
 
+# Registered AFTER the round-7 window filled: no driver row yet BY
+# DESIGN — covered by local property/parity tests and first in line
+# for the round-8 hoist.
+NEW_IN_R7_POST_WINDOW: set[str] = set()
+
 GREEN = (
-    ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN | ROUND5_GREEN
+    ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
+    | ROUND5_GREEN | ROUND6_GREEN
 )
 
 
@@ -245,7 +253,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R6_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R7_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -254,9 +262,9 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert NEW_IN_R6 == set(_HOIST)
+    assert NEW_IN_R7 == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = NEW_IN_R6 - set(names)
+    missing = NEW_IN_R7 - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
 
 
@@ -264,5 +272,5 @@ def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - NEW_IN_R6 - NEW_IN_R6_POST_WINDOW
+    unaccounted = names - GREEN - NEW_IN_R7 - NEW_IN_R7_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
