@@ -90,11 +90,27 @@ class JsonlReplayStreamSource(DataSource):
     batch in sorted order — the drop-folder / backfill-replay
     connector, built on Spark 4's ``SimpleDataSourceStreamReader``.
 
-    Offsets are ``{"file_idx": n}`` (files consumed so far), which
-    makes the source REPLAYABLE: ``readBetweenOffsets(start, end)``
-    re-parses exactly files [start, end), so a failed micro-batch
+    Offsets are keyed by FILENAME, not list position:
+    ``{"last_file": name, "batch": [names...]}`` where ``last_file``
+    is the high-water mark (last consumed basename) and ``batch`` pins
+    the exact files of the batch that ended at this offset. That makes
+    the source REPLAYABLE even if the directory listing changes
+    between plan and replay: ``readBetweenOffsets(start, end)``
+    re-parses exactly ``end["batch"]``, so a failed micro-batch
     re-executes with identical rows — the exactly-once contract a
     checkpointed Structured Streaming query requires from its source.
+    (A positional ``{"file_idx": n}`` offset — the pre-round-7 format,
+    still accepted from old checkpoints — would shift if a file later
+    landed with a name sorting before committed files, silently
+    skipping or re-delivering rows.)
+
+    Late-arrival contract: a file whose name sorts BEFORE the
+    committed high-water mark is SKIPPED (drop folders are expected to
+    use monotonic names — timestamps, sequence numbers; Spark's own
+    file source keys on seen-file sets for the same reason). The
+    reader counts files at-or-below the watermark each batch and
+    raises on ``lateFilePolicy=error`` (default ``skip``) so the
+    violation is detectable rather than silent.
 
     Caveat (observed, pinned in tests/test_pyds_stream.py): Spark's
     PythonMicroBatchStream does not implement AvailableNow catch-up —
@@ -125,13 +141,30 @@ class JsonlReplayStreamReader(SimpleDataSourceStreamReader):
         self._path = path
         self._fields = [f.name for f in schema.fields]
         self._per_batch = int(options.get("filesPerBatch", 2))
+        policy = options.get("lateFilePolicy", "skip")
+        if policy not in ("skip", "error"):
+            raise ValueError(
+                "graft_jsonl_stream: lateFilePolicy must be 'skip' or "
+                f"'error', got {policy!r}"
+            )
+        self._late_error = policy == "error"
 
-    def _files(self) -> list[str]:
+    def _names(self) -> list[str]:
         return sorted(
-            os.path.join(self._path, f)
+            f
             for f in os.listdir(self._path)
             if f.endswith((".json", ".jsonl"))
         )
+
+    def _last_name(self, offset: dict, names: list[str]) -> str:
+        if "last_file" in offset:
+            return offset["last_file"]
+        # legacy positional offset from a pre-round-7 checkpoint:
+        # interpret against the CURRENT sorted listing (exact when
+        # names are monotonic, the only regime the old format was
+        # sound in anyway)
+        i = int(offset.get("file_idx", 0))
+        return names[i - 1] if 0 < i <= len(names) else ""
 
     def _parse(self, files: list[str]) -> list[tuple]:
         rows = []
@@ -145,17 +178,41 @@ class JsonlReplayStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def initialOffset(self) -> dict:
-        return {"file_idx": 0}
+        return {"last_file": "", "batch": [], "n_at_or_below": 0}
 
     def read(self, start: dict):
-        files = self._files()
-        i = start["file_idx"]
-        j = min(i + self._per_batch, len(files))
-        return iter(self._parse(files[i:j])), {"file_idx": j}
+        names = self._names()
+        last = self._last_name(start, names)
+        n_below = sum(1 for n in names if n <= last)
+        if n_below > start.get("n_at_or_below", n_below):
+            # a file landed with a name sorting at/below the committed
+            # high-water mark — it will never be delivered
+            msg = (
+                "graft_jsonl_stream: file(s) arrived sorting at or "
+                f"below the committed watermark {last!r}; late files "
+                "are skipped — use monotonic names (lateFilePolicy)"
+            )
+            if self._late_error:
+                raise RuntimeError(msg)
+        batch = [n for n in names if n > last][: self._per_batch]
+        end = {
+            "last_file": batch[-1] if batch else last,
+            "batch": batch,
+            "n_at_or_below": n_below + len(batch),
+        }
+        files = [os.path.join(self._path, n) for n in batch]
+        return iter(self._parse(files)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return iter(self._parse(files[start["file_idx"] : end["file_idx"]]))
+        if "batch" in end:
+            # replay the PINNED file list — immune to listing changes
+            names = end["batch"]
+        else:  # legacy positional offsets
+            all_names = self._names()
+            lo = self._last_name(start, all_names)
+            hi = self._last_name(end, all_names)
+            names = [n for n in all_names if lo < n <= hi]
+        return iter(self._parse([os.path.join(self._path, n) for n in names]))
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up — files are the durable log

@@ -691,9 +691,12 @@ def streaming_decay_features(
     access (pinned in tests).
 
     Snapshots are epoch-tagged per touched key (keep the highest epoch
-    per key, the streaming_heavy_hitters convention). Arrival order IS
-    fold order across batches; within a batch all Arrow chunks concat
-    and sort once (the sessionize/ewma chunk discipline)."""
+    per key, the streaming_heavy_hitters convention). Within a batch
+    all Arrow chunks concat and sort once (the sessionize/ewma chunk
+    discipline); a cross-batch LATE event never regresses the anchor —
+    it is decayed down to the existing last_ts and added (the sum is
+    order-independent under this rule, so the snapshot equals the
+    batch twin regardless of arrival order)."""
     import math
 
     import pandas as pd  # executor-side; local import for pickling
@@ -737,14 +740,24 @@ def streaming_decay_features(
                 ["ts", "x"]
             ].itertuples(index=False):
                 us = int(pd.Timestamp(ts).value // 1000)
-                if last_us is not None:
-                    w = math.exp(-lam * (us - last_us) / 86400e6)
-                    dc *= w
-                    dv *= w
-                dc += 1.0
-                dv += float(x)
+                if last_us is None or us >= last_us:
+                    if last_us is not None:
+                        w = math.exp(-lam * (us - last_us) / 86400e6)
+                        dc *= w
+                        dv *= w
+                    dc += 1.0
+                    dv += float(x)
+                    last_us = us
+                else:
+                    # Cross-batch LATE event (us < last_us): the anchor
+                    # stays at the key's latest event — decay the
+                    # incoming event down to the anchor instead of
+                    # un-decaying state (exp(+lam*dt) would grow without
+                    # bound and overflow for very old stragglers).
+                    w = math.exp(-lam * (last_us - us) / 86400e6)
+                    dc += w
+                    dv += float(x) * w
                 n += 1
-                last_us = us
         epoch += 1
         state.update(
             (int(n), float(dc), float(dv), int(last_us or 0), int(epoch))

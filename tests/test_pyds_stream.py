@@ -82,3 +82,72 @@ def test_jsonl_stream_resumes_from_checkpoint_without_replay(spark, tmp_path):
     second: list = []
     _run_available_now(spark, src, tmp_path / "ckpt", second)
     assert sorted(r for _, b in second for r in b) == [(2, "b")]
+
+
+def _mk_reader(src, **opts):
+    from pyspark.sql.types import StructType
+
+    from target_iceberg_spark.sources.pyds import JsonlReplayStreamReader
+
+    schema = StructType.fromDDL("k int, v string")
+    return JsonlReplayStreamReader(
+        {"path": str(src), "filesPerBatch": "2", **opts}, schema
+    )
+
+
+def test_jsonl_stream_offsets_keyed_by_name_not_position(tmp_path):
+    """The round-6 advisor's scenario: after files are committed, a
+    file lands whose name sorts BEFORE them. Name-keyed offsets must
+    neither re-deliver committed files nor skip genuinely-new ones;
+    the late file itself is skipped per the documented contract
+    (positional offsets would shift and re-deliver '10.jsonl')."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write(src, "10.jsonl", [{"k": 10, "v": "a"}])
+    _write(src, "20.jsonl", [{"k": 20, "v": "a"}])
+    r = _mk_reader(src)
+    rows, off1 = r.read(r.initialOffset())
+    assert [t[0] for t in rows] == [10, 20]
+    assert off1["last_file"] == "20.jsonl"
+
+    # late file sorting before the watermark + one genuinely new file
+    _write(src, "05.jsonl", [{"k": 5, "v": "late"}])
+    _write(src, "30.jsonl", [{"k": 30, "v": "b"}])
+    rows, off2 = r.read(off1)
+    got = [t[0] for t in rows]
+    assert got == [30], f"expected only the new file's rows, got {got}"
+
+    # replay of the committed batch is pinned — the late file cannot
+    # perturb it
+    replayed = [t[0] for t in r.readBetweenOffsets(r.initialOffset(), off1)]
+    assert replayed == [10, 20]
+
+
+def test_jsonl_stream_late_file_policy_error(tmp_path):
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write(src, "10.jsonl", [{"k": 10, "v": "a"}])
+    r = _mk_reader(src, lateFilePolicy="error")
+    _, off1 = r.read(r.initialOffset())
+    _write(src, "05.jsonl", [{"k": 5, "v": "late"}])
+    import pytest
+
+    with pytest.raises(RuntimeError, match="watermark"):
+        r.read(off1)
+
+
+def test_jsonl_stream_accepts_legacy_positional_offsets(tmp_path):
+    """Pre-round-7 checkpoints stored {'file_idx': n}; the reader maps
+    them onto the current sorted listing (sound under the monotonic
+    naming the old format required) and continues with name-keyed
+    offsets from there."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    for i in range(3):
+        _write(src, f"{i:02d}.jsonl", [{"k": i, "v": "a"}])
+    r = _mk_reader(src)
+    rows, off = r.read({"file_idx": 2})
+    assert [t[0] for t in rows] == [2]
+    assert off["last_file"] == "02.jsonl"
+    replayed = [t[0] for t in r.readBetweenOffsets({"file_idx": 0}, {"file_idx": 2})]
+    assert replayed == [0, 1]

@@ -1411,3 +1411,74 @@ def test_streaming_decay_features_equals_direct_sum_across_batches(
     w = math.exp(-lam * age_d)
     assert abs(r1["decayed_count"] * w - dc_t) < 1e-9
     assert abs(r1["decayed_value"] * w - dv_t) < 1e-9
+
+
+def test_streaming_decay_features_late_cross_batch_event(spark, tmp_path):
+    """A second micro-batch delivering an event OLDER than the carried
+    last_ts must not regress the anchor or un-decay state: the late
+    event is decayed down to the existing anchor, so the snapshot still
+    equals the batch-twin sum anchored at the key's true latest event
+    (the round-6 advisor's late-data divergence, now in contract)."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import (
+        streaming_decay_features,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    pts = [(0, 2.0), (240, 6.0), (30, 1.0)]  # third arrives LATE
+
+    def mk(name, rows, mt):
+        pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "ts": [int((t0 + pd.Timedelta(minutes=m)).value) for m, _ in rows],
+                "value": [v for _, v in rows],
+            }
+        ).to_parquet(src / name)
+        os.utime(src / name, (mt, mt))
+
+    src = tmp_path / "decay_late_src"
+    src.mkdir()
+    mk("a.parquet", pts[:2], 1_000_000)
+    mk("b.parquet", pts[2:], 2_000_000)
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp"),
+    )
+    q = (
+        streaming_decay_features(stream, halflife_days=7.0)
+        .writeStream.format("memory")
+        .queryName("decay_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decay_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = max(
+        spark.table("decay_late").collect(), key=lambda r: r["epoch"]
+    )
+    lam = math.log(2.0) / 7.0
+    anchor = t0 + pd.Timedelta(minutes=240)  # latest EVENT, not arrival
+    assert pd.Timestamp(final["last_ts"]) == anchor
+    assert final["n_events"] == 3
+    dc = sum(
+        math.exp(-lam * (anchor - (t0 + pd.Timedelta(minutes=m))).total_seconds() / 86400.0)
+        for m, _ in pts
+    )
+    dv = sum(
+        v * math.exp(-lam * (anchor - (t0 + pd.Timedelta(minutes=m))).total_seconds() / 86400.0)
+        for m, v in pts
+    )
+    assert abs(final["decayed_count"] - dc) < 1e-9
+    assert abs(final["decayed_value"] - dv) < 1e-9
