@@ -780,3 +780,97 @@ def streaming_decay_features(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize_detail(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Streaming session-id assignment ON THE DETAIL ROWS — the
+    stateful twin of plans/analytics_extra.py::events_sessionize_gap's
+    ``numbered`` stage. Each event is emitted immediately with its
+    (1-based, per-key) session index; a new session starts when the
+    event arrives more than ``gap_ms`` after the key's previous one.
+
+    This is the output shape the built-in ``session_window`` cannot
+    produce (it only yields per-session aggregates, and the summary
+    twin ``sessionize`` above holds rows until the session closes):
+    clickstream enrichment, feature logging, and training-data
+    pipelines want the session id attached to every event as it
+    flows, not a rollup afterwards.
+
+    State is two longs per key — (last event µs, sessions so far) —
+    O(keys), no event buffering; each micro-batch concats its Arrow
+    chunks, sorts once by (ts, id), and runs the same boundary-flag
+    cumsum as the batch window plan, seeded by the carried state.
+
+    Late-data contract (the decay-twin anchor discipline): an event
+    older than the carried last_ts joins the CURRENT session (its
+    index = the running count) and never regresses the anchor, so
+    in-order streams reproduce the batch numbering exactly and late
+    stragglers degrade to a documented assignment instead of
+    renumbering history. Equivalence vs the batch plan is pinned in
+    tests/test_streaming.py."""
+    import pandas as pd  # executor-side; local import for pickling
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_ms * 1000
+    key_type = events.schema[key_col].dataType.simpleString()
+    id_type = events.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {id_col} {id_type}, "
+        "ts TIMESTAMP, session_idx LONG"
+    )
+    state_schema = "last_us LONG, n_sessions LONG"
+
+    def assign_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        last_us, n_sess = state.get if state.exists else (None, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((int(last_us or 0), int(n_sess)))
+            return
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+        us = batch[ts_col].astype("int64") // 1000  # ns -> us
+        prev = us.shift(1)
+        new_sess = (us - prev) > gap_us
+        # seed the first row against carried state: late rows (ts <=
+        # last_us) and rows within gap continue the open session; a
+        # first-ever row always opens session 1
+        first_gap = us.iloc[0] - last_us if last_us is not None else None
+        new_sess.iloc[0] = first_gap is None or first_gap > gap_us
+        idx = new_sess.cumsum() + n_sess
+        yield pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(),
+                id_col: batch[id_col].to_numpy(),
+                "ts": batch[ts_col].to_numpy(),
+                "session_idx": idx.astype("int64").to_numpy(),
+            }
+        )
+        state.update(
+            (
+                int(max(us.iloc[-1], last_us or 0)),  # anchor never regresses
+                int(idx.iloc[-1]),
+            )
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        assign_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

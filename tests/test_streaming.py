@@ -1482,3 +1482,111 @@ def test_streaming_decay_features_late_cross_batch_event(spark, tmp_path):
     )
     assert abs(final["decayed_count"] - dc) < 1e-9
     assert abs(final["decayed_value"] - dv) < 1e-9
+
+
+def test_streaming_sessionize_detail_equals_batch_numbering(
+    spark, sf_smoke, events_dir, tmp_path
+):
+    """The detail-row twin: every event gets its session index as it
+    flows; rolling the streamed detail rows up must reproduce the
+    batch events_sessionize_gap rollup exactly (same numbering, same
+    per-session counts/starts/durations) on in-order input."""
+    from target_iceberg_spark.plans.registry import queries
+    from target_iceberg_spark.streaming.stateful import (
+        streaming_sessionize_detail,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        streaming_sessionize_detail(
+            stream.select("user_id", "event_id", "ts")
+        )
+        .writeStream.format("memory")
+        .queryName("sess_detail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_detail"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    detail = spark.table("sess_detail")
+    ev = load_table(spark, sf_smoke, "events")
+    assert detail.count() == ev.count()  # every event assigned exactly once
+    rolled = {
+        (r["user_id"], r["session_idx"], r["n_events"], r["session_start"], r["dur_us"])
+        for r in detail.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "dur_us"
+            ),
+        )
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["session_idx"], r["n_events"], r["session_start"], r["dur_us"])
+        for r in queries()["events_sessionize_gap"](spark, sf_smoke).collect()
+    }
+    assert rolled == want and rolled
+
+
+def test_streaming_sessionize_detail_state_carries_across_batches(
+    spark, tmp_path
+):
+    """Batch 2 continues batch 1's open session (same index, no
+    renumbering) and a late event joins the current session without
+    regressing the anchor."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import (
+        streaming_sessionize_detail,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    src = tmp_path / "sess_detail_src"
+    src.mkdir()
+
+    def mk(name, rows, mt):
+        pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "event_id": [eid for eid, _ in rows],
+                "ts": [
+                    int((t0 + pd.Timedelta(minutes=m)).value) for eid, m in rows
+                ],
+            }
+        ).to_parquet(src / name)
+        os.utime(src / name, (mt, mt))
+
+    # batch 1: session 1 = {1,2}; session 2 opens with {3}
+    mk("a.parquet", [(1, 0), (2, 10), (3, 100)], 1_000_000)
+    # batch 2: 4 extends session 2 (within 30 min of 100');
+    # 5 is LATE (95' < 110') -> current session, anchor not regressed;
+    # 6 starts session 3 (>30 min after 110')
+    mk("b.parquet", [(4, 110), (5, 95), (6, 200)], 2_000_000)
+
+    stream = spark.readStream.schema(
+        "user_id LONG, event_id LONG, ts LONG"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp"),
+    )
+    q = (
+        streaming_sessionize_detail(stream)
+        .writeStream.format("memory")
+        .queryName("sess_detail_carry")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in spark.table("sess_detail_carry").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3}
