@@ -1,0 +1,137 @@
+"""Bloom-prefiltered semi-join (SURVEY.md §2B join family, round 7).
+
+The runtime-filter pattern every 100 TB engine leans on (Spark's own
+`spark.sql.optimizer.runtime.bloomFilter.enabled`, Trino's dynamic
+filtering): when the probe side is huge and the build side's KEYS fit
+a few KB of Bloom bits even though the build ROWS might not fit a
+broadcast, ship the bits, drop non-matching probe rows before the
+shuffle, and verify the survivors with the exact join. The result is
+IDENTICAL to the plain semi-join (Bloom filters have no false
+negatives; the exact join removes the false positives) — which is
+exactly what the oracle checks — but the shuffle now carries only
+`match_rate + fpr` of the probe side.
+
+Companion to plans/profiling_bloom.py (which audits the filter's FPR
+as relational algebra); here the filter is COLLECTED into a plan
+literal — 2048 words, the bounded K-row pull class from the collect
+audit — so the probe-side test is pure whole-stage-codegen arithmetic
+with no join and no Python. Filter construction cites the standard
+(1-e^{-kn/m})^k sizing (Bloom 1970; Broder & Mitzenmacher 2004).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+BLOOM_M = 1 << 16  # bits = 2048 x 32-bit words (8 KB; shifts <= 31
+# stay inside both engines' BIGINT shift semantics)
+BLOOM_K = 4
+SEGMENT = "BUILDING"
+
+
+def _bit_positions(key: str) -> list:
+    """k md5-derived bit positions (disjoint 8-hex windows of one
+    md5) — the same derivation profiling_bloom uses, so the filter is
+    bit-reproducible across engines."""
+    return [
+        F.expr(
+            f"cast(conv(substring(md5(cast({key} as string)),"
+            f" {j * 8 + 1}, 8), 16, 10) as bigint) % {BLOOM_M}"
+        )
+        for j in range(BLOOM_K)
+    ]
+
+
+@register(
+    "join_bloom_semi",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = '{SEGMENT}'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join", "semi", "bloom", "runtime-filter"),
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join orders to {SEGMENT}-segment customers through an
+    explicit Bloom runtime filter: build {BLOOM_M} bits / {BLOOM_K}
+    hashes over the segment's customer keys, COLLECT the 2048-word
+    bitmap into the plan as a literal array (8 KB — the broadcast
+    that always fits, even when the dim table itself would not),
+    prefilter orders with a codegen-only membership test, then
+    exact-verify the survivors with the real left-semi join. No false
+    negatives means the result is row-identical to the plain
+    semi-join — the oracle IS the plain semi-join — while the
+    verification join's shuffle sees only the Bloom survivors
+    (~match_rate + (1-e^(-kn/m))^k ≈ +2.4% FPR here) instead of the
+    full orders table.
+
+    At 100 TB this is the difference between shuffling 100 TB of
+    probes and shuffling the matching ~20%: the bits travel to every
+    scan task as one literal, the membership test runs inside
+    WholeStageCodegen at scan time (no join, no Python), and Catalyst
+    still gets to pick broadcast vs shuffle for the exact verify on
+    the reduced input. Spark's adaptive runtime Bloom does this
+    automatically only for shuffle-side filters; expressing it in the
+    plan makes it available to any sink."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = cust.where(F.col("c_mktsegment") == SEGMENT).select("c_custkey")
+
+    # build: k positions per key -> combinable bit_or into 2048 words;
+    # the collect is a bounded codebook pull (<= m/32 rows)
+    words_rows = (
+        seg.select(F.explode(F.array(*_bit_positions("c_custkey"))).alias("p"))
+        .groupBy((F.col("p") / 32).cast("int").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 32)
+    for r in words_rows:
+        words[r["w"]] = r["bits"]
+    bitmap = F.lit(words)  # one 2048-element literal, shipped once
+
+    # membership predicate as ONE SQL expression: column-valued shift
+    # amounts need expr() (F.shiftright requires a literal shift)
+    def _member_sql(key: str) -> str:
+        tests = []
+        for j in range(BLOOM_K):
+            p = (
+                f"(cast(conv(substring(md5(cast({key} as string)),"
+                f" {j * 8 + 1}, 8), 16, 10) as bigint) % {BLOOM_M})"
+            )
+            tests.append(
+                f"((shiftright(element_at(_bm, cast({p} / 32 as int) + 1),"
+                f" cast({p} % 32 as int)) & 1) = 1)"
+            )
+        return " AND ".join(tests)
+
+    candidates = (
+        orders.withColumn("_bm", bitmap)
+        .where(F.expr(_member_sql("o_custkey")))
+        .drop("_bm")
+    )
+    exact = candidates.join(
+        F.broadcast(seg), candidates["o_custkey"] == seg["c_custkey"], "left_semi"
+    )
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -193,6 +193,14 @@ def _load_all() -> None:
         graph_assortativity,
         scans_python,
     )
+    # Round-7 additions (hoisted into the window's remaining slots).
+    from target_iceberg_spark.plans import (  # noqa: F401
+        stats_experiments,
+        analytics_signal,
+        curation_diversity,
+        joins_bloom,
+        graph_reach,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -246,6 +254,14 @@ _HOIST: tuple[str, ...] = (
     "graph_assortativity",
     "scan_python_datasource",
     # -- new in round 7 (at most 12; window is exactly 50) -----------
+    "agg_cuped",
+    "agg_decile_lift",
+    "agg_cramers_v",
+    "events_entropy_rate",
+    "events_rolling_zscore",
+    "curation_diversity_index",
+    "join_bloom_semi",
+    "graph_khop_reach",
 )
 
 

@@ -144,6 +144,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # aggregate per config onto its one-row occupancy stats
             "curation_filter_overlap",  # cross of the one-row total
             # (Venn-cell share denominator)
+            "agg_cuped",  # cross of the one-row theta/mean_x fit,
+            # same class as profile_drift_psi
+            "agg_decile_lift",  # crosses of the one-row user-count and
+            # base-rate aggregates
         ), f"unexpected BNLJ in {name}"
 
 
@@ -369,6 +373,13 @@ UNPARTITIONED_WINDOW_OK = {
     "text_zipf_skewed",  # rank window over the <= ZIPF_V-row (1000)
     # synthetic rank-frequency aggregate — vocabulary-bounded by
     # construction, same class as text_zipf
+    "agg_cramers_v",  # margins over the <= |types|x7 = 35 contingency
+    # cells, same class as agg_mutual_info
+    "events_entropy_rate",  # stationary-weight total over the
+    # <= |types| = 5 per-type entropy rows
+    "agg_decile_lift",  # partition-offset cumsum over <= #shuffle-
+    # partitions (32) size rows — the distributed-rank prefix table,
+    # NOT a window over users
     "curation_upsample_weights",  # normalizing sum over the
     # <= #sources-row weight frame, same class as curation_domain_mix
 }

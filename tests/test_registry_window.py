@@ -234,6 +234,14 @@ NEW_IN_R7 = {
     "graph_assortativity",
     "scan_python_datasource",
     # -- round-7 additions filling the window's remaining 12 slots ---
+    "agg_cuped",
+    "agg_decile_lift",
+    "agg_cramers_v",
+    "events_entropy_rate",
+    "events_rolling_zscore",
+    "curation_diversity_index",
+    "join_bloom_semi",
+    "graph_khop_reach",
 }
 
 # Registered AFTER the round-7 window filled: no driver row yet BY
