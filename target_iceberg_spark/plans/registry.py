@@ -200,6 +200,7 @@ def _load_all() -> None:
         curation_diversity,
         joins_bloom,
         graph_reach,
+        corpus_zipf,
     )
 
 
@@ -262,6 +263,8 @@ _HOIST: tuple[str, ...] = (
     "curation_diversity_index",
     "join_bloom_semi",
     "graph_khop_reach",
+    "text_bm25_zipf",
+    "sim_tfidf_pairs_zipf",
 )
 
 

@@ -148,6 +148,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # same class as profile_drift_psi
             "agg_decile_lift",  # crosses of the one-row user-count and
             # base-rate aggregates
+            "text_bm25_zipf",  # cross of the one-row N/avgdl corpus
+            # stats, same class as text_bm25
+            "sim_tfidf_pairs_zipf",  # cross of the one-row corpus doc
+            # count, same class as sim_tfidf_pairs
         ), f"unexpected BNLJ in {name}"
 
 

@@ -242,6 +242,8 @@ NEW_IN_R7 = {
     "curation_diversity_index",
     "join_bloom_semi",
     "graph_khop_reach",
+    "text_bm25_zipf",
+    "sim_tfidf_pairs_zipf",
 }
 
 # Registered AFTER the round-7 window filled: no driver row yet BY
