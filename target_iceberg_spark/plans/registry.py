@@ -201,6 +201,7 @@ def _load_all() -> None:
         joins_bloom,
         graph_reach,
         corpus_zipf,
+        features_horizon,
     )
 
 
@@ -265,6 +266,8 @@ _HOIST: tuple[str, ...] = (
     "graph_khop_reach",
     "text_bm25_zipf",
     "sim_tfidf_pairs_zipf",
+    "events_multi_horizon",
+    "profile_key_gaps",
 )
 
 

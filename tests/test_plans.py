@@ -152,6 +152,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # stats, same class as text_bm25
             "sim_tfidf_pairs_zipf",  # cross of the one-row corpus doc
             # count, same class as sim_tfidf_pairs
+            "profile_key_gaps",  # cross of the two one-row audit
+            # aggregates, same class as profile_fk_integrity
         ), f"unexpected BNLJ in {name}"
 
 

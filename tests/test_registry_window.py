@@ -244,6 +244,8 @@ NEW_IN_R7 = {
     "graph_khop_reach",
     "text_bm25_zipf",
     "sim_tfidf_pairs_zipf",
+    "events_multi_horizon",
+    "profile_key_gaps",
 }
 
 # Registered AFTER the round-7 window filled: no driver row yet BY
