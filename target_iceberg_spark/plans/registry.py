@@ -203,6 +203,13 @@ def _load_all() -> None:
         corpus_zipf,
         features_horizon,
     )
+    # Round-7 POST-window additions: registered after the 50-slot
+    # window filled — local oracle-parity evidence now, first in line
+    # for the round-8 hoist (tests/test_registry_window.py
+    # NEW_IN_R7_POST_WINDOW).
+    from target_iceberg_spark.plans import (  # noqa: F401
+        text_drift,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):

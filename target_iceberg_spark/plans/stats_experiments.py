@@ -336,3 +336,54 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         dof.cast("long").alias("dof_min"),
         F.round(F.sqrt(F.col("chi2") / (F.col("n") * dof)), 4).alias("cramers_v"),
     )
+
+
+@register(
+    "agg_paired_ttest",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           SUM(CASE WHEN ts <  TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0 END) AS x,
+           SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0 END) AS y
+    FROM events
+    GROUP BY user_id
+),
+d AS (SELECT y - x AS diff FROM per_user)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(diff), 4) AS mean_diff,
+       ROUND(STDDEV_SAMP(diff), 4) AS sd_diff,
+       ROUND(AVG(diff) / (STDDEV_SAMP(diff) / SQRT(COUNT(*))), 4) AS t_stat,
+       ROUND(AVG(diff) / STDDEV_SAMP(diff), 4) AS cohens_dz
+FROM d
+""",
+    tags=("stats", "experimentation", "ttest"),
+)
+def agg_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on each user's pre- vs post-split value sums —
+    the within-subject companion to agg_ab_test's between-arm Welch
+    test (pairing removes the between-user variance, which is why
+    pre/post product changes are evaluated this way), with Cohen's dz
+    effect size alongside the t statistic.
+
+    Scale shape: ONE combinable per-user conditional-sum groupBy, then
+    a single global aggregate over the differences (count/mean/stddev
+    are one combinable pass). No windows, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    d = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0))
+            - F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0))
+        ).alias("diff")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("diff"), 4).alias("mean_diff"),
+        F.round(F.stddev_samp("diff"), 4).alias("sd_diff"),
+        F.round(
+            F.avg("diff")
+            / (F.stddev_samp("diff") / F.sqrt(F.count(F.lit(1)))),
+            4,
+        ).alias("t_stat"),
+        F.round(F.avg("diff") / F.stddev_samp("diff"), 4).alias("cohens_dz"),
+    )

@@ -154,6 +154,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # count, same class as sim_tfidf_pairs
             "profile_key_gaps",  # cross of the two one-row audit
             # aggregates, same class as profile_fk_integrity
+            "text_idf_drift",  # crosses of the one-row median-id and
+            # cohort-size aggregates, same class as text_ngram_novelty
         ), f"unexpected BNLJ in {name}"
 
 

@@ -251,7 +251,10 @@ NEW_IN_R7 = {
 # Registered AFTER the round-7 window filled: no driver row yet BY
 # DESIGN — covered by local property/parity tests and first in line
 # for the round-8 hoist.
-NEW_IN_R7_POST_WINDOW: set[str] = set()
+NEW_IN_R7_POST_WINDOW: set[str] = {
+    "agg_paired_ttest",
+    "text_idf_drift",
+}
 
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
