@@ -874,3 +874,104 @@ def streaming_sessionize_detail(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_asof_tolerance(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    probe_type: str = "error",
+    ref_type: str = "signup",
+    tolerance_us: int = 48 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Streaming as-of join with a staleness budget — the stateful
+    twin of plans/feature_store.py::join_asof_tolerance: each probe
+    event ("error") is enriched, AS IT FLOWS, with the latest same-key
+    reference event ("signup") at-or-before it, nulled when the match
+    is older than the tolerance — the temporal-TTL lookup a feature
+    store serves online.
+
+    Both sides arrive on ONE stream (the CDC-style interleave); per
+    key the state is a single (ref ts, ref id) pair — the latest
+    reference seen — so state is O(keys), not O(events). Each
+    micro-batch concats its Arrow chunks and folds in (ts, id) order
+    (the sessionize/ewma chunk discipline), so within a batch probes
+    and references interleave in exact event-time order and the
+    emitted match equals the batch twin's.
+
+    Late-data contract (the anchor discipline shared by the decay and
+    sessionize-detail twins): the reference anchor never regresses —
+    a late reference older than the stored one is ignored, and a late
+    cross-batch probe matches against the newest reference at-or-
+    before ITS event time only if that is the stored one (an older
+    reference already superseded in state cannot be recovered:
+    keeping it would make state O(history)). In-order streams
+    reproduce the batch twin exactly; equivalence is pinned in
+    tests/test_streaming.py."""
+    import pandas as pd  # executor-side; local import for pickling
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    id_type = events.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, {key_col} {key_type}, "
+        f"ref_{id_col} {id_type}, staleness_s LONG"
+    )
+    state_schema = "ref_us LONG, ref_id LONG"
+
+    def asof_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        ref_us, ref_id = state.get if state.exists else (None, None)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+        out_id, out_ref, out_stale = [], [], []
+        for ts, eid, etype in zip(
+            batch[ts_col].to_numpy(),
+            batch[id_col].to_numpy(),
+            batch[type_col].to_numpy(),
+        ):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if etype == ref_type:
+                if ref_us is None or us >= ref_us:  # anchor never regresses
+                    ref_us, ref_id = us, int(eid)
+            elif etype == probe_type:
+                fresh = (
+                    ref_us is not None
+                    and ref_us <= us
+                    and us - ref_us <= tolerance_us
+                )
+                out_id.append(int(eid))
+                out_ref.append(int(ref_id) if fresh else None)
+                out_stale.append((us - ref_us) // 1_000_000 if fresh else None)
+        if ref_us is not None:
+            state.update((int(ref_us), int(ref_id)))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    key_col: [key[0]] * len(out_id),
+                    f"ref_{id_col}": pd.array(out_ref, dtype="Int64"),
+                    "staleness_s": pd.array(out_stale, dtype="Int64"),
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        asof_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

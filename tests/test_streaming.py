@@ -1590,3 +1590,113 @@ def test_streaming_sessionize_detail_state_carries_across_batches(
         for r in spark.table("sess_detail_carry").collect()
     }
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3}
+
+
+def test_streaming_asof_tolerance_equals_batch(
+    spark, sf_smoke, events_dir, tmp_path
+):
+    """The streaming as-of-tolerance twin drained over the bounded
+    events stream must reproduce the batch join_asof_tolerance rows
+    exactly: same matches, same NULLed stale/missing refs, same
+    staleness seconds."""
+    from target_iceberg_spark.plans.registry import queries
+    from target_iceberg_spark.streaming.stateful import (
+        streaming_asof_tolerance,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        streaming_asof_tolerance(
+            stream.select("event_id", "user_id", "ts", "event_type")
+        )
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof_tol"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["user_id"], r["ref_event_id"], r["staleness_s"])
+        for r in spark.table("asof_stream").collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["signup_event_id"], r["staleness_s"])
+        for r in queries()["join_asof_tolerance"](spark, sf_smoke).collect()
+    }
+    assert got == want and got
+    # the tolerance is live: the batch has both matched and NULLed rows
+    assert any(t[2] is None for t in want)
+    assert any(t[2] is not None for t in want)
+
+
+def test_streaming_asof_tolerance_state_carries_and_never_regresses(
+    spark, tmp_path
+):
+    """Batch 2's probe matches batch 1's carried reference; a LATE
+    reference older than the stored one is ignored (anchor
+    discipline); a probe beyond the tolerance gets NULL."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import (
+        streaming_asof_tolerance,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    src = tmp_path / "asof_src"
+    src.mkdir()
+
+    def mk(name, rows, mt):  # rows: (id, minutes, type)
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [7] * len(rows),
+                "ts": [int((t0 + pd.Timedelta(minutes=r[1])).value) for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        ).to_parquet(src / name)
+        os.utime(src / name, (mt, mt))
+
+    tol_min = 48 * 60
+    mk("a.parquet", [(1, 0, "signup"), (2, 10, "error")], 1_000_000)
+    mk(
+        "b.parquet",
+        [
+            (3, 20, "error"),  # matches carried ref 1 (20 min stale)
+            (4, -10, "signup"),  # LATE ref BEHIND the stored anchor -> ignored
+            (5, 30, "error"),  # still matches ref 1, not regressive ref 4
+            (6, tol_min + 60, "error"),  # beyond 48 h budget -> NULL
+        ],
+        2_000_000,
+    )
+    stream = spark.readStream.schema(
+        "event_id LONG, user_id LONG, ts LONG, event_type STRING"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp"),
+    )
+    q = (
+        streaming_asof_tolerance(stream)
+        .writeStream.format("memory")
+        .queryName("asof_carry")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof_carry"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: (r["ref_event_id"], r["staleness_s"])
+        for r in spark.table("asof_carry").collect()
+    }
+    assert got == {
+        2: (1, 600),
+        3: (1, 1200),
+        5: (1, 1800),
+        6: (None, None),
+    }  # a ref newer than the anchor but late vs probes is NOT ignored —
+    # it correctly wins (event-time latest); see the equivalence test
