@@ -163,3 +163,36 @@ def test_rolling_zscore_excludes_current_row(spark, sf_oracle):
     rows = SPECS["events_rolling_zscore"].builder(spark, sf_oracle).collect()
     assert 0 < len(rows) <= 50
     assert all(abs(row["z"]) > 0 for row in rows)
+
+
+def test_multi_horizon_single_shuffle(spark, sf_oracle):
+    """All three RANGE frames + the latest-event row_number must share
+    ONE hashpartitioning(user_id) exchange — the whole point of the
+    shared partition+sort design."""
+    plan = _plan(spark, sf_oracle, "events_multi_horizon")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:2000]
+
+
+def test_bm25_zipf_topk_is_take_ordered(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "text_bm25_zipf")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_key_gaps_has_no_window(spark, sf_oracle):
+    """The islands count must come from the anti-join, never from a
+    global lag window over the key space."""
+    plan = _plan(spark, sf_oracle, "profile_key_gaps")
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_decile_lift_has_no_global_window(spark, sf_oracle):
+    """The NTILE bucketing must run via the distributed rank: the only
+    windows are partitioned by _pid (range partitions) or bounded by
+    the partition-size table — never a single whole-data frame over
+    users ordered by score."""
+    plan = _plan(spark, sf_oracle, "agg_decile_lift")
+    # the offsets cumsum (<= #partitions rows) is the only
+    # unpartitioned window; the user-level ranking window partitions
+    # by the range-partition id
+    assert "windowspecdefinition(_pid" in plan
