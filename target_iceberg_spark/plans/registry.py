@@ -209,6 +209,7 @@ def _load_all() -> None:
     # NEW_IN_R7_POST_WINDOW).
     from target_iceberg_spark.plans import (  # noqa: F401
         text_drift,
+        sql_recursive,
     )
 
 

@@ -254,6 +254,7 @@ NEW_IN_R7 = {
 NEW_IN_R7_POST_WINDOW: set[str] = {
     "agg_paired_ttest",
     "text_idf_drift",
+    "sql_recursive_hierarchy",
 }
 
 GREEN = (
