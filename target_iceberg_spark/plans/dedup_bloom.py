@@ -1,0 +1,154 @@
+"""Bloom-gated incremental exact dedup (SURVEY.md §2B dedup north
+star, round 7, post-window).
+
+The steady-state 100 TB ingestion question is "which of today's keys
+have we EVER seen?" — an anti-join of the batch against the full
+history. dedup_incremental answers it for NEAR-dups with a persisted
+band table; this is the EXACT-key counterpart with the cheaper
+industrial answer: keep a Bloom filter of history (bits, not rows),
+gate each new key through it, and run the exact history join ONLY for
+the bloom-positive survivors. No false negatives means bloom-negative
+keys are PROVABLY new and skip the join entirely; the exact join then
+removes the ~fpr false positives — so the result is row-identical to
+the plain anti-join (which is what the oracle states) while the
+expensive history join sees dup_rate + fpr of the batch instead of
+all of it.
+
+Companion pieces: plans/joins_bloom.py (the same pattern as a
+dimension semi-join), plans/profiling_bloom.py (the FPR audit that
+sizes m/k before trusting the gate).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from target_iceberg_spark.plans.joins_bloom import (
+    BLOOM_K,
+    BLOOM_M,
+    _bit_positions,
+)
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+BATCH_CUTOFF = "1995-06-01"  # shipments at-or-after play "today's batch"
+
+
+@register(
+    "dedup_bloom_incremental",
+    oracle=f"""
+WITH hist AS (
+    SELECT DISTINCT l_partkey AS k FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '{BATCH_CUTOFF} 00:00:00'
+),
+batch AS (
+    SELECT DISTINCT l_partkey AS k FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{BATCH_CUTOFF} 00:00:00'
+),
+new_keys AS (
+    SELECT k FROM batch WHERE k NOT IN (SELECT k FROM hist)
+)
+SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS batch_keys,
+       CAST((SELECT COUNT(*) FROM new_keys) AS BIGINT) AS new_keys,
+       CAST((SELECT COUNT(*) FROM batch) -
+            (SELECT COUNT(*) FROM new_keys) AS BIGINT) AS seen_before
+""",
+    tags=("dedup", "incremental", "bloom"),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-key dedup through a Bloom gate: history =
+    part keys shipped before the cutoff date, batch = keys at-or-after
+    it (new parts genuinely enter the catalog over time, so the batch
+    is a real seen/new mix); a {BLOOM_M}-bit/{BLOOM_K}-hash filter
+    built over history (the
+    persisted bits a real pipeline carries between runs — memoized
+    here exactly like join_bloom_semi's) splits the batch into
+    provably-new keys (bloom-negative: NO join needed — the Bloom
+    no-false-negative guarantee) and candidates that alone take the
+    exact LEFT ANTI join against history. The reported counts are
+    row-identical to the plain anti-join oracle.
+
+    Scale shape: history keys fold into the 8 KB bitmap with one
+    combinable bit_or (at 100 TB this filter is maintained
+    incrementally — OR-ing new bits is associative); the batch scans
+    once, tests membership in codegen, and only the bloom-positive
+    fraction (true dups + (1-e^(-kn/m))^k of the new) reaches the
+    anti-join shuffle. The three output counts are combinable
+    aggregates; two one-row frames cross at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(BATCH_CUTOFF + " 00:00:00").cast("timestamp")
+    hist = (
+        li.where(F.col("l_shipdate") < cutoff)
+        .select(F.col("l_partkey").alias("k"))
+        .distinct()
+    )
+    batch = (
+        li.where(F.col("l_shipdate") >= cutoff)
+        .select(F.col("l_partkey").alias("k"))
+        .distinct()
+    )
+    words = _history_words(spark, sf_dir, hist)
+    probed = batch.withColumn("_h", F.md5(F.col("k").cast("string")))
+    pos = []
+    for j in range(BLOOM_K):
+        c = f"_p{j}"
+        probed = probed.withColumn(
+            c,
+            F.expr(
+                f"cast(conv(substring(_h, {j * 8 + 1}, 8), 16, 10)"
+                f" as bigint) % {BLOOM_M}"
+            ),
+        )
+        pos.append(c)
+    member = " AND ".join(
+        f"((shiftright(element_at(_bm, cast({c} / 32 as int) + 1),"
+        f" cast({c} % 32 as int)) & 1) = 1)"
+        for c in pos
+    )
+    probed = probed.withColumn("_bm", F.lit(words)).withColumn(
+        "_maybe", F.expr(member)
+    )
+    # bloom-negative => provably new, no join; bloom-positive =>
+    # exact verify against history
+    provably_new = probed.where(~F.col("_maybe")).select("k")
+    candidates = probed.where(F.col("_maybe")).select("k")
+    verified_new = candidates.join(hist, "k", "left_anti")
+    n_new = provably_new.unionAll(verified_new).agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    n_batch = batch.agg(F.count(F.lit(1)).alias("batch_keys"))
+    return n_batch.crossJoin(F.broadcast(n_new)).select(
+        "batch_keys",
+        "new_keys",
+        (F.col("batch_keys") - F.col("new_keys")).alias("seen_before"),
+    )
+
+
+# fingerprint-keyed memo, same discipline (and same staleness-is-
+# false-negatives argument) as joins_bloom._WORDS_MEMO
+_HIST_MEMO: dict = {}
+
+
+def _history_words(spark, sf_dir: str, hist) -> list:
+    import os
+
+    from target_iceberg_spark.operators.ivf import corpus_fingerprint
+
+    fp = corpus_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    if fp not in _HIST_MEMO:
+        rows = (
+            hist.select(F.explode(F.array(*_bit_positions("k"))).alias("p"))
+            .groupBy((F.col("p") / 32).cast("int").alias("w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))"
+                ).alias("bits")
+            )
+            .collect()
+        )
+        words = [0] * (BLOOM_M // 32)
+        for r in rows:
+            words[r["w"]] = r["bits"]
+        _HIST_MEMO[fp] = words
+    return _HIST_MEMO[fp]

@@ -210,6 +210,8 @@ def _load_all() -> None:
     from target_iceberg_spark.plans import (  # noqa: F401
         text_drift,
         sql_recursive,
+        dedup_bloom,
+        analytics_overlap,
     )
 
 

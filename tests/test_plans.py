@@ -156,6 +156,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # aggregates, same class as profile_fk_integrity
             "text_idf_drift",  # crosses of the one-row median-id and
             # cohort-size aggregates, same class as text_ngram_novelty
+            "dedup_bloom_incremental",  # cross of the two one-row
+            # count aggregates, same class as profile_key_gaps
         ), f"unexpected BNLJ in {name}"
 
 

@@ -255,6 +255,8 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "agg_paired_ttest",
     "text_idf_drift",
     "sql_recursive_hierarchy",
+    "dedup_bloom_incremental",
+    "events_user_overlap",
 }
 
 GREEN = (
