@@ -86,6 +86,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell"),
     )
+    # NOT localCheckpoint'ed, deliberately (measured 3.2 -> 3.9 s
+    # worse): the duplicate branch is only a cheap pruned parquet scan
+    # + row-local date math fused into each join input's codegen
+    # stage, while materializing the exploded frame pays
+    # serialization and severs that fusion. Contrast
+    # dedup_incremental, where the shared subtree is the EXPENSIVE
+    # shingle->md5->minhash pipeline and checkpointing wins.
     a, b = ivl.alias("a"), ivl.alias("b")
     pairs = a.join(
         b,
