@@ -212,6 +212,8 @@ def _load_all() -> None:
         sql_recursive,
         dedup_bloom,
         analytics_overlap,
+        analytics_convert,
+        graph_clustering,
     )
 
 

@@ -257,6 +257,9 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "sql_recursive_hierarchy",
     "dedup_bloom_incremental",
     "events_user_overlap",
+    "events_time_to_convert",
+    "agg_powerlaw_alpha",
+    "graph_clustering_local",
 }
 
 GREEN = (
