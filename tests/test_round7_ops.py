@@ -196,3 +196,88 @@ def test_decile_lift_has_no_global_window(spark, sf_oracle):
     # unpartitioned window; the user-level ranking window partitions
     # by the range-partition id
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_decile_lift_bucket_arithmetic_property():
+    """Pure-arithmetic property: the distributed-rank bucket formula
+    equals NTILE semantics (first n%B buckets take ceil(n/B) rows) for
+    ANY n and bucket count — no Spark needed, hypothesis-swept."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def bucket(rank, n, nb):
+        q, r = n // nb, n % nb
+        big = (q + 1) * r
+        if rank <= big:
+            return -(-rank // (q + 1))
+        return r + -(-(rank - big) // q)
+
+    def ntile_reference(n, nb):
+        # SQL NTILE: sizes = [q+1]*r + [q]*(nb-r), buckets in order
+        q, r = n // nb, n % nb
+        out = []
+        b = 1
+        for size in [q + 1] * r + [q] * (nb - r):
+            out.extend([b] * size)
+            b += 1
+        return out
+
+    @given(
+        n=st.integers(min_value=10, max_value=5000),
+        nb=st.integers(min_value=1, max_value=10),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(n, nb):
+        if n < nb:
+            return
+        want = ntile_reference(n, nb)
+        got = [bucket(i + 1, n, nb) for i in range(n)]
+        assert got == want
+
+    check()
+
+
+def test_bloom_positions_bit_exact_vs_hashlib():
+    """The SQL md5-substring position derivation must equal a plain
+    Python hashlib recomputation for arbitrary keys — the
+    bit-exactness that makes the filter oracle-checkable and lets a
+    non-Spark producer (e.g. the ingestion side) build compatible
+    bits."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from target_iceberg_spark.plans.joins_bloom import BLOOM_K, BLOOM_M
+
+    def py_positions(key: int) -> list:
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return [int(h[j * 8 : j * 8 + 8], 16) % BLOOM_M for j in range(BLOOM_K)]
+
+    # cross-check against Spark once over a deterministic key sample
+    # (hypothesis shrinks the pure-python side; the Spark comparison
+    # uses a fixed representative set to keep the test fast)
+    keys = [0, 1, 7, 42, 999_983, 2**31 - 1]
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    from target_iceberg_spark.plans.joins_bloom import _bit_positions
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).config("spark.ui.enabled", "false").getOrCreate()
+    df = spark.createDataFrame([(k,) for k in keys], "c_custkey LONG")
+    got = df.select(
+        "c_custkey", F.array(*_bit_positions("c_custkey")).alias("pos")
+    ).collect()
+    for row in got:
+        assert list(row["pos"]) == py_positions(row["c_custkey"]), row
+
+    @given(st.integers(min_value=0, max_value=2**62))
+    @settings(max_examples=100, deadline=None)
+    def py_side_stable(key):
+        pos = py_positions(key)
+        assert len(pos) == BLOOM_K
+        assert all(0 <= p < BLOOM_M for p in pos)
+
+    py_side_stable()
