@@ -214,6 +214,7 @@ def _load_all() -> None:
         analytics_overlap,
         analytics_convert,
         graph_clustering,
+        multimodal_vad,
     )
 
 

@@ -260,6 +260,7 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "events_time_to_convert",
     "agg_powerlaw_alpha",
     "graph_clustering_local",
+    "multimodal_vad_segments",
 }
 
 GREEN = (
