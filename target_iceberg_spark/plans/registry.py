@@ -215,6 +215,8 @@ def _load_all() -> None:
         analytics_convert,
         graph_clustering,
         multimodal_vad,
+        accounting_decimal,
+        dataset_builder,
     )
 
 

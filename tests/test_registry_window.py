@@ -261,6 +261,8 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "agg_powerlaw_alpha",
     "graph_clustering_local",
     "multimodal_vad_segments",
+    "agg_decimal_ledger",
+    "events_sequence_dataset",
 }
 
 GREEN = (
