@@ -217,6 +217,8 @@ def _load_all() -> None:
         multimodal_vad,
         accounting_decimal,
         dataset_builder,
+        graph_degrees,
+        profiling_strings,
     )
 
 

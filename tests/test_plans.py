@@ -385,6 +385,8 @@ UNPARTITIONED_WINDOW_OK = {
     # construction, same class as text_zipf
     "agg_cramers_v",  # margins over the <= |types|x7 = 35 contingency
     # cells, same class as agg_mutual_info
+    "graph_degree_histogram",  # CCDF windows over the
+    # <= log2(max_degree) binned rows, same class as agg_gini_binned
     "events_entropy_rate",  # stationary-weight total over the
     # <= |types| = 5 per-type entropy rows
     "agg_decile_lift",  # partition-offset cumsum over <= #shuffle-

@@ -263,6 +263,8 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "multimodal_vad_segments",
     "agg_decimal_ledger",
     "events_sequence_dataset",
+    "graph_degree_histogram",
+    "profile_string_lengths",
 }
 
 GREEN = (
