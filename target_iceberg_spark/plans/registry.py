@@ -219,6 +219,7 @@ def _load_all() -> None:
         dataset_builder,
         graph_degrees,
         profiling_strings,
+        curation_contamination,
     )
 
 

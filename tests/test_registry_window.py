@@ -265,6 +265,7 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "events_sequence_dataset",
     "graph_degree_histogram",
     "profile_string_lengths",
+    "curation_cross_contamination",
 }
 
 GREEN = (
