@@ -124,7 +124,13 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     seg = cust.where(F.col("c_mktsegment") == SEGMENT).select("c_custkey")
-    bitmap = F.lit(_filter_words(spark, sf_dir, seg))  # 2048-word literal
+    import numpy as np
+
+    # ONE Literal node (numpy array), not F.lit(list) — the list form
+    # builds CreateArray over 2048 literal children, and every
+    # analysis/optimization pass of every downstream action re-walks
+    # those nodes (measured ~2.4x slower per action)
+    bitmap = F.lit(np.array(_filter_words(spark, sf_dir, seg), dtype=np.int64))
 
     # membership predicate: hash ONCE per row and hoist the k bit
     # positions into named columns — inlining the position expression
