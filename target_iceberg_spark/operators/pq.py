@@ -147,7 +147,11 @@ def adc_distance_expr(
     for j in range(m):
         ps = probe[j * sub : (j + 1) * sub]
         lut[j * k : (j + 1) * k] = ((codebooks[j] - ps[None, :]) ** 2).sum(axis=1)
-    lut_col = F.array(*[F.lit(float(v)) for v in lut])
+    # ONE Literal node: F.array(*2048 literals) builds a CreateArray
+    # whose children every analysis pass re-walks — and this column is
+    # embedded in a zip_with lambda, multiplying the tree. The numpy
+    # literal is a single node (same fix as plans/joins_bloom.py).
+    lut_col = F.lit(np.ascontiguousarray(lut, dtype=np.float64))
     # dist = sum_j lut[j*k + code_j]  (element_at is 1-based)
     return F.aggregate(
         F.zip_with(
