@@ -220,6 +220,7 @@ def _load_all() -> None:
         graph_degrees,
         profiling_strings,
         curation_contamination,
+        matryoshka_curve,
     )
 
 

@@ -158,6 +158,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # cohort-size aggregates, same class as text_ngram_novelty
             "dedup_bloom_incremental",  # cross of the two one-row
             # count aggregates, same class as profile_key_gaps
+            "sim_matryoshka_curve",  # broadcast MC_PROBES-row probe
+            # panel, same class as sim_cosine_topk_batch
         ), f"unexpected BNLJ in {name}"
 
 

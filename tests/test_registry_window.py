@@ -266,6 +266,7 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "graph_degree_histogram",
     "profile_string_lengths",
     "curation_cross_contamination",
+    "sim_matryoshka_curve",
 }
 
 GREEN = (
