@@ -221,6 +221,7 @@ def _load_all() -> None:
         profiling_strings,
         curation_contamination,
         matryoshka_curve,
+        analytics_slo,
     )
 
 

@@ -389,6 +389,9 @@ UNPARTITIONED_WINDOW_OK = {
     # cells, same class as agg_mutual_info
     "graph_degree_histogram",  # CCDF windows over the
     # <= log2(max_degree) binned rows, same class as agg_gini_binned
+    "events_slo_burn",  # burn windows over the calendar-bounded
+    # hourly series (<= hours-of-history rows), same class as
+    # agg_mom_growth/events_acf
     "events_entropy_rate",  # stationary-weight total over the
     # <= |types| = 5 per-type entropy rows
     "agg_decile_lift",  # partition-offset cumsum over <= #shuffle-

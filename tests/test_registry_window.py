@@ -267,6 +267,7 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "profile_string_lengths",
     "curation_cross_contamination",
     "sim_matryoshka_curve",
+    "events_slo_burn",
 }
 
 GREEN = (
