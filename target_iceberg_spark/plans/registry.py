@@ -226,68 +226,34 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries with NO current external driver evidence. Round 7: the
-# entire 38-entry round-6 post-window backlog (each green in the
+# queries with NO current external driver evidence. Round 8: the
+# entire 16-entry round-7 post-window backlog (each green in the
 # local oracle-parity suite; this is their first driver check — the
-# whole point of the rotation design). Everything round 6 checked
-# came back green (CORRECTNESS_r06.json: 48/50 hash-green + the 2
-# declared rows-only rows, 0 FAILs) and rotates behind. The window
-# holds 50, so up to 12 round-7 additions may append at the end;
-# further round-7 queries go to NEW_IN_R7_POST_WINDOW. The evidence
+# whole point of the rotation design). Everything round 7 checked
+# came back green (CORRECTNESS_r07.json: 50/50 hash-green, 0 FAILs,
+# sixth consecutive clean round) and rotates behind. The window
+# holds 50, so up to 34 round-8 additions may append at the end;
+# further round-8 queries go to NEW_IN_R8_POST_WINDOW. The evidence
 # ledger lives in tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-6 post-window backlog (driver evidence owed) ----------
-    "agg_ks_test",
-    "text_ngram_novelty",
-    "text_zipf_skewed",
-    "graph_link_prediction",
-    "emb_drift_snapshots",
-    "events_burst",
-    "profile_bloom_fpr",
-    "profile_cms_error",
-    "profile_kmv_jaccard",
-    "join_spatial_grid",
-    "text_bigram_lm",
-    "scan_xml",
-    "graph_modularity",
-    "sim_hard_negatives",
-    "events_cohort_ltv",
-    "curation_pii_audit",
-    "profile_zorder_clustering",
-    "text_winnowing",
-    "sample_fixed_k",
-    "events_decay_features",
-    "curation_ipf_raking",
-    "sim_ndcg_audit",
-    "multimodal_phash_neardup",
-    "sim_hamming_fidelity",
-    "mining_association_rules",
-    "graph_hits",
-    "agg_anova_f",
-    "agg_spearman",
-    "curation_filter_sweep",
-    "events_peaks",
-    "sim_gemm_topk",
-    "curation_upsample_weights",
-    "multimodal_scene_cuts",
-    "emb_silhouette",
-    "dedup_lsh_band_sweep",
-    "curation_filter_overlap",
-    "graph_assortativity",
-    "scan_python_datasource",
-    # -- new in round 7 (at most 12; window is exactly 50) -----------
-    "agg_cuped",
-    "agg_decile_lift",
-    "agg_cramers_v",
-    "events_entropy_rate",
-    "events_rolling_zscore",
-    "curation_diversity_index",
-    "join_bloom_semi",
-    "graph_khop_reach",
-    "text_bm25_zipf",
-    "sim_tfidf_pairs_zipf",
-    "events_multi_horizon",
-    "profile_key_gaps",
+    # -- round-7 post-window backlog (driver evidence owed) ----------
+    "agg_paired_ttest",
+    "text_idf_drift",
+    "sql_recursive_hierarchy",
+    "dedup_bloom_incremental",
+    "events_user_overlap",
+    "events_time_to_convert",
+    "agg_powerlaw_alpha",
+    "graph_clustering_local",
+    "multimodal_vad_segments",
+    "agg_decimal_ledger",
+    "events_sequence_dataset",
+    "graph_degree_histogram",
+    "profile_string_lengths",
+    "curation_cross_contamination",
+    "sim_matryoshka_curve",
+    "events_slo_burn",
+    # -- new in round 8 (at most 34; window is exactly 50) -----------
 )
 
 

@@ -5,16 +5,16 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-8 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r07 into this ledger (every green row moves
-     from NEW_IN_R7 into a new ROUND7_GREEN set; any FAIL stays
+ROUND-9 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r08 into this ledger (every green row moves
+     from NEW_IN_R8 into a new ROUND8_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 8: any r7 FAILs first, then
-     NEW_IN_R7_POST_WINDOW (first driver check), then whatever
-     round-8 work changes outputs, then brand-new queries.
-  3. Round-8's own new queries fill whatever window slots remain
+  2. Rebuild registry._HOIST for round 9: any r8 FAILs first, then
+     NEW_IN_R8_POST_WINDOW (first driver check), then whatever
+     round-9 work changes outputs, then brand-new queries.
+  3. Round-9's own new queries fill whatever window slots remain
      after the hoist; overflow goes straight into a
-     NEW_IN_R8_POST_WINDOW set rather than competing for the window,
+     NEW_IN_R9_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -190,11 +190,10 @@ ROUND6_GREEN = {
     "text_readability",
 }
 
-# Queries with NO driver evidence yet, hoisted for round 7: the full
-# 38-entry round-6 post-window backlog (first driver check) plus any
-# round-7 additions that fit the remaining window slots. All get
-# their first driver row from the round-7 run.
-NEW_IN_R7 = {
+# Driver rows from round 7 (CORRECTNESS_r07.json: 50/50 hash-green —
+# the full 38-entry round-6 post-window backlog plus the 12 round-7
+# window additions; 0 FAILs, sixth consecutive clean round).
+ROUND7_GREEN = {
     "agg_ks_test",
     "text_ngram_novelty",
     "text_zipf_skewed",
@@ -248,10 +247,12 @@ NEW_IN_R7 = {
     "profile_key_gaps",
 }
 
-# Registered AFTER the round-7 window filled: no driver row yet BY
-# DESIGN — covered by local property/parity tests and first in line
-# for the round-8 hoist.
-NEW_IN_R7_POST_WINDOW: set[str] = {
+# Queries with NO driver evidence yet, hoisted for round 8: the full
+# 16-entry round-7 post-window backlog (first driver check) plus any
+# round-8 additions that fit the remaining 34 window slots. All get
+# their first driver row from the round-8 run.
+NEW_IN_R8 = {
+    # -- round-7 post-window backlog (driver evidence owed) ----------
     "agg_paired_ttest",
     "text_idf_drift",
     "sql_recursive_hierarchy",
@@ -270,9 +271,14 @@ NEW_IN_R7_POST_WINDOW: set[str] = {
     "events_slo_burn",
 }
 
+# Registered AFTER the round-8 window filled: no driver row yet BY
+# DESIGN — covered by local property/parity tests and first in line
+# for the round-9 hoist.
+NEW_IN_R8_POST_WINDOW: set[str] = set()
+
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
-    | ROUND5_GREEN | ROUND6_GREEN
+    | ROUND5_GREEN | ROUND6_GREEN | ROUND7_GREEN
 )
 
 
@@ -282,7 +288,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R7_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R8_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -291,9 +297,9 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert NEW_IN_R7 == set(_HOIST)
+    assert NEW_IN_R8 == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = NEW_IN_R7 - set(names)
+    missing = NEW_IN_R8 - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
 
 
@@ -301,5 +307,5 @@ def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - NEW_IN_R7 - NEW_IN_R7_POST_WINDOW
+    unaccounted = names - GREEN - NEW_IN_R8 - NEW_IN_R8_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
