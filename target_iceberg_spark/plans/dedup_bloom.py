@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from target_iceberg_spark.plans.joins_bloom import (
     BLOOM_K,
-    BLOOM_M,
     _bit_positions,
+    sized_m,
 )
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -60,7 +60,9 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-key dedup through a Bloom gate: history =
     part keys shipped before the cutoff date, batch = keys at-or-after
     it (new parts genuinely enter the catalog over time, so the batch
-    is a real seen/new mix); a {BLOOM_M}-bit/{BLOOM_K}-hash filter
+    is a real seen/new mix); an m-bit/{BLOOM_K}-hash filter — m sized
+    from the history side's approx_count_distinct at 8 bits/key
+    (joins_bloom.sized_m), so the gate parameterizes with the data —
     built over history (the
     persisted bits a real pipeline carries between runs — memoized
     here exactly like join_bloom_semi's) splits the batch into
@@ -69,7 +71,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact LEFT ANTI join against history. The reported counts are
     row-identical to the plain anti-join oracle.
 
-    Scale shape: history keys fold into the 8 KB bitmap with one
+    Scale shape: history keys fold into the KB-scale bitmap with one
     combinable bit_or (at 100 TB this filter is maintained
     incrementally — OR-ing new bits is associative); the batch scans
     once, tests membership in codegen, and only the bloom-positive
@@ -90,9 +92,11 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import numpy as np
 
-    # single Literal node — see joins_bloom: the 2048-child CreateArray
-    # form made every downstream action re-plan over the whole array
-    words = F.lit(np.array(_history_words(spark, sf_dir, hist), dtype=np.int64))
+    # single Literal node — see joins_bloom: the thousands-child
+    # CreateArray form made every downstream action re-plan over the
+    # whole array
+    m, hist_words = _history_words(spark, sf_dir, hist)
+    words = F.lit(np.array(hist_words, dtype=np.int64))
     probed = batch.withColumn("_h", F.md5(F.col("k").cast("string")))
     pos = []
     for j in range(BLOOM_K):
@@ -101,7 +105,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             c,
             F.expr(
                 f"cast(conv(substring(_h, {j * 8 + 1}, 8), 16, 10)"
-                f" as bigint) % {BLOOM_M}"
+                f" as bigint) % {m}"
             ),
         )
         pos.append(c)
@@ -143,15 +147,17 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIST_MEMO: dict = {}
 
 
-def _history_words(spark, sf_dir: str, hist) -> list:
+def _history_words(spark, sf_dir: str, hist) -> tuple[int, list]:
     import os
 
     from target_iceberg_spark.operators.ivf import corpus_fingerprint
 
     fp = corpus_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
     if fp not in _HIST_MEMO:
+        ndv = hist.agg(F.approx_count_distinct("k")).first()[0]
+        m = sized_m(ndv)
         rows = (
-            hist.select(F.explode(F.array(*_bit_positions("k"))).alias("p"))
+            hist.select(F.explode(F.array(*_bit_positions("k", m))).alias("p"))
             .groupBy((F.col("p") / 32).cast("int").alias("w"))
             .agg(
                 F.expr(
@@ -160,8 +166,8 @@ def _history_words(spark, sf_dir: str, hist) -> list:
             )
             .collect()
         )
-        words = [0] * (BLOOM_M // 32)
+        words = [0] * (m // 32)
         for r in rows:
             words[r["w"]] = r["bits"]
-        _HIST_MEMO[fp] = words
+        _HIST_MEMO[fp] = (m, words)
     return _HIST_MEMO[fp]

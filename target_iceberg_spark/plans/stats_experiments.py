@@ -227,13 +227,17 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # NTILE(10) from the exact rank: q = n div 10, r = n mod 10; the
-    # first r buckets hold q+1 rows, the rest q
+    # first r buckets hold q+1 rows, the rest q. When n < 10, q = 0
+    # and big = n, so every rank lands in the first branch (one row
+    # per bucket — exactly NTILE); the otherwise-divisor is still
+    # guarded with GREATEST(q, 1) so the never-taken branch cannot
+    # divide by zero under ANSI or eager evaluation.
     q, r = (F.col("_n") / 10).cast("long"), F.col("_n") % 10
     big = (q + 1) * r  # rows living in the first r (larger) buckets
     decile = F.when(
         F.col("_rank") <= big,
         F.ceil(F.col("_rank") / (q + 1)),
-    ).otherwise(r + F.ceil((F.col("_rank") - big) / q))
+    ).otherwise(r + F.ceil((F.col("_rank") - big) / F.greatest(q, F.lit(1))))
     ranked = ranked.select("converted", decile.alias("decile"))
     base = ranked.agg(F.avg(F.col("converted").cast("double")).alias("base_rate"))
     return (

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -194,6 +195,9 @@ class JsonlReplayStreamReader(SimpleDataSourceStreamReader):
             )
             if self._late_error:
                 raise RuntimeError(msg)
+            # policy='skip': still surface the violation — silent
+            # drops are undetectable in production log review
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         batch = [n for n in names if n > last][: self._per_batch]
         end = {
             "last_file": batch[-1] if batch else last,

@@ -845,6 +845,14 @@ def streaming_sessionize_detail(
         batch = batch.sort_values([ts_col, id_col], kind="mergesort")
         us = batch[ts_col].astype("int64") // 1000  # ns -> us
         prev = us.shift(1)
+        if last_us is not None:
+            # Clamp the in-batch predecessor to the carried anchor:
+            # without this, a late straggler at the head of a batch
+            # (ts < last_us) becomes the predecessor of an on-time
+            # event and manufactures a spurious gap — the anchor
+            # discipline ("never regresses") must apply row-by-row,
+            # not just at the seed.
+            prev = prev.clip(lower=last_us)
         new_sess = (us - prev) > gap_us
         # seed the first row against carried state: late rows (ts <=
         # last_us) and rows within gap continue the open session; a

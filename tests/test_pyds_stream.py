@@ -123,6 +123,27 @@ def test_jsonl_stream_offsets_keyed_by_name_not_position(tmp_path):
     assert replayed == [10, 20]
 
 
+def test_jsonl_stream_late_file_skip_policy_warns(tmp_path):
+    """Regression (round-7 ADVICE): under the default
+    lateFilePolicy='skip' the violation must be SURFACED, not silent —
+    a RuntimeWarning carries the same message the error policy raises,
+    so log review can detect dropped late-name files."""
+    import warnings
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write(src, "10.jsonl", [{"k": 10, "v": "a"}])
+    r = _mk_reader(src)  # default policy: skip
+    _, off1 = r.read(r.initialOffset())
+    _write(src, "05.jsonl", [{"k": 5, "v": "late"}])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows, _ = r.read(off1)
+    assert [t[0] for t in rows] == []  # late file still skipped
+    hits = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert hits and "watermark" in str(hits[0].message)
+
+
 def test_jsonl_stream_late_file_policy_error(tmp_path):
     src = tmp_path / "drop"
     src.mkdir()

@@ -20,12 +20,12 @@ def test_bloom_semi_prefilter_reduces_probe_side(spark, sf_oracle):
     """The Bloom membership test must drop most non-matching orders
     BEFORE the exact verify: candidates are a superset of true matches
     (no false negatives) and well under the full table (FPR ~2.4% of
-    non-members at m=2^16, k=4, n~300 keys)."""
+    non-members by the 8-bits/key NDV sizing, k=4)."""
     from target_iceberg_spark.plans.joins_bloom import (
         SEGMENT,
         _bit_positions,
         BLOOM_K,
-        BLOOM_M,
+        sized_m,
     )
     from target_iceberg_spark.sources.tables import load_table
 
@@ -37,10 +37,11 @@ def test_bloom_semi_prefilter_reduces_probe_side(spark, sf_oracle):
         .select("c_custkey")
         .collect()
     }
-    # rebuild the filter exactly as the query does
+    # rebuild the filter exactly as the query does (NDV-derived m)
+    BLOOM_M = sized_m(len(seg_keys))
     words_rows = (
         cust.where(F.col("c_mktsegment") == SEGMENT)
-        .select(F.explode(F.array(*_bit_positions("c_custkey"))).alias("p"))
+        .select(F.explode(F.array(*_bit_positions("c_custkey", BLOOM_M))).alias("p"))
         .groupBy((F.col("p") / 32).cast("int").alias("w"))
         .agg(
             F.expr(
@@ -157,9 +158,9 @@ def test_rolling_zscore_excludes_current_row(spark, sf_oracle):
     (sd == 0), and no scored row may use its own value in mu — checked
     by the documented frame (-W..-1) appearing in the plan."""
     plan = _plan(spark, sf_oracle, "events_rolling_zscore")
-    assert "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING" in plan.upper().replace(
-        "-20", "20 PRECEDING"
-    ) or "-1" in plan  # physical plans print frames as offsets
+    # exact frame token (round-7 ADVICE: no or-fallback — a frame
+    # regression to (-20, 0) must FAIL this assertion)
+    assert "specifiedwindowframe(RowFrame, -20, -1)" in plan, plan[:2000]
     rows = SPECS["events_rolling_zscore"].builder(spark, sf_oracle).collect()
     assert 0 < len(rows) <= 50
     assert all(abs(row["z"]) > 0 for row in rows)
@@ -206,11 +207,14 @@ def test_decile_lift_bucket_arithmetic_property():
     from hypothesis import strategies as st
 
     def bucket(rank, n, nb):
+        # mirrors the plan's GREATEST(q, 1) guard: when n < nb the
+        # otherwise branch is unreachable (big == n), and the guarded
+        # divisor keeps it well-defined anyway
         q, r = n // nb, n % nb
         big = (q + 1) * r
         if rank <= big:
             return -(-rank // (q + 1))
-        return r + -(-(rank - big) // q)
+        return r + -(-(rank - big) // max(q, 1))
 
     def ntile_reference(n, nb):
         # SQL NTILE: sizes = [q+1]*r + [q]*(nb-r), buckets in order
@@ -223,13 +227,13 @@ def test_decile_lift_bucket_arithmetic_property():
         return out
 
     @given(
-        n=st.integers(min_value=10, max_value=5000),
+        n=st.integers(min_value=1, max_value=5000),
         nb=st.integers(min_value=1, max_value=10),
     )
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=300, deadline=None)
     def check(n, nb):
-        if n < nb:
-            return
+        # n < nb included on purpose (round-7 ADVICE): NTILE still
+        # assigns one row per bucket 1..n and the formula must agree
         want = ntile_reference(n, nb)
         got = [bucket(i + 1, n, nb) for i in range(n)]
         assert got == want
@@ -248,7 +252,9 @@ def test_bloom_positions_bit_exact_vs_hashlib():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from target_iceberg_spark.plans.joins_bloom import BLOOM_K, BLOOM_M
+    from target_iceberg_spark.plans.joins_bloom import BLOOM_K, sized_m
+
+    BLOOM_M = sized_m(300)  # a representative NDV-derived size
 
     def py_positions(key: int) -> list:
         h = hashlib.md5(str(key).encode()).hexdigest()
@@ -268,7 +274,7 @@ def test_bloom_positions_bit_exact_vs_hashlib():
     ).config("spark.ui.enabled", "false").getOrCreate()
     df = spark.createDataFrame([(k,) for k in keys], "c_custkey LONG")
     got = df.select(
-        "c_custkey", F.array(*_bit_positions("c_custkey")).alias("pos")
+        "c_custkey", F.array(*_bit_positions("c_custkey", BLOOM_M)).alias("pos")
     ).collect()
     for row in got:
         assert list(row["pos"]) == py_positions(row["c_custkey"]), row

@@ -1592,6 +1592,69 @@ def test_streaming_sessionize_detail_state_carries_across_batches(
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3}
 
 
+def test_streaming_sessionize_detail_straggler_does_not_split_session(
+    spark, tmp_path
+):
+    """Regression (round-7 ADVICE): a late straggler at the HEAD of a
+    micro-batch must not become the in-batch predecessor of an on-time
+    event. Carried anchor = 100', batch = [10', 110'], gap = 30': the
+    10' straggler joins the open session AND the 110' event's gap is
+    measured against the anchor (10' <= 30'), not against the
+    straggler (100' > 30') — both stay in session 2."""
+    import os
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import (
+        streaming_sessionize_detail,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    src = tmp_path / "sess_detail_straggler"
+    src.mkdir()
+
+    def mk(name, rows, mt):
+        pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "event_id": [eid for eid, _ in rows],
+                "ts": [
+                    int((t0 + pd.Timedelta(minutes=m)).value) for eid, m in rows
+                ],
+            }
+        ).to_parquet(src / name)
+        os.utime(src / name, (mt, mt))
+
+    # batch 1: session 1 = {1,2}; session 2 opens with {3} at 100'
+    mk("a.parquet", [(1, 0), (2, 10), (3, 100)], 1_000_000)
+    # batch 2: 4 is a LATE straggler (10' << anchor 100'); 5 is
+    # on-time at 110' (10' past the anchor, inside the 30' gap)
+    mk("b.parquet", [(4, 10), (5, 110)], 2_000_000)
+
+    stream = spark.readStream.schema(
+        "user_id LONG, event_id LONG, ts LONG"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp"),
+    )
+    q = (
+        streaming_sessionize_detail(stream)
+        .writeStream.format("memory")
+        .queryName("sess_detail_straggler")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sds"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in spark.table("sess_detail_straggler").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 2}
+
+
 def test_streaming_asof_tolerance_equals_batch(
     spark, sf_smoke, events_dir, tmp_path
 ):
