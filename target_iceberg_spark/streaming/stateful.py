@@ -983,3 +983,116 @@ def streaming_asof_tolerance(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_bloom_dedup(
+    keys: DataFrame,
+    key_col: str = "k",
+    ts_col: str = "ts",
+    m_bits: int = 1 << 15,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Bloom-gated streaming dedup — the stateful twin of
+    plans/dedup_bloom.py::dedup_bloom_incremental: classify every
+    arriving key as `provably_new` (bloom-negative: the no-false-
+    negative guarantee, NO history join needed) or a candidate that
+    must take the exact verify, AS IT FLOWS.
+
+    State is O(filter words), not O(keys) — the round-7 verdict's
+    design requirement: the key space is sharded by an md5 route
+    (`n_shards` groups) and each shard's state is ITS OWN m-bit Bloom
+    filter (m/32 int64 words, fixed at plan time like a production
+    rotating filter's capacity). Total state = n_shards * m/32 words
+    regardless of how many keys flow. Keys route to exactly one shard,
+    so per-shard filters partition the key space and the union of
+    shards behaves as one filter with per-shard load kn/(m*shards).
+
+    Bit derivation is the SAME md5-window arithmetic as the batch
+    query (joins_bloom._bit_positions, bit-exact per the round-7
+    hashlib property test). With n_shards=1 and m equal to the batch
+    query's NDV-derived size, the stream's filter state equals the
+    batch-built bitmap word-for-word and the gate classification
+    matches the batch `_maybe` split EXACTLY (pinned in the
+    equivalence test). With n_shards>1 each shard sees only its own
+    keys' bits, so the sharded gate has strictly FEWER false positives
+    than the single batch filter — classification may only improve,
+    never miss (no-false-negative holds per shard).
+
+    Within a micro-batch the fold is sequential in (ts, key) order: a
+    key's FIRST sighting sets its bits, so an in-batch duplicate of a
+    new key correctly gates as candidate/seen. Downstream, candidates
+    take a stream-static LEFT ANTI join against the history table
+    (supported: stream on the left, static on the right) for the exact
+    verify — see the equivalence test, which pins the drained gate
+    classification to the batch query's `_maybe` split and the
+    verified new-key count to the batch query's `new_keys`."""
+    import pandas as pd  # executor-side; local import for pickling
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k_hashes = 4
+    n_words = m_bits // 32
+    key_type = keys.schema[key_col].dataType.simpleString()
+    ts_type = keys.schema[ts_col].dataType.simpleString()
+    # the record passes THROUGH the gate (key + event time + verdict):
+    # downstream branches on provably_new without re-reading the source
+    out_schema = f"{key_col} {key_type}, {ts_col} {ts_type}, provably_new BOOLEAN"
+    state_schema = "words ARRAY<BIGINT>, n_seen LONG"
+
+    def gate_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        words, n_seen = (
+            state.get if state.exists else ([0] * n_words, 0)
+        )
+        words = list(words)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        batch = batch.sort_values([ts_col, key_col], kind="mergesort")
+        out_new = []
+        for kval in batch[key_col].to_numpy():
+            h = hashlib.md5(str(kval).encode()).hexdigest()
+            pos = [
+                int(h[j * 8 : j * 8 + 8], 16) % m_bits
+                for j in range(k_hashes)
+            ]
+            hit = all((words[p // 32] >> (p % 32)) & 1 for p in pos)
+            if not hit:
+                for p in pos:
+                    words[p // 32] |= 1 << (p % 32)
+                n_seen += 1
+            out_new.append(not hit)
+        state.update((words, int(n_seen)))
+        yield pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(),
+                ts_col: batch[ts_col].to_numpy(),
+                "provably_new": out_new,
+            }
+        )
+
+    routed = keys.withColumn(
+        "_shard",
+        F.expr(
+            f"cast(conv(substring(md5(concat('shard|', cast({key_col} as"
+            f" string))), 1, 8), 16, 10) as bigint) % {n_shards}"
+        ),
+    )
+    return routed.groupBy("_shard").applyInPandasWithState(
+        gate_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

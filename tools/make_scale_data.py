@@ -17,11 +17,22 @@ Two tables need more than a key shift to avoid DEGENERATE 10x:
 - documents.text: an exact copy per replica would make every doc a
   10-deep duplicate cluster and blow near-dup candidate volume
   quadratically (10-deep LSH buckets -> 100x pairs — a different
-  workload, not a bigger one). A per-replica deterministic word
-  shuffle keeps unigram statistics (langid, stopword/quality ratios,
-  token counts) while destroying shingles across replicas, so
-  in-replica duplicate structure is preserved and cross-replica
-  Jaccard collapses — duplicate statistics scale linearly.
+  workload, not a bigger one). Two deterministic transforms per
+  replica:
+  (a) a word shuffle, destroying cross-replica word ORDER;
+  (b) tail-vocabulary remapping (round-8, after the sf1 audit showed
+      the ~100-word synthetic vocabulary inflating n-gram collision
+      rates): the top-N most frequent corpus words stay unchanged —
+      in a real corpus the head of the Zipf curve is shared by every
+      document too — while every TAIL word gets a replica-keyed
+      md5 suffix. Vocabulary now grows with the replica count
+      (Heaps' law: real vocab grows ~n^0.5; per-replica-distinct
+      tails grow faster, which is CONSERVATIVE — fewer accidental
+      collisions than real growth), in-replica duplicate structure
+      is untouched (the mapping is per-word deterministic), unigram
+      quality statistics survive (stopword/langid ratios live in the
+      unchanged head), and cross-replica shingle collisions collapse
+      to head-only shingles — the ones real corpora share as well.
 - embeddings.embedding: an exact copy would put 10 identical vectors
   in every ANN bucket (same degenerate blowup). Rotating the
   dimension order by the replica index preserves norms and all
@@ -72,10 +83,43 @@ KEY_STRIDES = {
 FIXED = {"region", "nation"}
 
 
+HEAD_VOCAB = 64  # most-frequent words kept identical in every replica
+
+
 def _shuffle_words(text: str, rng_seed: int) -> str:
     words = text.split()
     random.Random(rng_seed).shuffle(words)
     return " ".join(words)
+
+
+def _head_words(texts) -> set:
+    """Top-HEAD_VOCAB corpus words by total frequency — the shared
+    Zipf head (stopwords and near-stopwords) every replica keeps."""
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts:
+        counts.update(t.split())
+    return {w for w, _ in counts.most_common(HEAD_VOCAB)}
+
+
+def _remap_tail(text: str, r: int, head: set) -> str:
+    """Replica-keyed tail remap: head words pass through, tail words
+    gain a deterministic md5-derived suffix unique to the replica, so
+    the scaled corpus's vocabulary grows with the replica count and
+    shingles containing any tail word can never collide across
+    replicas."""
+    import hashlib
+
+    out = []
+    for w in text.split():
+        if w in head:
+            out.append(w)
+        else:
+            out.append(
+                w + hashlib.md5(f"{w}|{r}".encode()).hexdigest()[:4]
+            )
+    return " ".join(out)
 
 
 def main() -> None:
@@ -87,6 +131,7 @@ def main() -> None:
 
     out_sf = os.path.join(args.out, "sf1")
     tabs = {t: pd.read_parquet(f"{args.src}/{t}.parquet") for t in TABLES}
+    head = _head_words(tabs["documents"]["text"])
     # strides: one above the max key so shifted ranges never collide
     stride = {
         col: int(tabs[src_table][pk].max()) + 1
@@ -106,7 +151,9 @@ def main() -> None:
                         df[col] = df[col] + r * stride[col]
                 if t == "documents":
                     df["text"] = [
-                        _shuffle_words(s, r * 1_000_003 + len(s))
+                        _remap_tail(
+                            _shuffle_words(s, r * 1_000_003 + len(s)), r, head
+                        )
                         for s in df["text"]
                     ]
                     df["n_chars"] = df["text"].str.len().astype("int64")
