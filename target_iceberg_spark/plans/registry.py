@@ -223,6 +223,10 @@ def _load_all() -> None:
         matryoshka_curve,
         analytics_slo,
     )
+    # Round-8 additions (hoisted into the window's remaining slots).
+    from target_iceberg_spark.plans import (  # noqa: F401
+        corpus_zipf_dedup,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -254,6 +258,8 @@ _HOIST: tuple[str, ...] = (
     "sim_matryoshka_curve",
     "events_slo_burn",
     # -- new in round 8 (at most 34; window is exactly 50) -----------
+    "text_winnowing_zipf",
+    "text_dup_ngram_zipf",
 )
 
 

@@ -160,6 +160,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # count aggregates, same class as profile_key_gaps
             "sim_matryoshka_curve",  # broadcast MC_PROBES-row probe
             # panel, same class as sim_cosine_topk_batch
+            "text_winnowing_zipf",  # cross of the one-row pair-count
+            # aggregate onto the one-row fingerprint census
+            "text_dup_ngram_zipf",  # cross of the one-row boilerplate
+            # kill count onto the per-source rollup
         ), f"unexpected BNLJ in {name}"
 
 

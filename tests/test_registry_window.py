@@ -269,6 +269,9 @@ NEW_IN_R8 = {
     "curation_cross_contamination",
     "sim_matryoshka_curve",
     "events_slo_burn",
+    # -- new in round 8 (window slots) -------------------------------
+    "text_winnowing_zipf",
+    "text_dup_ngram_zipf",
 }
 
 # Registered AFTER the round-8 window filled: no driver row yet BY

@@ -72,3 +72,31 @@ def test_bloom_filters_use_ndv_derived_size(spark, sf_oracle):
     # the exact-count sizing
     want = joins_bloom.sized_m(n_seg)
     assert want // 2 <= m1 <= want * 2
+
+
+def test_winnowing_zipf_valve_active_and_no_window(spark, sf_oracle):
+    """The Zipf twin exists to exercise the boilerplate DF cap: the
+    killed band must be NON-EMPTY (the uniform-corpus original never
+    populates it) and the pair count must survive. Plan: the entire
+    fingerprint derivation is array expressions over checkpointed
+    stages — no per-doc WindowExec, no cartesian."""
+    plan = _plan(spark, sf_oracle, "text_winnowing_zipf")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+    row = SPECS["text_winnowing_zipf"].builder(spark, sf_oracle).collect()[0]
+    assert row["n_killed"] > 0
+    assert 0 < row["kill_rate"] < 1
+    assert row["n_pairs"] > 0
+    assert row["n_shared_hashes"] > row["n_killed"]
+
+
+def test_dup_ngram_zipf_valve_active(spark, sf_oracle):
+    """Boilerplate ceiling active: killed grams > 0, and the two
+    fraction bands are disjoint (dup_frac counts only 2..cap)."""
+    rows = SPECS["text_dup_ngram_zipf"].builder(spark, sf_oracle).collect()
+    assert rows
+    assert all(r["n_boiler_grams"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["avg_dup_frac"] <= 1
+        assert 0 <= r["avg_boiler_frac"] <= 1
+        assert r["avg_dup_frac"] + r["avg_boiler_frac"] <= 1
