@@ -226,6 +226,11 @@ def _load_all() -> None:
     # Round-8 additions (hoisted into the window's remaining slots).
     from target_iceberg_spark.plans import (  # noqa: F401
         corpus_zipf_dedup,
+        dedup_substring,
+        curation_privacy,
+        stats_ratio,
+        aggregates_robust,
+        analytics_bots,
     )
 
 
@@ -260,6 +265,12 @@ _HOIST: tuple[str, ...] = (
     # -- new in round 8 (at most 34; window is exactly 50) -----------
     "text_winnowing_zipf",
     "text_dup_ngram_zipf",
+    "text_shared_runs",
+    "curation_kanonymity",
+    "agg_ratio_delta",
+    "agg_power_mde",
+    "agg_robust_means",
+    "events_bot_score",
 )
 
 

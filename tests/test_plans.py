@@ -164,6 +164,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # aggregate onto the one-row fingerprint census
             "text_dup_ngram_zipf",  # cross of the one-row boilerplate
             # kill count onto the per-source rollup
+            "curation_kanonymity",  # broadcast |K|-row k-threshold
+            # list crossed onto the tiny QI group-size tables
         ), f"unexpected BNLJ in {name}"
 
 

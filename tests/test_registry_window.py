@@ -272,6 +272,12 @@ NEW_IN_R8 = {
     # -- new in round 8 (window slots) -------------------------------
     "text_winnowing_zipf",
     "text_dup_ngram_zipf",
+    "text_shared_runs",
+    "curation_kanonymity",
+    "agg_ratio_delta",
+    "agg_power_mde",
+    "agg_robust_means",
+    "events_bot_score",
 }
 
 # Registered AFTER the round-8 window filled: no driver row yet BY

@@ -100,3 +100,123 @@ def test_dup_ngram_zipf_valve_active(spark, sf_oracle):
         assert 0 <= r["avg_dup_frac"] <= 1
         assert 0 <= r["avg_boiler_frac"] <= 1
         assert r["avg_dup_frac"] + r["avg_boiler_frac"] <= 1
+
+
+def test_shared_runs_match_python_recompute(spark, sf_oracle):
+    """The islands arithmetic must recover EXACT shared-run lengths:
+    recompute the longest shared token run for the reported top pair
+    with plain Python string matching and compare."""
+    rows = SPECS["text_shared_runs"].builder(spark, sf_oracle).collect()
+    assert rows, "no shared runs found"
+    from target_iceberg_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in load_table(spark, sf_oracle, "documents").collect()
+    }
+
+    def longest_common_run(a, b):
+        # O(n*m) DP on token lists — fine for two docs
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    top = rows[0]
+    got = longest_common_run(docs[top["doc_a"]], docs[top["doc_b"]])
+    # the gram-alignment length equals the true longest common run
+    # unless a boilerplate gram inside the run was df-capped away
+    # (possible by construction); it can never EXCEED the truth
+    assert top["max_run_tokens"] <= got
+    assert got - top["max_run_tokens"] <= 0, (
+        f"reported {top['max_run_tokens']}, true {got}"
+    )
+
+
+def test_shared_runs_window_is_partitioned(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "text_shared_runs")
+    assert "windowspecdefinition(doc_a" in plan  # (pair, diff) partition
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kanonymity_generalization_weakly_reduces_risk(spark, sf_oracle):
+    """Coarsening the QI set (level 0 -> 1) must weakly shrink the
+    risky fraction at every k, and risk must be monotone in k."""
+    rows = SPECS["curation_kanonymity"].builder(spark, sf_oracle).collect()
+    by = {(r["level"], r["k"]): r for r in rows}
+    ks = sorted({k for (_, k) in by})
+    assert len(by) == 2 * len(ks)
+    for k in ks:
+        assert by[(1, k)]["risky_frac"] <= by[(0, k)]["risky_frac"]
+    for lvl in (0, 1):
+        fr = [by[(lvl, k)]["risky_frac"] for k in ks]
+        assert fr == sorted(fr)  # larger k can only flag more rows
+
+
+def test_ratio_delta_se_positive_and_ci_brackets(spark, sf_oracle):
+    rows = SPECS["agg_ratio_delta"].builder(spark, sf_oracle).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["se_delta"] > 0
+        assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+
+
+def test_power_mde_matches_closed_form(spark, sf_oracle):
+    """n_per_arm must equal the textbook 2(z_a+z_b)^2 sigma^2/delta^2
+    recomputed from the reported moments."""
+    import math
+
+    rows = SPECS["agg_power_mde"].builder(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        delta = r["mean_y"] * 0.02
+        want = math.ceil(
+            2 * (1.959964 + 0.841621) ** 2 * r["sd_y"] ** 2 / delta**2
+        )
+        # moments in the output are rounded to 4dp; allow the ceil to
+        # move by a couple of units of re-derivation error
+        assert abs(r["n_per_arm"] - want) <= max(2, int(0.001 * want))
+        assert r["n_per_arm"] > 0
+
+
+def test_robust_means_match_numpy(spark, sf_oracle):
+    """AM-GM-HM ordering must hold (positive data), and the
+    winsorized/trimmed means must equal a numpy recompute with
+    'linear' percentile interpolation (the rule percentile() and
+    quantile_cont share)."""
+    import numpy as np
+
+    from target_iceberg_spark.sources.tables import load_table
+
+    rows = SPECS["agg_robust_means"].builder(spark, sf_oracle).collect()
+    assert rows
+    li = load_table(spark, sf_oracle, "lineitem")
+    data = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        data.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for r in rows:
+        assert r["harm_mean"] <= r["geo_mean"] <= r["mean_price"] + 1e-6
+        x = np.array(data[r["l_returnflag"]])
+        lo, hi = np.percentile(x, [5, 95], method="linear")
+        assert abs(r["winsor_mean"] - np.clip(x, lo, hi).mean()) < 1e-3
+        assert abs(r["trim_mean"] - x[(x >= lo) & (x <= hi)].mean()) < 1e-3
+
+
+def test_bot_score_flags_regular_users_first(spark, sf_oracle):
+    rows = SPECS["events_bot_score"].builder(spark, sf_oracle).collect()
+    assert rows
+    cvs = [r["cv_gap"] for r in rows]
+    assert cvs == sorted(cvs)  # most regular first
+    for r in rows:
+        assert r["n_events"] >= 20
+        assert r["type_entropy"] >= 0
+        # the flag must agree with the reported features
+        assert r["is_suspect"] == (
+            r["cv_gap"] < 0.5 or r["type_entropy"] < 1.0
+        )
