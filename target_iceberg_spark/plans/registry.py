@@ -231,6 +231,7 @@ def _load_all() -> None:
         stats_ratio,
         aggregates_robust,
         analytics_bots,
+        analytics_markov,
     )
 
 
@@ -271,6 +272,7 @@ _HOIST: tuple[str, ...] = (
     "agg_power_mde",
     "agg_robust_means",
     "events_bot_score",
+    "events_markov_stationary",
 )
 
 

@@ -166,6 +166,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # kill count onto the per-source rollup
             "curation_kanonymity",  # broadcast |K|-row k-threshold
             # list crossed onto the tiny QI group-size tables
+            "events_markov_stationary",  # cross of the one-row total
+            # onto the k-row type table (share denominator)
         ), f"unexpected BNLJ in {name}"
 
 

@@ -278,6 +278,7 @@ NEW_IN_R8 = {
     "agg_power_mde",
     "agg_robust_means",
     "events_bot_score",
+    "events_markov_stationary",
 }
 
 # Registered AFTER the round-8 window filled: no driver row yet BY

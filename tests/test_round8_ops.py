@@ -220,3 +220,32 @@ def test_bot_score_flags_regular_users_first(spark, sf_oracle):
         assert r["is_suspect"] == (
             r["cv_gap"] < 0.5 or r["type_entropy"] < 1.0
         )
+
+
+def test_markov_stationary_is_fixed_point(spark, sf_oracle):
+    """pi must be a probability vector AND a fixed point of the
+    transition matrix recomputed independently from the data."""
+    import numpy as np
+
+    rows = SPECS["events_markov_stationary"].builder(spark, sf_oracle).collect()
+    assert rows
+    pi = {r["event_type"]: r["stationary_prob"] for r in rows}
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    # recompute P from raw events in pandas
+    ev = (
+        SPECS["events_markov_stationary"]
+        .builder.__globals__["load_table"](spark, sf_oracle, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+    )
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["prev"] = ev.groupby("user_id")["event_type"].shift(1)
+    pairs = ev.dropna(subset=["prev"])
+    states = sorted(pi)
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for (a, b), c in pairs.groupby(["prev", "event_type"]).size().items():
+        P[idx[a], idx[b]] = c
+    P /= P.sum(axis=1, keepdims=True)
+    v = np.array([pi[s] for s in states])
+    assert np.abs(v @ P - v).max() < 1e-4  # fixed point
