@@ -232,6 +232,7 @@ def _load_all() -> None:
         aggregates_robust,
         analytics_bots,
         analytics_markov,
+        stats_bayes,
     )
 
 
@@ -273,6 +274,7 @@ _HOIST: tuple[str, ...] = (
     "agg_robust_means",
     "events_bot_score",
     "events_markov_stationary",
+    "agg_bayes_ab",
 )
 
 

@@ -1,0 +1,166 @@
+"""Bayesian A/B evaluation (SURVEY.md §2B stats/experimentation tier,
+round 8).
+
+P(B > A) under independent Beta posteriors — the number a Bayesian
+experimentation dashboard leads with (standard conjugate analysis;
+e.g. Stucchio, "Bayesian A/B Testing at VWO", public). Neither engine
+exposes the incomplete Beta function, and Spark SQL has no
+lgamma/erf, so the posterior integral is evaluated the way both
+engines CAN, identically: a deterministic midpoint grid over [0, 1],
+weights computed in LOG space (s·ln x + (n-s)·ln(1-x), the Beta(1,1)
+prior makes the exponents the raw counts), per-arm max-subtraction
+for stability, numeric normalization, and
+P(B>A) = Σ_i wB(x_i)·CumA(x_i) — the same arithmetic as the oracle's
+SQL, converging at O(1/G²) with G=2000 grid cells, orders of
+magnitude inside the 6-dp rounding.
+
+The experimentation tier's Bayesian face next to the frequentist
+agg_ab_test / agg_cuped / agg_power_mde.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+BAYES_GRID = 2000
+
+
+@register(
+    "agg_bayes_ab",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id, user_id % 2 AS arm,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+counts AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conv) AS BIGINT) AS s
+    FROM per_user GROUP BY arm
+),
+grid AS (
+    SELECT (i + 0.5) / {BAYES_GRID} AS x, i
+    FROM (SELECT unnest(range(0, {BAYES_GRID})) AS i)
+),
+logw AS (
+    SELECT c.arm, g.i, g.x,
+           c.s * ln(g.x) + (c.n - c.s) * ln(1 - g.x) AS lw
+    FROM counts c CROSS JOIN grid g
+),
+norm AS (
+    SELECT arm, i, x,
+           exp(lw - MAX(lw) OVER (PARTITION BY arm)) AS w
+    FROM logw
+),
+z AS (SELECT arm, SUM(w) AS z FROM norm GROUP BY arm),
+wn AS (
+    SELECT n.arm, n.i, n.w / z.z AS w,
+           SUM(n.w / z.z) OVER (
+               PARTITION BY n.arm ORDER BY n.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+    FROM norm n JOIN z USING (arm)
+),
+p AS (
+    SELECT SUM(b.w * (COALESCE(a.cum, 0) + 0.5 * a.w)) AS p_b_beats_a
+    FROM wn b JOIN wn a ON a.i = b.i AND a.arm = 0 AND b.arm = 1
+)
+SELECT ca.n AS n_a, ca.s AS s_a, cb.n AS n_b, cb.s AS s_b,
+       ROUND((ca.s + 1.0) / (ca.n + 2.0), 6) AS post_mean_a,
+       ROUND((cb.s + 1.0) / (cb.n + 2.0), 6) AS post_mean_b,
+       ROUND(p.p_b_beats_a, 6) AS p_b_beats_a
+FROM p, counts ca, counts cb
+WHERE ca.arm = 0 AND cb.arm = 1
+""",
+    tags=("stats", "experimentation", "bayesian"),
+)
+def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(B beats A) for the purchase-conversion metric under
+    independent Beta(1+s, 1+n-s) posteriors, arms split by user
+    parity: per-arm (n, s) counts are one combinable aggregate; the
+    {BAYES_GRID}-cell midpoint grid crosses the 2-row count table
+    (bounded), weights normalize in log space, and the winner
+    probability is Σ wB·CumA over aligned grid cells. Posterior means
+    ride along. All window work is over the fixed-size grid
+    (aggregate-bounded class), and every data-sized stage is a plain
+    combinable aggregate — at 100 TB only the conversion count
+    touches the corpus.
+
+    The cumulative is strictly-below PLUS half the tie cell
+    (cum + w/2): dropping the diagonal entirely would bias the
+    integral by ~half the overlap mass, an O(1/G) error that showed
+    up as 0.009 at G={BAYES_GRID} in testing; with the midpoint tie
+    split the error is O(1/G²), verified against a 10x-finer numpy
+    grid in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    counts = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").cast("bigint").alias("s"),
+    )
+    grid = spark.range(BAYES_GRID).select(
+        F.col("id").alias("i"),
+        ((F.col("id") + 0.5) / BAYES_GRID).alias("x"),
+    )
+    logw = F.broadcast(counts).crossJoin(grid).select(
+        "arm",
+        "i",
+        (
+            F.col("s") * F.log("x")
+            + (F.col("n") - F.col("s")) * F.log(1 - F.col("x"))
+        ).alias("lw"),
+    )
+    by_arm = Window.partitionBy("arm")
+    norm = logw.select(
+        "arm", "i", F.exp(F.col("lw") - F.max("lw").over(by_arm)).alias("w")
+    )
+    z = norm.groupBy("arm").agg(F.sum("w").alias("z"))
+    cum_w = (
+        Window.partitionBy("arm")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = norm.join(F.broadcast(z), "arm").select(
+        "arm",
+        "i",
+        (F.col("w") / F.col("z")).alias("w"),
+        F.sum(F.col("w") / F.col("z")).over(cum_w).alias("cum"),
+    )
+    a = wn.where(F.col("arm") == 0).select(
+        F.col("i").alias("i"),
+        (F.coalesce("cum", F.lit(0.0)) + 0.5 * F.col("w")).alias("cum_a"),
+    )
+    b = wn.where(F.col("arm") == 1).select("i", F.col("w").alias("w_b"))
+    p = b.join(a, "i").agg(
+        F.round(F.sum(F.col("w_b") * F.col("cum_a")), 6).alias("p_b_beats_a")
+    )
+    ca = counts.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    cb = counts.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    return (
+        ca.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(p))
+        .select(
+            "n_a",
+            "s_a",
+            "n_b",
+            "s_b",
+            F.round((F.col("s_a") + 1.0) / (F.col("n_a") + 2.0), 6).alias(
+                "post_mean_a"
+            ),
+            F.round((F.col("s_b") + 1.0) / (F.col("n_b") + 2.0), 6).alias(
+                "post_mean_b"
+            ),
+            "p_b_beats_a",
+        )
+    )

@@ -168,6 +168,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # list crossed onto the tiny QI group-size tables
             "events_markov_stationary",  # cross of the one-row total
             # onto the k-row type table (share denominator)
+            "agg_bayes_ab",  # broadcast 2-row arm counts crossed onto
+            # the fixed-size posterior grid + one-row result crosses
         ), f"unexpected BNLJ in {name}"
 
 

@@ -279,6 +279,7 @@ NEW_IN_R8 = {
     "agg_robust_means",
     "events_bot_score",
     "events_markov_stationary",
+    "agg_bayes_ab",
 }
 
 # Registered AFTER the round-8 window filled: no driver row yet BY

@@ -249,3 +249,31 @@ def test_markov_stationary_is_fixed_point(spark, sf_oracle):
     P /= P.sum(axis=1, keepdims=True)
     v = np.array([pi[s] for s in states])
     assert np.abs(v @ P - v).max() < 1e-4  # fixed point
+
+
+def test_bayes_ab_matches_fine_grid_recompute(spark, sf_oracle):
+    """The G=2000 grid integral must agree with an independent
+    numpy recompute at 10x resolution to ~1e-5 (O(1/G^2) midpoint
+    error), and the winner probability must side with the larger
+    posterior mean."""
+    import numpy as np
+
+    row = SPECS["agg_bayes_ab"].builder(spark, sf_oracle).collect()[0]
+    assert 0.0 <= row["p_b_beats_a"] <= 1.0
+
+    def posterior(s, n, G):
+        x = (np.arange(G) + 0.5) / G
+        lw = s * np.log(x) + (n - s) * np.log(1 - x)
+        w = np.exp(lw - lw.max())
+        return w / w.sum()
+
+    G = 20000
+    wa = posterior(row["s_a"], row["n_a"], G)
+    wb = posterior(row["s_b"], row["n_b"], G)
+    cum_a = np.concatenate([[0.0], np.cumsum(wa)[:-1]]) + 0.5 * wa
+    want = float((wb * cum_a).sum())
+    assert abs(row["p_b_beats_a"] - want) < 1e-4
+    if row["post_mean_b"] > row["post_mean_a"]:
+        assert row["p_b_beats_a"] > 0.5
+    elif row["post_mean_b"] < row["post_mean_a"]:
+        assert row["p_b_beats_a"] < 0.5
