@@ -233,6 +233,7 @@ def _load_all() -> None:
         analytics_bots,
         analytics_markov,
         stats_bayes,
+        multimodal_audio,
     )
 
 
@@ -275,6 +276,7 @@ _HOIST: tuple[str, ...] = (
     "events_bot_score",
     "events_markov_stationary",
     "agg_bayes_ab",
+    "multimodal_audio_fingerprint",
 )
 
 

@@ -280,6 +280,7 @@ NEW_IN_R8 = {
     "events_bot_score",
     "events_markov_stationary",
     "agg_bayes_ab",
+    "multimodal_audio_fingerprint",
 }
 
 # Registered AFTER the round-8 window filled: no driver row yet BY

@@ -277,3 +277,18 @@ def test_bayes_ab_matches_fine_grid_recompute(spark, sf_oracle):
         assert row["p_b_beats_a"] > 0.5
     elif row["post_mean_b"] < row["post_mean_a"]:
         assert row["p_b_beats_a"] < 0.5
+
+
+def test_audio_fingerprint_coherence_beats_scatter(spark, sf_oracle):
+    """Reported pairs must have coherent_hits <= total_hits, pass the
+    coherence floor, and the plan's signal stage must be mapInPandas
+    (ArrowEvalPython/MapInPandas), not an explode of frames."""
+    rows = SPECS["multimodal_audio_fingerprint"].builder(
+        spark, sf_oracle
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r["coherent_hits"] <= r["total_hits"]
+    plan = _plan(spark, sf_oracle, "multimodal_audio_fingerprint")
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
