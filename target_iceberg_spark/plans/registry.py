@@ -234,6 +234,7 @@ def _load_all() -> None:
         analytics_markov,
         stats_bayes,
         multimodal_audio,
+        profiling_growth,
     )
 
 
@@ -277,6 +278,7 @@ _HOIST: tuple[str, ...] = (
     "events_markov_stationary",
     "agg_bayes_ab",
     "multimodal_audio_fingerprint",
+    "profile_ndv_growth",
 )
 
 

@@ -170,6 +170,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # onto the k-row type table (share denominator)
             "agg_bayes_ab",  # broadcast 2-row arm counts crossed onto
             # the fixed-size posterior grid + one-row result crosses
+            "profile_ndv_growth",  # cross of the one-row id-bounds
+            # aggregate, same class as events_active_rolling
         ), f"unexpected BNLJ in {name}"
 
 

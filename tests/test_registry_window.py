@@ -281,6 +281,7 @@ NEW_IN_R8 = {
     "events_markov_stationary",
     "agg_bayes_ab",
     "multimodal_audio_fingerprint",
+    "profile_ndv_growth",
 }
 
 # Registered AFTER the round-8 window filled: no driver row yet BY

@@ -292,3 +292,20 @@ def test_audio_fingerprint_coherence_beats_scatter(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "multimodal_audio_fingerprint")
     assert "MapInPandas" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ndv_growth_conserves_keys_and_events(spark, sf_oracle):
+    """Bucket new_keys must sum to the true distinct-user count,
+    n_events to the event count, and cum_keys must be the running
+    total, monotone nondecreasing."""
+    from target_iceberg_spark.sources.tables import load_table
+
+    rows = SPECS["profile_ndv_growth"].builder(spark, sf_oracle).collect()
+    assert rows and [r["bucket"] for r in rows] == list(range(len(rows)))
+    ev = load_table(spark, sf_oracle, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert rows[-1]["cum_keys"] == ev.select("user_id").distinct().count()
+    running = 0
+    for r in rows:
+        running += r["new_keys"]
+        assert r["cum_keys"] == running
