@@ -235,6 +235,7 @@ def _load_all() -> None:
         stats_bayes,
         multimodal_audio,
         profiling_growth,
+        curation_redact,
     )
 
 
@@ -279,6 +280,7 @@ _HOIST: tuple[str, ...] = (
     "agg_bayes_ab",
     "multimodal_audio_fingerprint",
     "profile_ndv_growth",
+    "curation_redact",
 )
 
 

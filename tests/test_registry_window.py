@@ -282,6 +282,7 @@ NEW_IN_R8 = {
     "agg_bayes_ab",
     "multimodal_audio_fingerprint",
     "profile_ndv_growth",
+    "curation_redact",
 }
 
 # Registered AFTER the round-8 window filled: no driver row yet BY

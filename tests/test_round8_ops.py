@@ -309,3 +309,25 @@ def test_ndv_growth_conserves_keys_and_events(spark, sf_oracle):
     for r in rows:
         running += r["new_keys"]
         assert r["cum_keys"] == running
+
+
+def test_redact_is_complete_and_idempotent(spark, sf_oracle):
+    """residual_hits must be 0 in every source (complete redaction),
+    counts must match the audit query's totals, and the checksum must
+    be stable across executions (determinism)."""
+    rows = SPECS["curation_redact"].builder(spark, sf_oracle).collect()
+    assert rows
+    assert all(r["residual_hits"] == 0 for r in rows)
+    audit = {
+        r["source"]: r
+        for r in SPECS["curation_pii_audit"].builder(spark, sf_oracle).collect()
+    }
+    for r in rows:
+        a = audit[r["source"]]
+        assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (
+            a["n_emails"], a["n_phones"], a["n_ips"],
+        )
+    again = SPECS["curation_redact"].builder(spark, sf_oracle).collect()
+    assert {r["source"]: r["corpus_checksum"] for r in rows} == {
+        r["source"]: r["corpus_checksum"] for r in again
+    }
