@@ -2047,3 +2047,70 @@ def test_streaming_bloom_dedup_stream_static_verify(spark, sf_oracle, tmp_path):
     }
     want_new = set(batch_keys) - set(hist_keys)
     assert got_new == want_new
+
+
+def test_streaming_kmv_ndv_merges_bit_exact(spark, sf_oracle, tmp_path):
+    """The drained per-shard bottom-k sketches, merged, must equal a
+    plain Python bottom-k recompute over all distinct keys WORD FOR
+    WORD (the semilattice property), and the merged estimate must
+    land within 15% of the true distinct count."""
+    import hashlib
+
+    import pandas as pd
+
+    from target_iceberg_spark.streaming.stateful import streaming_kmv_ndv
+
+    ev = load_table(spark, sf_oracle, "events")
+    rows = ev.select("event_id", "user_id").orderBy("event_id").collect()
+    keys = [r["user_id"] for r in rows]
+    half = len(keys) // 2
+
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    for name, part, mt, off in (
+        ("a.parquet", keys[:half], 1_000_000, 0),
+        ("b.parquet", keys[half:], 2_000_000, half),
+    ):
+        pd.DataFrame(
+            {"k": part, "ts": [off + i for i in range(len(part))]}
+        ).to_parquet(src / name)
+        os.utime(src / name, (mt, mt))
+
+    stream = (
+        spark.readStream.schema("k LONG, ts LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_kmv_ndv(stream, kmv_k=128, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    drained = spark.table("kmv_stream").collect()
+    assert drained
+    last = {}
+    for r in drained:
+        if r["shard"] not in last or r["n_seen"] > last[r["shard"]]["n_seen"]:
+            last[r["shard"]] = r
+    merged = sorted({hv for r in last.values() for hv in r["hvs"]})[:128]
+
+    distinct = sorted(set(keys))
+    want = sorted(
+        {
+            int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+            for k in distinct
+        }
+    )[:128]
+    assert merged == want  # bit-exact semilattice merge
+
+    est = (
+        len(merged)
+        if len(merged) < 128
+        else (128 - 1) * 4294967296.0 / merged[-1]
+    )
+    assert abs(est - len(distinct)) / len(distinct) < 0.15
