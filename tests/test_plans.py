@@ -411,6 +411,9 @@ UNPARTITIONED_WINDOW_OK = {
     # NOT a window over users
     "curation_upsample_weights",  # normalizing sum over the
     # <= #sources-row weight frame, same class as curation_domain_mix
+    "profile_ndv_growth",  # Heaps-curve cumulative over the
+    # NDV_BUCKETS (10) decile rows — aggregate-bounded by
+    # construction, same class as agg_mom_growth
 }
 
 
