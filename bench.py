@@ -10,26 +10,35 @@ so bounded tail-capture harnesses never truncate it):
 `value` is the COLD first-run total (includes one-shot codegen
 compile, which lands on queries essentially at random and adds ±15 s
 of run-to-run noise at sf0.1); `warm_total_sec` is the sum of
-per-query MINIMA across two warm SWEEPS of the full query set, the
-second sweep in reverse order.
+per-query MINIMA of one steady-state timing taken in each of two
+SWEEPS of the full query set, the second sweep in reverse order.
 
-Why sweeps, not immediate re-runs (the round-7 variance post-mortem):
-through round 7 the warm number was the median of 3 back-to-back
-re-runs per query. That votes out single-run GC/JIT excursions but is
-blind to SUSTAINED contention windows — a background compaction or
-heap ramp lasting 10 s inflates all three immediate runs of whichever
-query happens to occupy that session slot, which is exactly the
-fn_conditional/fn_date/events_* drift flagged in rounds 6 and 7 (full-
-session warm totals of identical plans spread 193.4 vs 218.2 s, ~12%,
-while isolated --only timings were unchanged). Two sweeps place every
-query at two DIFFERENT session positions (reverse order maximizes the
-position distance), so a contention window inflates a given query in
-at most one sweep and the per-query min discards it. The min of
-repeated timings is the standard steady-state estimator (timing noise
-is one-sided: nothing makes a fixed plan run faster than its cost).
-Both sweep columns are kept in the detail artifact, so the sweep-
-to-sweep spread — the session-noise error bar — is documented per run
-instead of discovered across rounds.
+Why sweeps, not only immediate re-runs (the round-7 variance
+post-mortem): through round 7 the warm number was the median of 3
+back-to-back re-runs per query. That votes out single-run GC/JIT
+excursions but is blind to SUSTAINED contention windows — a
+background compaction or heap ramp lasting 10 s inflates all three
+immediate runs of whichever query occupies that session slot, which
+is exactly the fn_conditional/fn_date/events_* drift flagged in
+rounds 6 and 7 (full-session warm totals of identical plans spread
+193.4 vs 218.2 s, ~12%, while isolated --only timings were
+unchanged). Two sweeps place every query at two DIFFERENT session
+positions (reverse order maximizes the position distance), so a
+contention window inflates a given query in at most one sweep and
+the per-query min discards it. The min of repeated timings is the
+standard steady-state estimator (timing noise is one-sided: nothing
+makes a fixed plan run faster than its cost).
+
+Within each sweep the query runs TWICE back-to-back and only the
+second run is timed: with hundreds of distinct plans, Spark's
+bounded codegen/JIT caches evict a query's generated code between
+sweeps, so a sweep's first execution pays recompilation — measured
++40% on the full registry when sweep runs were timed directly. The
+untimed first run restores steady state; the timed second run is
+the per-plan cost the old median-of-3 measured, now sampled at two
+distant session positions. Both sweep columns are kept in the detail
+artifact, so the sweep-to-sweep spread — the session-noise error
+bar — is documented per run instead of discovered across rounds.
 
 Per-query cold/min/per-sweep timings go to BENCH_DETAIL.json next to
 this script (kept in-repo for round-over-round diffing), NOT to
@@ -105,7 +114,10 @@ def main() -> None:
 
     # --- two warm sweeps: forward then REVERSE order, so every query
     # sits at two maximally-distant session positions and a sustained
-    # contention window can inflate it in at most one sweep ----------
+    # contention window can inflate it in at most one sweep. Each
+    # sweep runs the query twice: the first (untimed) run restores
+    # codegen/JIT steady state after inter-sweep cache eviction, the
+    # second is the timed steady-state sample. ----------------------
     sweeps: list[dict[str, float]] = []
     for direction in (False, True):
         sweep: dict[str, float] = {}
@@ -114,6 +126,7 @@ def main() -> None:
             if name in failed_set:
                 continue
             try:
+                run_once(spec)  # untimed: recompile + cache warm-up
                 sweep[name] = run_once(spec)
             except Exception as exc:
                 failed_set.add(name)

@@ -236,6 +236,8 @@ def _load_all() -> None:
         multimodal_audio,
         profiling_growth,
         curation_redact,
+        stats_runs,
+        similarity_ivf_curve,
     )
 
 
@@ -281,6 +283,8 @@ _HOIST: tuple[str, ...] = (
     "multimodal_audio_fingerprint",
     "profile_ndv_growth",
     "curation_redact",
+    "agg_runs_test",
+    "sim_ivf_recall_curve",
 )
 
 

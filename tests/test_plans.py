@@ -172,6 +172,11 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # the fixed-size posterior grid + one-row result crosses
             "profile_ndv_growth",  # cross of the one-row id-bounds
             # aggregate, same class as events_active_rolling
+            "agg_runs_test",  # cross of the one-row global-median
+            # aggregate, same class as events_rfm
+            "sim_ivf_recall_curve",  # broadcast probe panel +
+            # |depths|-row nprobe grid, same class as
+            # sim_cosine_topk_batch / sim_matryoshka_curve
         ), f"unexpected BNLJ in {name}"
 
 

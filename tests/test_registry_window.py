@@ -283,6 +283,10 @@ NEW_IN_R8 = {
     "multimodal_audio_fingerprint",
     "profile_ndv_growth",
     "curation_redact",
+    "agg_runs_test",
+    "sim_ivf_recall_curve",  # rows-only by design (seeded k-means
+    # centers; monotone curve + 1.0 exactness endpoint pinned in
+    # tests/test_round8_ops.py)
 }
 
 # Registered AFTER the round-8 window filled: no driver row yet BY
