@@ -59,9 +59,18 @@ def agg_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort, no window — the textbook two-pass robust-aggregate
     plan."""
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE percentile aggregate with an array of fractions: two
+    # separate percentile(x, p) expressions each buffer and sort the
+    # group's values independently (measured ~0.5 s of the query);
+    # the array form sorts once and reads both order statistics
     bounds = li.groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, {TRIM_P})").alias("lo"),
-        F.expr(f"percentile(l_extendedprice, {1 - TRIM_P})").alias("hi"),
+        F.expr(
+            f"percentile(l_extendedprice, array({TRIM_P}, {1 - TRIM_P}))"
+        ).alias("_b")
+    ).select(
+        "l_returnflag",
+        F.col("_b")[0].alias("lo"),
+        F.col("_b")[1].alias("hi"),
     )
     x = F.col("l_extendedprice")
     clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
