@@ -238,6 +238,7 @@ def _load_all() -> None:
         curation_redact,
         stats_runs,
         similarity_ivf_curve,
+        functions_collation,
     )
 
 
@@ -285,6 +286,7 @@ _HOIST: tuple[str, ...] = (
     "curation_redact",
     "agg_runs_test",
     "sim_ivf_recall_curve",
+    "fn_collation",
 )
 
 

@@ -284,6 +284,7 @@ NEW_IN_R8 = {
     "profile_ndv_growth",
     "curation_redact",
     "agg_runs_test",
+    "fn_collation",
     "sim_ivf_recall_curve",  # rows-only by design (seeded k-means
     # centers; monotone curve + 1.0 exactness endpoint pinned in
     # tests/test_round8_ops.py)

@@ -376,3 +376,13 @@ def test_ivf_recall_curve_monotone_with_exact_endpoint(spark, sf_oracle):
     # 8-probe PANEL average on uniform-random vectors sits a little
     # lower (measured 0.775 at sf0.01) — pin the panel's own floor
     assert rec[3] >= 0.7  # the sim_ann_ivf operating point, averaged
+
+
+def test_collation_collapses_casings(spark, sf_oracle):
+    rows = SPECS["fn_collation"].builder(spark, sf_oracle).collect()
+    assert rows
+    assert any(r["n_binary_distinct"] > r["n_ci_distinct"] for r in rows)
+    for r in rows:
+        assert r["n_ci_distinct"] <= r["n_binary_distinct"]
+    # the upper-cased probe matches rows in BOTH casings somewhere
+    assert sum(r["n_probe_ci"] for r in rows) > 0
