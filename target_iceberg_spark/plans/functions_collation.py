@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
-COLL_PROBE = "SMALL PLATED COPPER"  # filter probe, deliberately upper
+COLL_PROBE = "MEDIUM"  # filter probe, deliberately upper-cased
 
 
 @register(
@@ -27,7 +27,7 @@ COLL_PROBE = "SMALL PLATED COPPER"  # filter probe, deliberately upper
     oracle=f"""
 WITH mangled AS (
     SELECT p_brand,
-           CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+           CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
                 ELSE p_type END AS t
     FROM part
 )
@@ -46,7 +46,8 @@ ORDER BY p_brand
 def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive DISTINCT and equality via Spark 4 COLLATE:
     p_type is deterministically case-mangled (even part keys
-    uppercase), then counted distinct under BINARY vs UTF8_LCASE
+    lowercased — the fixture's types arrive uppercase), then counted
+    distinct under BINARY vs UTF8_LCASE
     collation and filtered against an upper-cased probe under the
     collation. The binary count sees every casing as distinct; the
     collated count restores the true type cardinality — and must
@@ -60,7 +61,7 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mangled = part.select(
         "p_brand",
         F.when(
-            F.col("p_partkey") % 2 == 0, F.upper("p_type")
+            F.col("p_partkey") % 2 == 0, F.lower("p_type")
         ).otherwise(F.col("p_type")).alias("t"),
     )
     ci = F.expr("collate(t, 'UTF8_LCASE')")
