@@ -23,11 +23,16 @@ import os
 import warnings
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -52,6 +57,12 @@ class JsonlDataSource(DataSource):
     def reader(self, schema) -> "JsonlReader":
         return JsonlReader(self.options, schema)
 
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlStreamWriter":
+        return JsonlStreamWriter(self.options, schema)
+
 
 class JsonlReader(DataSourceReader):
     def __init__(self, options, schema) -> None:
@@ -64,10 +75,14 @@ class JsonlReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         # one split per part file — executors parse files in parallel;
         # sorted so partition planning is deterministic
+        # metadata files (_job-*/_commit-* manifests, _SUCCESS-style
+        # markers) and hidden files are never data — the same
+        # underscore convention Spark's own file sources use
         files = sorted(
             os.path.join(self._path, f)
             for f in os.listdir(self._path)
             if f.endswith((".json", ".jsonl"))
+            and not f.startswith(("_", "."))
         )
         if not files:
             raise FileNotFoundError(
@@ -155,6 +170,7 @@ class JsonlReplayStreamReader(SimpleDataSourceStreamReader):
             f
             for f in os.listdir(self._path)
             if f.endswith((".json", ".jsonl"))
+            and not f.startswith(("_", "."))  # skip manifests/markers
         )
 
     def _last_name(self, offset: dict, names: list[str]) -> str:
@@ -220,3 +236,154 @@ class JsonlReplayStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up — files are the durable log
+
+
+# ---------------------------------------------------------------------------
+# Write side (round 8): batch + streaming JSONL sinks with two-phase
+# commit — the full Spark 4 Python DataSource surface (SPARK-44076).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file the task wrote and its
+    row count. Temps use a `.tmp` suffix the reader's `*.json(l)` glob
+    never matches, so uncommitted output is invisible by construction."""
+
+    tmp_name: str
+    n_rows: int
+
+
+class _JsonlWriterBase:
+    """Shared two-phase-commit mechanics.
+
+    Executors write to `<dir>/<name>.tmp` and return the temp name;
+    the DRIVER renames temps to `part-*.jsonl` in commit() — the same
+    stage-then-publish discipline as operators/ivf.py's index build.
+    A crash between write and commit leaves only `.tmp` litter that no
+    reader sees and the next abort/cleanup may remove; rename is the
+    atomic publish."""
+
+    def __init__(self, options, schema) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("graft_jsonl writer: 'path' option is required")
+        self._path = path
+        self._fields = [f.name for f in schema.fields]
+        import uuid
+
+        self._job = uuid.uuid4().hex[:12]  # driver-chosen, shipped via pickle
+
+    def _write_tmp(self, iterator, tag: str) -> JsonlCommit:
+        # runs IN the executor's Python worker
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = f"{tag}-{self._job}-{pid:05d}.jsonl.tmp"
+        n = 0
+        _os.makedirs(self._path, exist_ok=True)
+        with open(_os.path.join(self._path, tmp), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(
+                        dict(zip(self._fields, row)), default=str
+                    )
+                )
+                fh.write("\n")
+                n += 1
+        return JsonlCommit(tmp_name=tmp, n_rows=n)
+
+    def _publish(self, messages, manifest_name: str) -> list:
+        import json as _json
+        import os as _os
+
+        published = []
+        for m in messages:
+            if m is None:
+                continue
+            final = m.tmp_name[: -len(".tmp")]
+            _os.rename(
+                _os.path.join(self._path, m.tmp_name),
+                _os.path.join(self._path, final),
+            )
+            published.append({"file": final, "n_rows": m.n_rows})
+        with open(_os.path.join(self._path, manifest_name), "w") as fh:
+            _json.dump({"files": published}, fh)
+        return published
+
+    def _drop_tmps(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(_os.path.join(self._path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlWriter(_JsonlWriterBase, DataSourceWriter):
+    """Batch sink: `df.write.format("graft_jsonl").option("path", d)`.
+
+    mode("overwrite") clears previously COMMITTED part files at
+    commit time (never mid-write — a failed overwrite leaves the old
+    data intact); mode("append") publishes alongside them."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        super().__init__(options, schema)
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        return self._write_tmp(iterator, "part")
+
+    def commit(self, messages) -> None:
+        import os as _os
+
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith((".jsonl", ".json")) or f.startswith("_job-"):
+                    _os.remove(_os.path.join(self._path, f))
+        self._publish(messages, f"_job-{self._job}.json")
+
+    def abort(self, messages) -> None:
+        self._drop_tmps(messages)
+
+
+class JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
+    """Streaming sink: `df.writeStream.format("graft_jsonl")`.
+
+    Exactly-once publish per micro-batch: commit() first checks for
+    the batch's manifest (`_commit-<epoch>.json`) — a REPLAYED batch
+    (failure after commit, before the checkpoint recorded it) finds
+    the manifest, drops its temps, and publishes nothing, so replays
+    cannot duplicate rows. Otherwise temps rename to
+    `part-<epoch>-*.jsonl` and the manifest records them."""
+
+    def write(self, iterator):
+        return self._write_tmp(iterator, "part")
+
+    def commit(self, messages, batchId: int) -> None:
+        import os as _os
+
+        manifest = f"_commit-{batchId}.json"
+        if _os.path.exists(_os.path.join(self._path, manifest)):
+            self._drop_tmps(messages)  # replay of a committed batch
+            return
+        # stamp the epoch into the published names for debuggability
+        for m in messages:
+            if m is None:
+                continue
+            stamped = m.tmp_name.replace("part-", f"part-{batchId}-", 1)
+            _os.rename(
+                _os.path.join(self._path, m.tmp_name),
+                _os.path.join(self._path, stamped),
+            )
+            m.tmp_name = stamped
+        self._publish(messages, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_tmps(messages)
