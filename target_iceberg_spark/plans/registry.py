@@ -239,6 +239,8 @@ def _load_all() -> None:
         stats_runs,
         similarity_ivf_curve,
         functions_collation,
+        stats_equiv,
+        profiling_order,
     )
 
 
@@ -287,6 +289,8 @@ _HOIST: tuple[str, ...] = (
     "agg_runs_test",
     "sim_ivf_recall_curve",
     "fn_collation",
+    "agg_tost_equivalence",
+    "profile_order_inversions",
 )
 
 

@@ -285,6 +285,8 @@ NEW_IN_R8 = {
     "curation_redact",
     "agg_runs_test",
     "fn_collation",
+    "agg_tost_equivalence",
+    "profile_order_inversions",
     "sim_ivf_recall_curve",  # rows-only by design (seeded k-means
     # centers; monotone curve + 1.0 exactness endpoint pinned in
     # tests/test_round8_ops.py)

@@ -386,3 +386,54 @@ def test_collation_collapses_casings(spark, sf_oracle):
         assert r["n_ci_distinct"] <= r["n_binary_distinct"]
     # the upper-cased probe matches rows in BOTH casings somewhere
     assert sum(r["n_probe_ci"] for r in rows) > 0
+
+
+def test_runs_test_null_moments_match_enumeration():
+    """The Wald-Wolfowitz null moments used in agg_runs_test must
+    match brute-force enumeration over ALL arrangements of n+ ones
+    and n- zeros (exchangeability null), for every small (n+, n-)."""
+    from itertools import combinations
+
+    def runs_of(bits):
+        return 1 + sum(1 for a, b in zip(bits, bits[1:]) if a != b)
+
+    for n_pos in range(1, 6):
+        for n_neg in range(1, 6):
+            n = n_pos + n_neg
+            rs = []
+            for ones in combinations(range(n), n_pos):
+                bits = [1 if i in ones else 0 for i in range(n)]
+                rs.append(runs_of(bits))
+            mean = sum(rs) / len(rs)
+            var = sum((r - mean) ** 2 for r in rs) / len(rs)
+            mu = 2.0 * n_pos * n_neg / n + 1
+            sigma2 = (mu - 1) * (mu - 2) / (n - 1)
+            assert abs(mean - mu) < 1e-9, (n_pos, n_neg)
+            assert abs(var - sigma2) < 1e-9, (n_pos, n_neg)
+
+
+def test_tost_consistency_with_welch_geometry(spark, sf_oracle):
+    """TOST internals: t_lower + t_upper == 2*margin/se (up to
+    rounding), and `equivalent` must equal both statistics clearing
+    the one-sided critical value."""
+    rows = SPECS["agg_tost_equivalence"].builder(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r["margin"] > 0
+        # t_lo + t_hi = 2*margin/se > 0 always
+        assert r["t_lower"] + r["t_upper"] > 0
+        assert r["equivalent"] == (
+            r["t_lower"] > 1.644854 and r["t_upper"] > 1.644854
+        )
+
+
+def test_order_inversions_zero_on_monotone_fixture(spark, sf_oracle):
+    """The fixture assigns event ids in time order, so the audit must
+    return a clean bill — and the counts must be self-consistent."""
+    row = SPECS["profile_order_inversions"].builder(spark, sf_oracle).collect()[0]
+    assert row["n_pairs"] > 0
+    assert row["n_inversions"] >= 0
+    assert row["n_users_affected"] <= row["n_users"]
+    # monotone fixture: no inversions (if the generator ever changes
+    # this, the audit catching it is exactly the point)
+    assert row["n_inversions"] == 0 and row["inversion_rate"] == 0.0
