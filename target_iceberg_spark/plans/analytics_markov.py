@@ -65,11 +65,13 @@ emp AS (
            CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
     FROM events GROUP BY event_type
 )
-SELECT it.s AS event_type,
-       ROUND(it.v, 6) AS stationary_prob,
+SELECT states.s AS event_type,
+       ROUND(COALESCE(fin.v, 0), 6) AS stationary_prob,
        ROUND(emp.share, 6) AS empirical_share
-FROM it JOIN emp ON it.s = emp.s
-WHERE it.i = {MARKOV_ITERS}
+FROM states
+LEFT JOIN (SELECT s, v FROM it WHERE i = {MARKOV_ITERS}) fin
+       ON states.s = fin.s
+JOIN emp ON states.s = emp.s
 ORDER BY event_type
 """,
     tags=("events", "markov", "recursive"),
@@ -88,7 +90,15 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partitioned window + one combinable groupBy over
     the events; everything after operates on k rows. The empirical
-    share is a second combinable aggregate joined at k rows."""
+    share is a second combinable aggregate joined at k rows.
+
+    Round-9 hardening (ADVICE r8): the state universe is the FULL
+    distinct event_type set (a type occurring only as some user's
+    sole event has no bigram but is still a state — the oracle's
+    SELECT DISTINCT), and all-zero transition rows (no outgoing
+    bigram) stay zero instead of dividing by zero: their mass simply
+    leaves the chain each round, exactly what the oracle's inner join
+    does to a state with no p.a row."""
     import numpy as np
 
     ev = load_table(spark, sf_dir, "events")
@@ -101,13 +111,17 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("c")
     )
     rows = counts.collect()  # bounded: k x k, k = |event types|
-    states = sorted({r["a"] for r in rows} | {r["b"] for r in rows})
+    states = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()  # bounded: k
+    )
     idx = {s: i for i, s in enumerate(states)}
     k = len(states)
     P = np.zeros((k, k))
     for r in rows:
         P[idx[r["a"]], idx[r["b"]]] = r["c"]
-    P /= P.sum(axis=1, keepdims=True)
+    sums = P.sum(axis=1, keepdims=True)
+    np.divide(P, sums, out=P, where=sums > 0)  # zero rows stay zero
     pi = np.full(k, 1.0 / k)
     for _ in range(MARKOV_ITERS):
         pi = pi @ P

@@ -245,52 +245,21 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries with NO current external driver evidence. Round 8: the
-# entire 16-entry round-7 post-window backlog (each green in the
-# local oracle-parity suite; this is their first driver check — the
-# whole point of the rotation design). Everything round 7 checked
-# came back green (CORRECTNESS_r07.json: 50/50 hash-green, 0 FAILs,
-# sixth consecutive clean round) and rotates behind. The window
-# holds 50, so up to 34 round-8 additions may append at the end;
-# further round-8 queries go to NEW_IN_R8_POST_WINDOW. The evidence
-# ledger lives in tests/test_registry_window.py.
+# queries with NO current external driver evidence. Round 9 leads
+# with the round-8 canonicalizer fail (events_sequence_dataset —
+# fixed by serializing the array in both arms) and the two r8-green
+# queries whose output changed this round (sim_ivf_recall_curve's
+# audit-row reduction; events_markov_stationary's ADVICE fix); all
+# round-9 additions append behind them, at most 47 before the window
+# fills and further queries go to NEW_IN_R9_POST_WINDOW. Everything
+# round 8 checked green (CORRECTNESS_r08.json: 48/50) rotates
+# behind. The evidence ledger lives in tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-7 post-window backlog (driver evidence owed) ----------
-    "agg_paired_ttest",
-    "text_idf_drift",
-    "sql_recursive_hierarchy",
-    "dedup_bloom_incremental",
-    "events_user_overlap",
-    "events_time_to_convert",
-    "agg_powerlaw_alpha",
-    "graph_clustering_local",
-    "multimodal_vad_segments",
-    "agg_decimal_ledger",
+    # -- round-8 fail / round-9 output changes (driver evidence owed) -
     "events_sequence_dataset",
-    "graph_degree_histogram",
-    "profile_string_lengths",
-    "curation_cross_contamination",
-    "sim_matryoshka_curve",
-    "events_slo_burn",
-    # -- new in round 8 (at most 34; window is exactly 50) -----------
-    "text_winnowing_zipf",
-    "text_dup_ngram_zipf",
-    "text_shared_runs",
-    "curation_kanonymity",
-    "agg_ratio_delta",
-    "agg_power_mde",
-    "agg_robust_means",
-    "events_bot_score",
-    "events_markov_stationary",
-    "agg_bayes_ab",
-    "multimodal_audio_fingerprint",
-    "profile_ndv_growth",
-    "curation_redact",
-    "agg_runs_test",
     "sim_ivf_recall_curve",
-    "fn_collation",
-    "agg_tost_equivalence",
-    "profile_order_inversions",
+    "events_markov_stationary",
+    # -- new in round 9 (appended as each lands) ----------------------
 )
 
 

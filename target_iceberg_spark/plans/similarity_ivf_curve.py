@@ -19,9 +19,15 @@ bounded (probe × cluster) rank table. The nprobe = k_clusters row is
 an exactness witness: scanning every posting list MUST give recall
 1.0, pinned in tests.
 
-Rows-only by design (k-means centers are seeded randomness, not SQL);
-monotonicity + the 1.0 endpoint + the operating-point floor are
-pinned in tests/test_round8_ops.py.
+Hash-checkable since round 9 (was rows-only in r8): the registered
+query reduces the measured curve to its INVARIANTS — curve
+nondecreasing in nprobe, endpoint recall exactly 1.0 with its exact
+integer hit count, operating-point floor met — the same
+boolean-contract reduction sim_ann_quality used to close the seeded-
+index gap (each invariant is provable for ANY seeded centers, so a
+constant oracle is sound, and the row flips the moment the index
+degrades). The float curve itself stays available as _ivf_curve and
+is value-pinned in tests/test_round8_ops.py.
 """
 
 from __future__ import annotations
@@ -36,14 +42,11 @@ from target_iceberg_spark.sources.tables import load_table
 IVC_PROBES = 8  # probe panel: vec_id < IVC_PROBES
 IVC_K = 10
 IVC_NPROBES = (1, 2, 4, 8, 16)  # 16 = k_clusters: the exactness row
+IVC_OPPOINT = 8  # sim_ann_ivf's serving nprobe
+IVC_FLOOR = 0.7  # panel-average floor at the operating point
 
 
-@register(
-    "sim_ivf_recall_curve",
-    oracle=None,  # rows-only: centers are seeded k-means randomness
-    tags=("similarity", "ann", "ivf", "tuning"),
-)
-def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{IVC_K} of the persisted IVF index (k=16, seed 42 — the
     SAME cached index sim_ann_ivf serves) at probe depths
     {IVC_NPROBES}, averaged over a {IVC_PROBES}-probe panel. Computed
@@ -126,6 +129,9 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nprobe")
         .agg(
             F.lit(IVC_PROBES).cast("bigint").alias("n_probes"),
+            F.count(F.when(F.col("crank") < F.col("nprobe"), 1)).alias(
+                "hits"
+            ),
             F.round(
                 F.count(F.when(F.col("crank") < F.col("nprobe"), 1))
                 / (IVC_PROBES * float(IVC_K)),
@@ -133,4 +139,59 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{IVC_K}"),
         )
         .orderBy("nprobe")
+    )
+
+
+@register(
+    "sim_ivf_recall_curve",
+    oracle=f"""
+SELECT CAST({len(IVC_NPROBES)} AS BIGINT) AS n_depths,
+       TRUE AS monotone_nondecreasing,
+       TRUE AS endpoint_exact,
+       CAST({IVC_PROBES * IVC_K} AS BIGINT) AS endpoint_hits,
+       TRUE AS oppoint_meets_floor
+""",
+    tags=("similarity", "ann", "ivf", "tuning", "audit"),
+)
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve reduced to its hash-checkable invariants
+    (one row): the measured recall-vs-nprobe curve (_ivf_curve) must be
+    nondecreasing, its all-clusters endpoint must be EXACT (every one
+    of the {IVC_PROBES}×{IVC_K} exact-top-k hits retrieved — recall
+    1.0, an arithmetic certainty for exhaustive probing, so the
+    integer hit count {IVC_PROBES * IVC_K} is seed-independent), and
+    the serving operating point (nprobe={IVC_OPPOINT}) must meet the
+    {IVC_FLOOR} panel floor. Seeded k-means centers make the FLOAT
+    recalls non-SQL-expressible; each invariant here holds for any
+    centers, so the constant oracle is sound and the driver row flips
+    the moment the index silently degrades — the sim_ann_quality
+    boolean-contract pattern applied to the whole curve. The float
+    curve stays pinned value-by-value in tests/test_round8_ops.py.
+
+    Scale shape: identical to _ivf_curve (one broadcast-panel corpus
+    scan); the reduction adds one 5-row aggregate."""
+    curve = _ivf_curve(spark, sf_dir)
+    pts = curve.agg(
+        F.count(F.lit(1)).alias("n_depths"),
+        F.sort_array(
+            F.collect_list(F.struct("nprobe", "hits"))
+        ).alias("pts"),
+    )
+    full = IVC_PROBES * IVC_K
+    return pts.select(
+        "n_depths",
+        F.expr(
+            "forall(zip_with(slice(pts, 1, size(pts) - 1),"
+            "                slice(pts, 2, size(pts) - 1),"
+            "                (a, b) -> b.hits >= a.hits), x -> x)"
+        ).alias("monotone_nondecreasing"),
+        (F.element_at("pts", -1)["hits"] == F.lit(full)).alias(
+            "endpoint_exact"
+        ),
+        F.element_at("pts", -1)["hits"].alias("endpoint_hits"),
+        F.exists(
+            "pts",
+            lambda p: (p["nprobe"] == F.lit(IVC_OPPOINT))
+            & (p["hits"] >= F.lit(int(IVC_FLOOR * full))),
+        ).alias("oppoint_meets_floor"),
     )

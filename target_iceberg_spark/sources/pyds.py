@@ -281,8 +281,15 @@ class _JsonlWriterBase:
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        tmp = f"{tag}-{self._job}-{pid:05d}.jsonl.tmp"
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # the ATTEMPT id is part of the staged name (like Spark's own
+        # file sinks): two live attempts of the same task (speculation,
+        # zombie-after-retry) must never share a file, or their writes
+        # interleave; commit() publishes only the files the WINNING
+        # attempts named in their commit messages
+        attempt = ctx.taskAttemptId()
+        tmp = f"{tag}-{self._job}-{pid:05d}-a{attempt}.jsonl.tmp"
         n = 0
         _os.makedirs(self._path, exist_ok=True)
         with open(_os.path.join(self._path, tmp), "w", encoding="utf-8") as fh:
@@ -310,9 +317,28 @@ class _JsonlWriterBase:
                 _os.path.join(self._path, final),
             )
             published.append({"file": final, "n_rows": m.n_rows})
-        with open(_os.path.join(self._path, manifest_name), "w") as fh:
+        # the manifest itself is written temp-then-rename so it either
+        # exists complete or not at all — it is the atomic commit point
+        # the streaming replay check and overwrite cleanup key on
+        mtmp = _os.path.join(self._path, manifest_name + ".tmp")
+        with open(mtmp, "w") as fh:
             _json.dump({"files": published}, fh)
+        _os.rename(mtmp, _os.path.join(self._path, manifest_name))
         return published
+
+    def _drop_job_litter(self) -> None:
+        """Remove leftover `.tmp` files of THIS job (losing/zombie task
+        attempts whose messages never reached commit). Safe even if a
+        zombie is still writing: unlink leaves it writing an orphaned
+        inode that vanishes on close."""
+        import os as _os
+
+        for f in _os.listdir(self._path):
+            if f.endswith(".jsonl.tmp") and f"-{self._job}-" in f:
+                try:
+                    _os.remove(_os.path.join(self._path, f))
+                except FileNotFoundError:
+                    pass
 
     def _drop_tmps(self, messages) -> None:
         import os as _os
@@ -329,9 +355,11 @@ class _JsonlWriterBase:
 class JsonlWriter(_JsonlWriterBase, DataSourceWriter):
     """Batch sink: `df.write.format("graft_jsonl").option("path", d)`.
 
-    mode("overwrite") clears previously COMMITTED part files at
-    commit time (never mid-write — a failed overwrite leaves the old
-    data intact); mode("append") publishes alongside them."""
+    mode("overwrite") PUBLISHES the new part files first and only then
+    deletes the old ones (distinguishable by job uuid) — a crash at
+    any point leaves either the old data intact (before publish) or
+    old+new side by side (mid-delete, re-runnable), never an empty
+    directory; mode("append") publishes alongside them."""
 
     def __init__(self, options, schema, overwrite: bool) -> None:
         super().__init__(options, schema)
@@ -343,25 +371,34 @@ class JsonlWriter(_JsonlWriterBase, DataSourceWriter):
     def commit(self, messages) -> None:
         import os as _os
 
+        self._publish(messages, f"_job-{self._job}.json")
         if self._overwrite:
+            # new-first, delete-after (ADVICE r8): everything of THIS
+            # job carries its uuid; anything else is prior data
             for f in os.listdir(self._path):
+                if self._job in f or f.endswith(".tmp"):
+                    continue
                 if f.endswith((".jsonl", ".json")) or f.startswith("_job-"):
                     _os.remove(_os.path.join(self._path, f))
-        self._publish(messages, f"_job-{self._job}.json")
+        self._drop_job_litter()
 
     def abort(self, messages) -> None:
         self._drop_tmps(messages)
+        self._drop_job_litter()
 
 
 class JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
     """Streaming sink: `df.writeStream.format("graft_jsonl")`.
 
-    Exactly-once publish per micro-batch: commit() first checks for
-    the batch's manifest (`_commit-<epoch>.json`) — a REPLAYED batch
-    (failure after commit, before the checkpoint recorded it) finds
-    the manifest, drops its temps, and publishes nothing, so replays
-    cannot duplicate rows. Otherwise temps rename to
-    `part-<epoch>-*.jsonl` and the manifest records them."""
+    Exactly-once publish per micro-batch, with the manifest
+    (`_commit-<epoch>.json`, written temp-then-rename) as the atomic
+    commit point end-to-end: a REPLAYED batch (failure after commit,
+    before the checkpoint recorded it) finds the manifest, drops its
+    temps, and publishes nothing, so replays cannot duplicate rows;
+    a batch replayed after a crash MID-publish (some part files
+    renamed, no manifest) first deletes those orphaned
+    `part-<epoch>-*` files — only manifest-listed data survives, so
+    the partial first attempt cannot double rows (ADVICE r8)."""
 
     def write(self, iterator):
         return self._write_tmp(iterator, "part")
@@ -373,6 +410,13 @@ class JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
         if _os.path.exists(_os.path.join(self._path, manifest)):
             self._drop_tmps(messages)  # replay of a committed batch
             return
+        # no manifest => this epoch never committed; any part files
+        # already carrying its stamp are orphans of a crashed publish
+        # and would duplicate the rows this attempt is about to write
+        prefix = f"part-{batchId}-"
+        for f in _os.listdir(self._path):
+            if f.startswith(prefix) and f.endswith((".jsonl", ".json")):
+                _os.remove(_os.path.join(self._path, f))
         # stamp the epoch into the published names for debuggability
         for m in messages:
             if m is None:
@@ -384,6 +428,7 @@ class JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
             )
             m.tmp_name = stamped
         self._publish(messages, manifest)
+        self._drop_job_litter()
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_tmps(messages)

@@ -5,16 +5,16 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-9 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r08 into this ledger (every green row moves
-     from NEW_IN_R8 into a new ROUND8_GREEN set; any FAIL stays
+ROUND-10 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r09 into this ledger (every green row moves
+     from NEW_IN_R9 into a new ROUND9_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 9: any r8 FAILs first, then
-     NEW_IN_R8_POST_WINDOW (first driver check), then whatever
-     round-9 work changes outputs, then brand-new queries.
-  3. Round-9's own new queries fill whatever window slots remain
+  2. Rebuild registry._HOIST for round 10: any r9 FAILs first, then
+     NEW_IN_R9_POST_WINDOW (first driver check), then whatever
+     round-10 work changes outputs, then brand-new queries.
+  3. Round-10's own new queries fill whatever window slots remain
      after the hoist; overflow goes straight into a
-     NEW_IN_R9_POST_WINDOW set rather than competing for the window,
+     NEW_IN_R10_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -247,10 +247,38 @@ ROUND7_GREEN = {
     "profile_key_gaps",
 }
 
-# Queries with NO driver evidence yet, hoisted for round 8: the full
-# 16-entry round-7 post-window backlog (first driver check) plus any
-# round-8 additions that fit the remaining 34 window slots. All get
-# their first driver row from the round-8 run.
+# Driver rows from round 8 (CORRECTNESS_r08.json: 48/50 hash-green —
+# the 15 green round-7 post-window hoists plus 17 round-8 window
+# additions plus 11 rotation re-checks; the 2 non-green were
+# events_sequence_dataset, whose raw array column crashed the driver
+# canonicalizer (fixed in r9 — array serialized in both arms), and
+# sim_ivf_recall_curve, rows-only that round (made hash-checkable in
+# r9 via the invariant audit-row reduction)).
+ROUND8_GREEN = {
+    "agg_bayes_ab", "agg_decimal_ledger", "agg_paired_ttest",
+    "agg_power_mde", "agg_powerlaw_alpha", "agg_ratio_delta",
+    "agg_robust_means", "agg_runs_test", "agg_tost_equivalence",
+    "curation_cross_contamination", "curation_kanonymity",
+    "curation_redact", "dedup_bloom_incremental",
+    "events_active_rolling", "events_attribution", "events_bot_score",
+    "events_markov_stationary", "events_path_topk",
+    "events_sessionize_gap", "events_slo_burn", "events_streaks",
+    "events_time_to_convert", "events_user_overlap", "fn_collation",
+    "graph_clustering_local", "graph_degree_histogram",
+    "multimodal_audio_fingerprint", "multimodal_vad_segments",
+    "profile_ndv_growth", "profile_order_inversions",
+    "profile_string_lengths", "q11_important_parts", "q12_ship_speed",
+    "q16_supplier_variety", "q1_pricing_summary",
+    "q20_promotion_suppliers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q4_order_priority", "q6_revenue_forecast", "q9_product_profit",
+    "sim_matryoshka_curve", "sql_recursive_hierarchy",
+    "text_dup_ngram_zipf", "text_idf_drift", "text_shared_runs",
+    "text_winnowing_zipf",
+}
+
+# Kept for provenance: the round-8 hoist set (all driver-checked that
+# round; its green rows are folded into ROUND8_GREEN above).
 NEW_IN_R8 = {
     # -- round-7 post-window backlog (driver evidence owed) ----------
     "agg_paired_ttest",
@@ -292,14 +320,27 @@ NEW_IN_R8 = {
     # tests/test_round8_ops.py)
 }
 
-# Registered AFTER the round-8 window filled: no driver row yet BY
+# Queries with NO current driver evidence, hoisted for round 9:
+# the round-8 canonicalizer fail (fixed — serialized array), the two
+# r8-green queries whose OUTPUT changed in round 9 (sim_ivf_recall_curve
+# audit-row reduction; events_markov_stationary zero-row/state-universe
+# fix per ADVICE), plus every round-9 addition that fits the window.
+NEW_IN_R9 = {
+    "events_sequence_dataset",  # r8 driver row errored; fix = r9
+    "sim_ivf_recall_curve",  # r9: rows-only -> invariant audit row
+    "events_markov_stationary",  # r9: ADVICE fix changes plan/output
+    # -- new in round 9 (window slots; entries appended as each lands,
+    # keeping this set == registry._HOIST at every commit) ------------
+}
+
+# Registered AFTER the round-9 window filled: no driver row yet BY
 # DESIGN — covered by local property/parity tests and first in line
-# for the round-9 hoist.
-NEW_IN_R8_POST_WINDOW: set[str] = set()
+# for the round-10 hoist.
+NEW_IN_R9_POST_WINDOW: set[str] = set()
 
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
-    | ROUND5_GREEN | ROUND6_GREEN | ROUND7_GREEN
+    | ROUND5_GREEN | ROUND6_GREEN | ROUND7_GREEN | ROUND8_GREEN
 )
 
 
@@ -309,7 +350,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R8_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R9_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -318,9 +359,9 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert NEW_IN_R8 == set(_HOIST)
+    assert NEW_IN_R9 == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = NEW_IN_R8 - set(names)
+    missing = NEW_IN_R9 - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
 
 
@@ -328,5 +369,5 @@ def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - NEW_IN_R8 - NEW_IN_R8_POST_WINDOW
+    unaccounted = names - GREEN - NEW_IN_R9 - NEW_IN_R9_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"

@@ -364,10 +364,12 @@ def test_runs_test_z_matches_python(spark, sf_oracle):
 
 
 def test_ivf_recall_curve_monotone_with_exact_endpoint(spark, sf_oracle):
-    """The curve must be nondecreasing in nprobe, end at EXACTLY 1.0
-    when every posting list is probed, and meet the operating-point
+    """The float curve must be nondecreasing in nprobe, end at EXACTLY
+    1.0 when every posting list is probed, and meet the operating-point
     floor sim_ann_quality pins at nprobe=8."""
-    rows = SPECS["sim_ivf_recall_curve"].builder(spark, sf_oracle).collect()
+    from target_iceberg_spark.plans.similarity_ivf_curve import _ivf_curve
+
+    rows = _ivf_curve(spark, sf_oracle).collect()
     assert [r["nprobe"] for r in rows] == [1, 2, 4, 8, 16]
     rec = [r["recall_at_10"] for r in rows]
     assert rec == sorted(rec)
@@ -376,6 +378,22 @@ def test_ivf_recall_curve_monotone_with_exact_endpoint(spark, sf_oracle):
     # 8-probe PANEL average on uniform-random vectors sits a little
     # lower (measured 0.775 at sf0.01) — pin the panel's own floor
     assert rec[3] >= 0.7  # the sim_ann_ivf operating point, averaged
+    for r in rows:  # hits is the integer numerator of the recall
+        assert r["recall_at_10"] == round(r["hits"] / 80.0, 4)
+
+
+def test_ivf_recall_curve_audit_row(spark, sf_oracle):
+    """The registered query reduces the curve to its invariant audit
+    row (r9: rows-only → hash-checkable); every boolean must hold and
+    the endpoint hit count is the exact 8×10."""
+    row = SPECS["sim_ivf_recall_curve"].builder(spark, sf_oracle).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_depths"] == 5
+    assert r["monotone_nondecreasing"] is True
+    assert r["endpoint_exact"] is True
+    assert r["endpoint_hits"] == 80
+    assert r["oppoint_meets_floor"] is True
 
 
 def test_collation_collapses_casings(spark, sf_oracle):
