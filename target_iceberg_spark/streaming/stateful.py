@@ -1193,3 +1193,134 @@ def streaming_kmv_ndv(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_slo_burn(
+    events: DataFrame,
+    key_col: str = "svc",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_type: str = "error",
+    slo_target: float | None = None,
+    long_h: int | None = None,
+    short_h: int | None = None,
+    burn_threshold: float | None = None,
+) -> DataFrame:
+    """Multi-window SLO burn-rate pager — the stateful twin of
+    plans/analytics_slo.py::events_slo_burn (the Google SRE workbook
+    ch. 5 recipe): as events flow, maintain per-key hourly
+    (total, error) buckets and emit, per micro-batch, the long- and
+    short-window burn rates with an epoch-tagged `fired` page flag
+    for every hour the batch could have changed.
+
+    State is O(window hours), not O(events) — the round-8 verdict's
+    design requirement: per key, a bucket map of the trailing
+    2×long_h hours ((hour, n, errs) triples; 48 entries at the
+    default 24 h window) plus the epoch counter. Each micro-batch
+    pre-reduces its rows to hourly increments (one pandas groupby),
+    merges them into the bucket map, and evicts buckets older than
+    2×long_h behind the newest hour — the page math then runs on the
+    bounded map only.
+
+    Emission contract: every hour from the batch's earliest touched
+    hour to the newest state hour is (re-)emitted with the current
+    epoch; because both windows are TRAILING, an hour's burn rates
+    are final once data for later hours has arrived, so the
+    max-epoch emission per hour is the hour's final value and — for
+    arrival disorder bounded by the eviction horizon (2×long_h; the
+    contract a watermark would enforce) — matches the batch query
+    row-for-row, pinned in tests/test_streaming.py. `ts` is epoch
+    SECONDS (LONG): hour bucketing is ts//3600, the UTC-naive
+    equivalent of the batch plan's date_trunc('hour')."""
+    import pandas as pd  # executor-side; local import for pickling
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from target_iceberg_spark.plans import analytics_slo as _slo
+
+    target = _slo.SLO_TARGET if slo_target is None else slo_target
+    lh = _slo.SLO_LONG_H if long_h is None else long_h
+    sh = _slo.SLO_SHORT_H if short_h is None else short_h
+    thr = _slo.SLO_BURN if burn_threshold is None else burn_threshold
+    budget = 1.0 - target
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, h LONG, burn_long DOUBLE, "
+        "burn_short DOUBLE, fired BOOLEAN, epoch LONG"
+    )
+    state_schema = "hours ARRAY<LONG>, ns ARRAY<LONG>, errs ARRAY<LONG>, epoch LONG"
+
+    def burn_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        hours, ns, errs, epoch = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        buckets = {h: [n, e] for h, n, e in zip(hours, ns, errs)}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        # pre-reduce the batch to hourly increments: everything after
+        # this line is O(state hours), never O(events)
+        hb = batch.assign(_h=batch[ts_col] // 3600)
+        inc = hb.groupby("_h").agg(
+            _n=(ts_col, "size"),
+            _e=(type_col, lambda s: int((s == error_type).sum())),
+        )
+        touched = []
+        for h, row in inc.iterrows():
+            b = buckets.setdefault(int(h), [0, 0])
+            b[0] += int(row["_n"])
+            b[1] += int(row["_e"])
+            touched.append(int(h))
+        max_h = max(buckets)
+        # evict beyond the disorder horizon (2x the long window)
+        for h in [h for h in buckets if h <= max_h - 2 * lh]:
+            del buckets[h]
+        epoch = int(epoch) + 1
+        lo = max(min(touched), max_h - 2 * lh + 1)
+        out_h, out_bl, out_bs, out_fired = [], [], [], []
+        for h in sorted(h for h in buckets if h >= lo):
+            wl = [b for hh, b in buckets.items() if h - lh < hh <= h]
+            ws = [b for hh, b in buckets.items() if h - sh < hh <= h]
+            bl = sum(b[1] for b in wl) / float(sum(b[0] for b in wl)) / budget
+            bs = sum(b[1] for b in ws) / float(sum(b[0] for b in ws)) / budget
+            out_h.append(h * 3600)  # hour-start epoch seconds
+            out_bl.append(bl)
+            out_bs.append(bs)
+            out_fired.append(bl > thr and bs > thr)
+        ks = sorted(buckets)
+        state.update(
+            (
+                ks,
+                [buckets[h][0] for h in ks],
+                [buckets[h][1] for h in ks],
+                epoch,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_h),
+                "h": out_h,
+                "burn_long": out_bl,
+                "burn_short": out_bs,
+                "fired": out_fired,
+                "epoch": [epoch] * len(out_h),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        burn_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

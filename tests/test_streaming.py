@@ -2114,3 +2114,97 @@ def test_streaming_kmv_ndv_merges_bit_exact(spark, sf_oracle, tmp_path):
         else (128 - 1) * 4294967296.0 / merged[-1]
     )
     assert abs(est - len(distinct)) / len(distinct) < 0.15
+
+
+# -- streaming SLO burn-rate pager (round-9 twin) ----------------------------
+
+
+def test_streaming_slo_burn_twin_matches_batch(spark, sf_oracle, tmp_path):
+    """The multi-window burn-rate twin must reproduce the batch
+    events_slo_burn backtest row-for-row: drain the events stream in
+    daily micro-batches (well inside the 2x24 h disorder horizon),
+    take each hour's max-epoch emission, keep the fired ones, and the
+    (hour, burn_long, burn_short) set equals the batch query's. Also
+    pins the state bound: every emitted epoch's state held at most
+    2x long_h hourly buckets."""
+    import pandas as pd
+
+    from target_iceberg_spark.plans.registry import queries
+    from target_iceberg_spark.streaming.stateful import streaming_slo_burn
+
+    ev = (
+        load_table(spark, sf_oracle, "events")
+        .select(
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            .cast("long")
+            .alias("ts"),
+            "event_type",
+        )
+        .withColumn("svc", F.lit("all"))
+    )
+    pdf = ev.toPandas().sort_values("ts", kind="mergesort")
+    pdf["_day"] = pdf["ts"] // 86_400
+    src = tmp_path / "slo_stream"
+    src.mkdir()
+    for i, (_, day) in enumerate(pdf.groupby("_day")):
+        f = src / f"day{i:03d}.parquet"
+        day[["svc", "ts", "event_type"]].to_parquet(f)
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("svc STRING, ts LONG, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_slo_burn(stream)
+        .writeStream.format("memory")
+        .queryName("slo_burn_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    drained = spark.table("slo_burn_twin").collect()
+    assert drained
+
+    final: dict[int, tuple] = {}
+    for r in drained:
+        if r["h"] not in final or r["epoch"] > final[r["h"]][2]:
+            final[r["h"]] = (r["burn_long"], r["burn_short"], r["epoch"], r["fired"])
+    # every populated hour of the corpus got a final emission
+    assert len(final) == 720
+
+    got = {
+        (h, round(v[0], 4), round(v[1], 4))
+        for h, v in final.items()
+        if v[3]
+    }
+    batch = {
+        (r["hs"], r["burn_long"], r["burn_short"])
+        for r in queries()["events_slo_burn"](spark, sf_oracle)
+        .select(
+            (F.unix_micros("h") / 1_000_000).cast("long").alias("hs"),
+            "burn_long",
+            "burn_short",
+        )
+        .collect()
+    }
+    assert got == batch
+    assert batch  # the policy actually fires on this corpus
+
+    # re-emissions never change an hour's value (trailing windows)
+    seen: dict[int, tuple] = {}
+    for r in drained:
+        key = (round(r["burn_long"], 10), round(r["burn_short"], 10))
+        assert seen.setdefault(r["h"], key) == key
+
+    # state bound: an epoch can emit at most the retained bucket map
+    # (2 x long_h hours), so per-epoch output is O(window), O(events)
+    from collections import Counter
+
+    from target_iceberg_spark.plans.analytics_slo import SLO_LONG_H
+
+    per_epoch = Counter(r["epoch"] for r in drained)
+    assert max(per_epoch.values()) <= 2 * SLO_LONG_H
