@@ -242,6 +242,13 @@ def _load_all() -> None:
         stats_equiv,
         profiling_order,
     )
+    # Round-9 additions (hoisted into the window's remaining slots).
+    from target_iceberg_spark.plans import (  # noqa: F401
+        stats_sprt,
+        stats_fisher,
+        stats_theilsen,
+        stats_winsor,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -260,6 +267,10 @@ _HOIST: tuple[str, ...] = (
     "sim_ivf_recall_curve",
     "events_markov_stationary",
     # -- new in round 9 (appended as each lands) ----------------------
+    "agg_sprt_ab",
+    "agg_fisher_exact",
+    "agg_theil_sen",
+    "agg_winsorized_stats",
 )
 
 

@@ -177,6 +177,14 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_ivf_recall_curve",  # broadcast probe panel +
             # |depths|-row nprobe grid, same class as
             # sim_cosine_topk_batch / sim_matryoshka_curve
+            "agg_sprt_ab",  # cross of the one-row MAX(user_id) cohort
+            # denominator onto the user frame, same class as
+            # events_active_rolling
+            "agg_fisher_exact",  # crosses of the one-row 2x2 cells /
+            # observed-pmf frames onto the <= PANEL_K support grid
+            "agg_theil_sen",  # day-pair theta self-join + one-row
+            # estimate crosses, all on the calendar-bounded (~30-row)
+            # daily frame — same class as events_slo_burn
         ), f"unexpected BNLJ in {name}"
 
 
@@ -419,6 +427,12 @@ UNPARTITIONED_WINDOW_OK = {
     "profile_ndv_growth",  # Heaps-curve cumulative over the
     # NDV_BUCKETS (10) decile rows — aggregate-bounded by
     # construction, same class as agg_mom_growth
+    "agg_sprt_ab",  # LLR cumulative over the SPRT_CHECKPOINTS (20)
+    # interim-look rows — a plan literal, same class as
+    # profile_ndv_growth
+    "agg_fisher_exact",  # row_number + ln-factorial cumsum over the
+    # <= PANEL_K (512) md5-ordered panel rows — a design constant,
+    # same class as sample_fixed_k
 }
 
 

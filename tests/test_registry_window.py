@@ -331,6 +331,10 @@ NEW_IN_R9 = {
     "events_markov_stationary",  # r9: ADVICE fix changes plan/output
     # -- new in round 9 (window slots; entries appended as each lands,
     # keeping this set == registry._HOIST at every commit) ------------
+    "agg_sprt_ab",
+    "agg_fisher_exact",
+    "agg_theil_sen",
+    "agg_winsorized_stats",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

@@ -136,3 +136,168 @@ def test_markov_survives_terminal_and_sole_states(spark, tmp_path):
     finally:
         con.close()
     compare_frames("events_markov_stationary[edge]", spark_pdf, duck_pdf)
+
+
+# ---------------------------------------------------------------------------
+# round-9 stats tier
+# ---------------------------------------------------------------------------
+
+
+def _per_user_conv(spark, sf_oracle):
+    from target_iceberg_spark.plans.stats_sprt import CONV_MIN_PURCHASES
+    from target_iceberg_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np")
+        )
+        .collect()
+    )
+    return {r["user_id"]: int(r["np"] >= CONV_MIN_PURCHASES) for r in rows}
+
+
+def test_sprt_matches_sequential_recompute(spark, sf_oracle):
+    """The group-sequential LLR must equal a plain-Python fold over
+    id-ordered treatment users, and this corpus must actually reach
+    accept_h1 (observed rate ~0.57 > P1=0.5)."""
+    import math
+
+    from target_iceberg_spark.plans.stats_sprt import (
+        SPRT_ALPHA,
+        SPRT_BETA,
+        SPRT_CHECKPOINTS,
+        SPRT_P0,
+        SPRT_P1,
+    )
+
+    conv = _per_user_conv(spark, sf_oracle)
+    treat = sorted(u for u in conv if u % 2 == 1)
+    mx = max(treat)
+    l1 = math.log(SPRT_P1 / SPRT_P0)
+    l0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    cum: dict[int, list] = {}
+    for u in treat:
+        cp = int(u * SPRT_CHECKPOINTS / (mx + 1))
+        cum.setdefault(cp, [0, 0])
+        cum[cp][0] += 1
+        cum[cp][1] += conv[u]
+    rows = SPECS["agg_sprt_ab"].builder(spark, sf_oracle).collect()
+    assert [r["checkpoint"] for r in rows] == sorted(cum)
+    n_c = llr = convs = 0
+    hi = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lo = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    for r in rows:
+        n, c = cum[r["checkpoint"]]
+        n_c += n
+        convs += c
+        llr += c * l1 + (n - c) * l0
+        assert r["n_cum"] == n_c and r["conv_cum"] == convs
+        assert abs(r["llr"] - llr) < 1e-5
+        want = (
+            "accept_h1" if llr >= hi else "accept_h0" if llr <= lo else "continue"
+        )
+        assert r["state"] == want
+    assert rows[-1]["state"] == "accept_h1"  # the monitor decides
+
+
+def test_fisher_exact_matches_lgamma_recompute(spark, sf_oracle):
+    """The in-plan ln-factorial construction must reproduce the
+    classic lgamma-based Fisher p within rounding, and the 2x2 cells
+    must match a direct recount."""
+    import math
+
+    conv = _per_user_conv(spark, sf_oracle)
+    users = sorted(conv)  # panel = all 150 users here (N < PANEL_K)
+    n = len(users)
+    r1 = sum(1 for u in users if u % 2 == 1)
+    c1 = sum(conv[u] for u in users)
+    a = sum(conv[u] for u in users if u % 2 == 1)
+
+    def lf(x):
+        return math.lgamma(x + 1)
+
+    def lp(k):
+        return (
+            lf(r1) + lf(n - r1) + lf(c1) + lf(n - c1)
+            - lf(n) - lf(k) - lf(r1 - k) - lf(c1 - k)
+            - lf(n - r1 - c1 + k)
+        )
+
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    lpo = lp(a)
+    p = sum(math.exp(lp(k)) for k in range(lo, hi + 1) if lp(k) <= lpo + 1e-7)
+
+    row = SPECS["agg_fisher_exact"].builder(spark, sf_oracle).collect()[0]
+    assert (row["n_panel"], row["r1"], row["c1"], row["a"]) == (n, r1, c1, a)
+    assert abs(row["p_two_sided"] - round(p, 6)) <= 2e-6
+    assert 0 < row["p_two_sided"] <= 1
+    assert abs(row["p_observed"] - round(math.exp(lpo), 6)) <= 2e-6
+    # the arms genuinely differ on this corpus: the exact test agrees
+    assert row["p_two_sided"] < 0.05
+
+
+def test_theil_sen_matches_numpy_recompute(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.sources.tables import load_table
+
+    daily = (
+        load_table(spark, sf_oracle, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("d")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .collect()
+    )
+    days = sorted((r["d"].toordinal(), r["y"]) for r in daily)
+    x = np.array([d for d, _ in days], dtype=float)
+    y = np.array([v for _, v in days])
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+    ]
+    slope = float(np.median(slopes))
+    x0 = np.datetime64("2024-01-01").astype("datetime64[D]").astype(int)
+    xd = x - (np.datetime64("2024-01-01", "D").tolist().toordinal())
+    intercept = float(np.median(y - slope * xd))
+
+    row = SPECS["agg_theil_sen"].builder(spark, sf_oracle).collect()[0]
+    assert row["n_days"] == len(days)
+    assert row["n_pairs"] == len(slopes)
+    assert abs(row["slope_per_day"] - slope) < 1e-5
+    assert abs(row["intercept"] - intercept) < 1e-4
+
+
+def test_winsorized_stats_matches_numpy_recompute(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_oracle, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    rows = SPECS["agg_winsorized_stats"].builder(spark, sf_oracle).collect()
+    assert len(rows) == len(by_type)
+    for r in rows:
+        v = np.array(by_type[r["event_type"]])
+        lo, hi = np.quantile(v, [0.05, 0.95])  # linear interpolation
+        w = np.clip(v, lo, hi)
+        assert r["n"] == len(v)
+        assert abs(r["mean_w"] - w.mean()) < 1e-3
+        assert abs(r["sd_w"] - w.std(ddof=1)) < 1e-3
+        assert r["n_clamped_lo"] == int((v < lo).sum())
+        assert r["n_clamped_hi"] == int((v > hi).sum())
+        # the cap genuinely bites on both tails
+        assert r["n_clamped_lo"] > 0 and r["n_clamped_hi"] > 0
