@@ -248,6 +248,9 @@ def _load_all() -> None:
         stats_fisher,
         stats_theilsen,
         stats_winsor,
+        text_templates,
+        similarity_mutual,
+        embeddings_isotropy,
     )
 
 
@@ -271,6 +274,9 @@ _HOIST: tuple[str, ...] = (
     "agg_fisher_exact",
     "agg_theil_sen",
     "agg_winsorized_stats",
+    "text_cross_source_templates",
+    "sim_reciprocal_knn",
+    "emb_isotropy",
 )
 
 

@@ -335,6 +335,9 @@ NEW_IN_R9 = {
     "agg_fisher_exact",
     "agg_theil_sen",
     "agg_winsorized_stats",
+    "text_cross_source_templates",
+    "sim_reciprocal_knn",
+    "emb_isotropy",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

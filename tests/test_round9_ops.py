@@ -301,3 +301,113 @@ def test_winsorized_stats_matches_numpy_recompute(spark, sf_oracle):
         assert r["n_clamped_hi"] == int((v > hi).sum())
         # the cap genuinely bites on both tails
         assert r["n_clamped_lo"] > 0 and r["n_clamped_hi"] > 0
+
+
+def test_cross_source_templates_matches_python_recompute(spark, sf_smoke):
+    """Every emitted template genuinely occurs in >= MIN_SOURCES
+    sources and the (n_sources, n_docs, n_occurrences) triple matches
+    a from-scratch Python recount."""
+    from collections import defaultdict
+
+    from target_iceberg_spark.plans.text_templates import (
+        TEMPLATE_MIN_SOURCES,
+        TEMPLATE_N,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").collect()
+    srcs: dict[str, set] = defaultdict(set)
+    dids: dict[str, set] = defaultdict(set)
+    occ: dict[str, int] = defaultdict(int)
+    for r in docs:
+        t = r["text"].split(" ")
+        for i in range(len(t) - TEMPLATE_N + 1):
+            g = " ".join(t[i : i + TEMPLATE_N])
+            srcs[g].add(r["source"])
+            dids[g].add(r["doc_id"])
+            occ[g] += 1
+    rows = SPECS["text_cross_source_templates"].builder(spark, sf_smoke).collect()
+    assert rows, "fixture must contain cross-source templates"
+    for r in rows:
+        g = r["gram"]
+        assert len(srcs[g]) >= TEMPLATE_MIN_SOURCES
+        assert r["n_sources"] == len(srcs[g])
+        assert r["n_docs"] == len(dids[g])
+        assert r["n_occurrences"] == occ[g]
+
+
+def test_reciprocal_knn_ranks_match_numpy_recompute(spark, sf_smoke):
+    """Each emitted pair is genuinely mutual: recompute the banded
+    sign-LSH candidate sets and exact cosine ranks in numpy and check
+    both directions' ranks and the cosine value."""
+    import numpy as np
+
+    from target_iceberg_spark.plans.similarity_mutual import (
+        RKNN_BANDS,
+        RKNN_BITS,
+        RKNN_K,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    Xu = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+    buckets = []
+    for t in range(RKNN_BANDS):
+        bits = (X[:, t * RKNN_BITS : (t + 1) * RKNN_BITS] > 0).astype(int)
+        buckets.append(bits @ (1 << np.arange(RKNN_BITS - 1, -1, -1)))
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def cand_of(i: int) -> np.ndarray:
+        m = np.zeros(len(ids), dtype=bool)
+        for b in buckets:
+            m |= b == b[i]
+        m[i] = False
+        return np.where(m)[0]
+
+    def rank_of(src: int, dst: int) -> int:
+        cs = cand_of(src)
+        cos = np.round(Xu[cs] @ Xu[src], 6)
+        order = sorted(zip(-cos, ids[cs]))
+        return [v for _, v in order].index(ids[dst]) + 1
+
+    rows = SPECS["sim_reciprocal_knn"].builder(spark, sf_smoke).collect()
+    assert rows, "fixture must contain mutual pairs"
+    for r in rows:
+        a, b = idx[r["va"]], idx[r["vb"]]
+        assert r["va"] < r["vb"]
+        got = float(np.round(Xu[a] @ Xu[b], 6))
+        assert abs(r["cos_sim"] - got) < 2e-6
+        assert r["rank_ab"] == rank_of(a, b) and r["rank_ab"] <= RKNN_K
+        assert r["rank_ba"] == rank_of(b, a) and r["rank_ba"] <= RKNN_K
+
+
+def test_isotropy_closed_form_equals_quadratic_estimator(spark, sf_smoke):
+    """The closed form (|S|^2 - N)/(N(N-1)) must equal the O(N^2)
+    mean pairwise cosine exactly (up to float noise far below the
+    rounding quantum), per label."""
+    import numpy as np
+
+    from target_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    rows = SPECS["emb_isotropy"].builder(spark, sf_smoke).collect()
+    assert len(rows) == len(by_label)
+    for r in rows:
+        X = np.array(by_label[r["label"]], dtype=np.float64)
+        n = len(X)
+        Xu = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+        G = Xu @ Xu.T
+        quad = (G.sum() - np.trace(G)) / (n * (n - 1))
+        assert r["n_vectors"] == n
+        assert abs(r["mean_pairwise_cos"] - quad) < 1e-6
+        assert abs(
+            r["norm_of_mean_unit"] - np.linalg.norm(Xu.sum(axis=0)) / n
+        ) < 1e-6
+        assert abs(
+            r["mean_norm"] - np.sqrt((X * X).sum(axis=1)).mean()
+        ) < 1e-6
