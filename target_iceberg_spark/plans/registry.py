@@ -251,6 +251,10 @@ def _load_all() -> None:
         text_templates,
         similarity_mutual,
         embeddings_isotropy,
+        stats_mcnemar,
+        stats_multiplicity,
+        stats_shrinkage,
+        stats_did,
     )
 
 
@@ -277,6 +281,10 @@ _HOIST: tuple[str, ...] = (
     "text_cross_source_templates",
     "sim_reciprocal_knn",
     "emb_isotropy",
+    "agg_mcnemar",
+    "agg_holm_bonferroni",
+    "agg_eb_shrinkage",
+    "agg_diff_in_diff",
 )
 
 

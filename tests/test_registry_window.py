@@ -338,6 +338,10 @@ NEW_IN_R9 = {
     "text_cross_source_templates",
     "sim_reciprocal_knn",
     "emb_isotropy",
+    "agg_mcnemar",
+    "agg_holm_bonferroni",
+    "agg_eb_shrinkage",
+    "agg_diff_in_diff",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

@@ -411,3 +411,146 @@ def test_isotropy_closed_form_equals_quadratic_estimator(spark, sf_smoke):
         assert abs(
             r["mean_norm"] - np.sqrt((X * X).sum(axis=1)).mean()
         ) < 1e-6
+
+
+def _events_pdf(spark, sf_dir):
+    from target_iceberg_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts"
+    ).collect()
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [r["user_id"] for r in rows],
+            "event_type": [r["event_type"] for r in rows],
+            "value": [r["value"] for r in rows],
+            "ts": [r["ts"] for r in rows],
+        }
+    )
+
+
+def test_mcnemar_matches_python_recompute(spark, sf_oracle):
+    from target_iceberg_spark.plans.stats_mcnemar import (
+        MCN_CLICKS,
+        MCN_PURCHASES,
+    )
+
+    pdf = _events_pdf(spark, sf_oracle)
+    per = pdf.pivot_table(
+        index="user_id", columns="event_type", values="value", aggfunc="count"
+    ).fillna(0)
+    a = per.get("click", 0) >= MCN_CLICKS
+    b = per.get("purchase", 0) >= MCN_PURCHASES
+    n_a_only = int((a & ~b).sum())
+    n_b_only = int((~a & b).sum())
+    row = SPECS["agg_mcnemar"].builder(spark, sf_oracle).collect()[0]
+    assert row["n_users"] == len(per)
+    assert row["n_a_only"] == n_a_only
+    assert row["n_b_only"] == n_b_only
+    assert row["n_both"] == int((a & b).sum())
+    chi2 = (abs(n_a_only - n_b_only) - 1) ** 2 / (n_a_only + n_b_only)
+    assert abs(row["chi2_cc"] - chi2) < 1e-6
+    assert row["reject_h0"] == (chi2 > 3.841458820694124)
+    # discordant cells genuinely populated on this corpus
+    assert n_a_only > 0 and n_b_only > 0
+
+
+def test_holm_ladder_and_stepdown_match_recompute(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.plans.stats_multiplicity import (
+        HOLM_ALPHA,
+        HOLM_M,
+        HOLM_Z_CRIT,
+    )
+
+    # the ladder itself: strictly decreasing, first step = Bonferroni
+    from statistics import NormalDist
+
+    assert list(HOLM_Z_CRIT) == sorted(HOLM_Z_CRIT, reverse=True)
+    assert HOLM_Z_CRIT[0] == round(
+        NormalDist().inv_cdf(1 - HOLM_ALPHA / (2 * HOLM_M)), 6
+    )
+    assert HOLM_Z_CRIT[-1] == round(
+        NormalDist().inv_cdf(1 - HOLM_ALPHA / 2), 6
+    )
+
+    pdf = _events_pdf(spark, sf_oracle)
+    zs = {}
+    for et, g in pdf.groupby("event_type"):
+        t = g[g.user_id % 2 == 1].value.to_numpy()
+        c = g[g.user_id % 2 == 0].value.to_numpy()
+        zs[et] = round(
+            float(
+                (t.mean() - c.mean())
+                / np.sqrt(t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c))
+            ),
+            6,
+        )
+    rows = SPECS["agg_holm_bonferroni"].builder(spark, sf_oracle).collect()
+    assert len(rows) == HOLM_M
+    order = sorted(zs, key=lambda k: (-abs(zs[k]), k))
+    alive = True
+    for r, et in zip(rows, order):
+        assert r["event_type"] == et
+        assert abs(r["z"] - zs[et]) < 2e-6
+        assert r["z_crit"] == HOLM_Z_CRIT[r["holm_step"] - 1]
+        alive = alive and abs(zs[et]) >= r["z_crit"]
+        assert r["holm_reject"] == alive
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_oracle):
+    import numpy as np
+
+    pdf = _events_pdf(spark, sf_oracle)
+    per = pdf.groupby("user_id").agg(
+        n=("event_type", "size"),
+        x=("event_type", lambda s: (s == "purchase").sum()),
+    )
+    rate = per.x / per.n
+    m, v = rate.mean(), rate.var(ddof=1)
+    k = m * (1 - m) / v - 1
+    alpha, beta = m * k, (1 - m) * k
+    rows = SPECS["agg_eb_shrinkage"].builder(spark, sf_oracle).collect()
+    assert len(rows) == 10
+    shrunk_all = (per.x + alpha) / (per.n + alpha + beta)
+    expect = sorted(
+        ((round(s, 6), uid) for uid, s in shrunk_all.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    for r, (s, uid) in zip(rows, expect):
+        assert r["user_id"] == uid
+        assert abs(r["shrunk_rate"] - s) < 2e-6
+        assert abs(r["prior_alpha"] - alpha) < 1e-4
+        assert abs(r["prior_beta"] - beta) < 1e-4
+        # shrinkage property: posterior mean sits between raw and prior
+        lo, hi = sorted((r["raw_rate"], float(m)))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+
+
+def test_did_matches_python_recompute(spark, sf_oracle):
+    import numpy as np
+    import pandas as pd
+
+    pdf = _events_pdf(spark, sf_oracle)
+    p = pdf[pdf.event_type == "purchase"].copy()
+    p["treat"] = p.user_id % 2 == 1
+    p["post"] = p.ts >= pd.Timestamp("2024-01-16")
+    cells = {
+        (t, po): g.value
+        for (t, po), g in p.groupby(["treat", "post"])
+    }
+    did = (
+        cells[(True, True)].mean() - cells[(True, False)].mean()
+    ) - (cells[(False, True)].mean() - cells[(False, False)].mean())
+    se = np.sqrt(
+        sum(c.var(ddof=1) / len(c) for c in cells.values())
+    )
+    row = SPECS["agg_diff_in_diff"].builder(spark, sf_oracle).collect()[0]
+    assert row["n_total"] == len(p)
+    assert abs(row["did_estimate"] - did) < 1e-5
+    assert abs(row["se"] - se) < 1e-5
+    assert abs(row["z"] - did / se) < 1e-4
+    assert row["significant"] == (abs(did / se) > 1.959963984540054)
