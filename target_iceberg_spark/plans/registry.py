@@ -255,6 +255,8 @@ def _load_all() -> None:
         stats_multiplicity,
         stats_shrinkage,
         stats_did,
+        analytics_xcorr,
+        analytics_health,
     )
 
 
@@ -285,6 +287,9 @@ _HOIST: tuple[str, ...] = (
     "agg_holm_bonferroni",
     "agg_eb_shrinkage",
     "agg_diff_in_diff",
+    "events_xcorr",
+    "events_srm",
+    "events_capture_recapture",
 )
 
 

@@ -342,6 +342,9 @@ NEW_IN_R9 = {
     "agg_holm_bonferroni",
     "agg_eb_shrinkage",
     "agg_diff_in_diff",
+    "events_xcorr",
+    "events_srm",
+    "events_capture_recapture",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

@@ -554,3 +554,73 @@ def test_did_matches_python_recompute(spark, sf_oracle):
     assert abs(row["se"] - se) < 1e-5
     assert abs(row["z"] - did / se) < 1e-4
     assert row["significant"] == (abs(did / se) > 1.959963984540054)
+
+
+def test_xcorr_matches_numpy_recompute(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.plans.analytics_xcorr import (
+        XCORR_MAX_LAG,
+        XCORR_X,
+        XCORR_Y,
+    )
+
+    pdf = _events_pdf(spark, sf_oracle)
+    pdf = pdf[pdf.event_type.isin([XCORR_X, XCORR_Y])].copy()
+    hr = pdf.ts.astype("int64") // (3_600 * 10**9)
+    lo, hi = hr.min(), hr.max()
+    grid = np.arange(lo, hi + 1)
+    x = np.zeros(len(grid))
+    y = np.zeros(len(grid))
+    for h, et in zip(hr, pdf.event_type):
+        if et == XCORR_X:
+            x[h - lo] += 1
+        else:
+            y[h - lo] += 1
+    rows = SPECS["events_xcorr"].builder(spark, sf_oracle).collect()
+    assert [r["lag_hours"] for r in rows] == list(
+        range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+    )
+    for r in rows:
+        lag = r["lag_hours"]
+        if lag >= 0:
+            a, b = x[: len(x) - lag], y[lag:]
+        else:
+            a, b = x[-lag:], y[: len(y) + lag]
+        assert r["n_hours"] == len(a)
+        assert abs(r["r"] - np.corrcoef(a, b)[0, 1]) < 1e-5
+
+
+def test_srm_daily_counts_and_flag(spark, sf_oracle):
+    pdf = _events_pdf(spark, sf_oracle)
+    pdf["day"] = pdf.ts.dt.date
+    rows = SPECS["events_srm"].builder(spark, sf_oracle).collect()
+    days = sorted(pdf.day.unique())
+    assert [r["day"] for r in rows] == days
+    for r in rows:
+        sub = pdf[pdf.day == r["day"]]
+        nt = sub[sub.user_id % 2 == 1].user_id.nunique()
+        nc = sub[sub.user_id % 2 == 0].user_id.nunique()
+        assert (r["n_treat"], r["n_control"]) == (nt, nc)
+        chi2 = (nt - nc) ** 2 / (nt + nc)
+        assert abs(r["chi2"] - chi2) < 1e-6
+        assert r["srm_flag"] == (chi2 > 3.841458820694124)
+
+
+def test_capture_recapture_recovers_true_population(spark, sf_oracle):
+    import pandas as pd
+
+    pdf = _events_pdf(spark, sf_oracle)
+    split = pd.Timestamp("2024-01-16")
+    a = set(pdf[pdf.ts < split].user_id)
+    b = set(pdf[pdf.ts >= split].user_id)
+    row = SPECS["events_capture_recapture"].builder(spark, sf_oracle).collect()[0]
+    assert row["n_a"] == len(a)
+    assert row["n_b"] == len(b)
+    assert row["m_overlap"] == len(a & b)
+    assert row["true_distinct"] == len(a | b)
+    est = (len(a) + 1) * (len(b) + 1) / (len(a & b) + 1) - 1
+    assert abs(row["chapman_estimate"] - round(est, 4)) < 1e-9
+    # every user is active in both halves of this corpus, so the
+    # estimator must land very close to the truth
+    assert row["rel_error"] < 0.05
