@@ -257,6 +257,9 @@ def _load_all() -> None:
         stats_did,
         analytics_xcorr,
         analytics_health,
+        graph_adamic,
+        profiling_fds,
+        profiling_selectivity,
     )
 
 
@@ -290,6 +293,9 @@ _HOIST: tuple[str, ...] = (
     "events_xcorr",
     "events_srm",
     "events_capture_recapture",
+    "graph_adamic_adar",
+    "profile_functional_deps",
+    "profile_selectivity_audit",
 )
 
 

@@ -345,6 +345,9 @@ NEW_IN_R9 = {
     "events_xcorr",
     "events_srm",
     "events_capture_recapture",
+    "graph_adamic_adar",
+    "profile_functional_deps",
+    "profile_selectivity_audit",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

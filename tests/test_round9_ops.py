@@ -624,3 +624,113 @@ def test_capture_recapture_recovers_true_population(spark, sf_oracle):
     # every user is active in both halves of this corpus, so the
     # estimator must land very close to the truth
     assert row["rel_error"] < 0.05
+
+
+def test_adamic_adar_matches_python_recompute(spark, sf_oracle):
+    import math
+    from collections import defaultdict
+
+    from target_iceberg_spark.plans.graph_adamic import (
+        AA_DEG_CAP,
+        AA_SUPPORT,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_oracle, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set] = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    pair_n: dict[tuple, int] = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = {p for p, n in pair_n.items() if n >= AA_SUPPORT}
+    nbrs: dict[int, set] = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    aa: dict[tuple, tuple] = {}
+    for z, nz in nbrs.items():
+        # a degree-1 center cannot form a wedge (one adjacency row),
+        # so ln(1)=0 is never evaluated in the plan either
+        if len(nz) > AA_DEG_CAP or len(nz) < 2:
+            continue
+        w = 1.0 / math.log(len(nz))
+        for a in nz:
+            for b in nz:
+                if a < b and (a, b) not in edges:
+                    cn, s = aa.get((a, b), (0, 0.0))
+                    aa[(a, b)] = (cn + 1, s + w)
+    rows = SPECS["graph_adamic_adar"].builder(spark, sf_oracle).collect()
+    assert rows
+    expect = sorted(
+        ((round(s, 6), -a, -b, cn, a, b) for (a, b), (cn, s) in aa.items()),
+        key=lambda t: (-t[0], t[4], t[5]),
+    )[: len(rows)]
+    for r, (s, _, _, cn, a, b) in zip(rows, expect):
+        assert (r["part_a"], r["part_b"]) == (a, b)
+        assert r["common_nbrs"] == cn
+        assert abs(r["adamic_adar"] - s) < 2e-6
+
+
+def test_functional_deps_verdicts(spark, sf_oracle):
+    rows = {
+        (r["relation"], r["determinant"], r["dependent"]): r
+        for r in SPECS["profile_functional_deps"].builder(
+            spark, sf_oracle
+        ).collect()
+    }
+    # key-driven FDs hold; the probed non-key pairs are violated
+    assert rows[("nation", "n_name", "n_regionkey")]["fd_holds"]
+    assert rows[("orders", "o_orderkey", "o_orderstatus")]["fd_holds"]
+    assert not rows[("customer", "c_nationkey", "c_mktsegment")]["fd_holds"]
+    v = rows[("orders", "o_custkey", "o_orderpriority")]
+    assert not v["fd_holds"]
+    assert 0 < v["n_violating_groups"] <= v["n_groups"]
+    assert v["max_rhs_per_group"] > 1
+
+
+def test_selectivity_estimates_track_actuals(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.plans.profiling_selectivity import (
+        SEL_BUCKETS,
+        SEL_THRESHOLDS,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    v = np.array(
+        [
+            r["o_totalprice"]
+            for r in load_table(spark, sf_oracle, "orders")
+            .select("o_totalprice")
+            .collect()
+        ]
+    )
+    lo, w = v.min(), (v.max() - v.min()) / SEL_BUCKETS
+    counts = np.bincount(
+        np.minimum(np.floor((v - lo) / w).astype(int), SEL_BUCKETS - 1),
+        minlength=SEL_BUCKETS,
+    )
+    rows = SPECS["profile_selectivity_audit"].builder(spark, sf_oracle).collect()
+    assert [r["threshold"] for r in rows] == list(SEL_THRESHOLDS)
+    for r in rows:
+        t = r["threshold"]
+        est = 0.0
+        for b in range(SEL_BUCKETS):
+            blo, bhi = lo + b * w, lo + (b + 1) * w
+            if bhi <= t:
+                est += counts[b]
+            elif blo < t:
+                est += counts[b] * (t - blo) / w
+        assert r["actual_rows"] == int((v < t).sum())
+        assert abs(r["est_rows"] - est) < 1e-3
+        # a uniform-ish column must estimate well (single-digit % error)
+        assert r["rel_error"] < 0.1
