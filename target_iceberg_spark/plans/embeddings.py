@@ -311,29 +311,41 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_VAR_RTOL = 1e-4  # eigenvalue vs distributed projection variance
+PCA_ORTHO_ATOL = 1e-9  # orthonormality of the eigenbasis
+
+
 @register(
     "emb_pca",
-    oracle=None,  # eigensolve is not SQL-expressible; rows-only +
-    # numpy-equivalence unit test (tests/test_pca.py)
-    tags=("embeddings", "pca"),
+    oracle="""
+SELECT 0 AS component, TRUE AS unit_norm, TRUE AS orthogonal_to_prev,
+       TRUE AS matches_proj_var, TRUE AS eig_nonincreasing
+UNION ALL
+SELECT 1, TRUE, TRUE, TRUE, TRUE
+ORDER BY component
+""",
+    tags=("embeddings", "pca", "audit"),
 )
 def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 principal components of the embedding corpus with a
-    distributed self-consistency audit — the dimensionality-reduction
-    fit that precedes ANN indexing / visualization (and the sibling of
-    the PQ codebook fit).
+    """Top-2 principal components of the embedding corpus, reduced to
+    a HASH-CHECKABLE invariant audit row per component (round 9;
+    previously rows-only): unit norm and mutual orthogonality of the
+    eigenbasis (driver-side d-bounded dot products, atol
+    {PCA_ORTHO_ATOL}), agreement of each driver eigenvalue with the
+    DISTRIBUTED var_samp of its projection scores (rtol
+    {PCA_VAR_RTOL} — a fit/projection skew flips this to false and
+    fails the driver hash), and non-increasing eigenvalue order. The
+    eigensolve itself has no SQL twin; the numeric equivalence to
+    numpy.linalg.eigh stays pinned in tests/test_pca.py.
 
     Scale shape (`operators/pca.py`): the covariance never
     materializes per row — ONE Arrow-batched pass emits d²-bounded
     (count, sum, X^T X) partials per batch, the driver combines them
     and eigendecomposes (a d×d problem, corpus-size-independent), and
     the projection back over the corpus is k broadcast codegen
-    zip_with folds. The audit column recomputes each component's
-    variance DISTRIBUTED (var_samp of the projection scores) — it must
-    reproduce the driver-side eigenvalue, so a fit/projection skew
-    shows up as a mismatch in this very output. Rows-only by design:
-    the eigensolve has no SQL twin; tests/test_pca.py pins equivalence
-    to numpy.linalg.eigh instead."""
+    zip_with folds."""
+    import numpy as np
+
     from target_iceberg_spark.operators.pca import fit_pca, project_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -347,11 +359,25 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = scores.agg(
         *[F.var_samp(f"score_{j}").alias(f"v_{j}") for j in range(len(eigs))]
     )
+    C = np.asarray(comps, dtype=np.float64)
     rows = [
-        (j, float(eigs[j]))
+        (
+            j,
+            float(eigs[j]),
+            bool(abs(float(C[j] @ C[j]) - 1.0) <= PCA_ORTHO_ATOL),
+            bool(
+                j == 0
+                or abs(float(C[j] @ C[j - 1])) <= PCA_ORTHO_ATOL
+            ),
+            bool(j == 0 or float(eigs[j]) <= float(eigs[j - 1])),
+        )
         for j in range(len(eigs))
     ]
-    eig_df = spark.createDataFrame(rows, "component int, eigenvalue double")
+    eig_df = spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, unit_norm boolean,"
+        " orthogonal_to_prev boolean, eig_nonincreasing boolean",
+    )
     # generic over k: component j reads audit column v_j (a hardcoded
     # v_0/v_1 pair would silently misreport if k ever changed)
     proj_var = F.lit(None).cast("double")
@@ -363,8 +389,13 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         eig_df.crossJoin(F.broadcast(audit))
         .select(
             "component",
-            F.round("eigenvalue", 6).alias("eigenvalue"),
-            F.round(proj_var, 6).alias("proj_var"),
+            "unit_norm",
+            "orthogonal_to_prev",
+            (
+                F.abs(proj_var - F.col("eigenvalue"))
+                <= F.lit(PCA_VAR_RTOL) * F.col("eigenvalue")
+            ).alias("matches_proj_var"),
+            "eig_nonincreasing",
         )
         .orderBy("component")
     )

@@ -296,6 +296,11 @@ _HOIST: tuple[str, ...] = (
     "graph_adamic_adar",
     "profile_functional_deps",
     "profile_selectivity_audit",
+    # -- round-9 audit-row reductions (rows-only -> oracle-hashable) --
+    "agg_approx_distinct",
+    "agg_hll_rollup",
+    "emb_pca",
+    "emb_mmr",
 )
 
 

@@ -187,21 +187,60 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None, tags=("aggregate", "approx"))
+APPROX_RTOL = 0.15  # 3x the rsd=0.05 contract — the hash-pinned bound
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT value) AS BIGINT) AS exact_values,
+       TRUE AS users_within_rtol,
+       TRUE AS values_within_rtol
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("aggregate", "approx", "audit"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate per event type (rows-only check:
-    Spark's HLL sketch differs from DuckDB's; a unit test bounds the
-    estimate within 5% of exact). rsd=0.05 (Spark's default, ~512
-    registers): tighter rsd inflates the register file quadratically —
-    rsd=0.01 was the 2nd-slowest bench entry (2.2s warm vs 0.35s) for
-    precision the 5% contract doesn't need; the bound test pins the
-    actual error on the deterministic testdata."""
+    """HyperLogLog++ distinct estimates per event type, reduced to a
+    HASH-CHECKABLE audit row (round 9; previously rows-only): the
+    exact distinct counts ride along and the HLL++ estimates fold to
+    within-{APPROX_RTOL} booleans the oracle asserts as TRUE — the
+    same audit-row reduction sim_ann_quality applies to the seeded
+    ANN arms (Spark's HLL register values have no SQL twin, but the
+    ERROR CONTRACT does). rsd=0.05 (Spark's default, ~512 registers):
+    tighter rsd inflates the register file quadratically — rsd=0.01
+    was the 2nd-slowest bench entry (2.2s warm vs 0.35s) for precision
+    the contract doesn't need; tests/test_approx.py still pins the
+    tighter observed 5% error on the deterministic testdata.
+
+    Scale shape: the exact branch is the audit's luxury at test SF
+    (it dies first at 100 TB); the sketch branch is the product —
+    combinable partial sketches, no user ids on the wire."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
-            F.approx_count_distinct("value", rsd=0.05).alias("approx_values"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("au"),
+            F.approx_count_distinct("value", rsd=0.05).alias("av"),
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.countDistinct("value").cast("bigint").alias("exact_values"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "exact_values",
+            (
+                F.abs(F.col("au") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= APPROX_RTOL
+            ).alias("users_within_rtol"),
+            (
+                F.abs(F.col("av") - F.col("exact_values"))
+                / F.col("exact_values")
+                <= APPROX_RTOL
+            ).alias("values_within_rtol"),
         )
         .orderBy("event_type")
     )

@@ -70,7 +70,29 @@ def mmr_select(cands: list[tuple[int, list[float], float]], k: int, lam: float):
     return selected
 
 
-@register("emb_mmr", oracle=None, tags=("similarity", "mmr", "rerank"))
+def _mmr_oracle() -> str:
+    from target_iceberg_spark.functions.vectors import cosine_sql
+
+    return f"""
+WITH probe AS (
+    SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+),
+fp AS (
+    SELECT vec_id FROM embeddings, probe
+    WHERE vec_id <> {PROBE_VEC_ID}
+    ORDER BY {cosine_sql('embedding', 'p')} DESC, vec_id
+    LIMIT 1
+)
+SELECT CAST({TOP_K} AS BIGINT) AS n_selected,
+       CAST(fp.vec_id AS BIGINT) AS first_pick_vec_id,
+       TRUE AS picks_unique,
+       TRUE AS picks_within_candidates,
+       TRUE AS diversity_no_worse
+FROM fp
+"""
+
+
+@register("emb_mmr", oracle=_mmr_oracle(), tags=("similarity", "mmr", "rerank", "audit"))
 def emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k: exact relevance top-C candidate generation
     (the proven broadcast-probe codegen fold + TakeOrderedAndProject —
@@ -83,11 +105,17 @@ def emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/pca.py:83). Greedy MMR is inherently sequential in k
     (each pick changes every remaining candidate's diversity penalty),
     so the sequential part is run where it is O(k*C) trivial and the
-    distributed part is the part that scales. Rows-only driver check
-    (greedy selection is not SQL-expressible); exact equivalence vs an
-    independent numpy implementation and the diversity property —
-    MMR's worst pairwise-overlap strictly below pure relevance's —
-    are pinned in tests/test_round5_ops.py."""
+    distributed part is the part that scales.
+
+    Hash-checkable audit row (round 9; previously rows-only): the
+    greedy SEQUENCE has no SQL twin, but its endpoints do — the first
+    pick IS the exact relevance argmax (SQL-computable, value-checked
+    by the oracle, exercising the candidate-generation fold
+    bit-for-bit), and the selection invariants (k picks, all unique,
+    all from the top-C pool, MMR's worst pairwise overlap no worse
+    than pure relevance's) fold to oracle-asserted booleans. Exact
+    numpy equivalence of the full sequence and the STRICT diversity
+    win stay pinned in tests/test_round5_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     probe = [
         float(x)
@@ -101,15 +129,43 @@ def emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MMR_CANDIDATES)
         .collect()
     )  # bounded: C x d, corpus-size independent
+    cvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in cands
+    }
     picked = mmr_select(
-        [(r["vec_id"], [float(x) for x in r["embedding"]], r["rel"]) for r in cands],
+        [(r["vec_id"], cvecs[r["vec_id"]], r["rel"]) for r in cands],
         TOP_K,
         MMR_LAMBDA,
     )
-    rows = [
-        (i + 1, vid, round(rel, 6), round(score, 6))
-        for i, (vid, rel, score) in enumerate(picked)
-    ]
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+        return d / n if n > 0 else 0.0
+
+    def _worst_overlap(ids: list[int]) -> float:
+        return max(
+            (
+                _cos(cvecs[a], cvecs[b])
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+            ),
+            default=0.0,
+        )
+
+    mmr_ids = [vid for vid, _, _ in picked]
+    rel_ids = [r["vec_id"] for r in cands[:TOP_K]]
+    row = (
+        len(picked),
+        int(mmr_ids[0]),
+        len(set(mmr_ids)) == len(mmr_ids),
+        all(v in cvecs for v in mmr_ids),
+        _worst_overlap(mmr_ids) <= _worst_overlap(rel_ids),
+    )
     return spark.createDataFrame(
-        rows, "rnk INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+        [row],
+        "n_selected BIGINT, first_pick_vec_id BIGINT,"
+        " picks_unique BOOLEAN, picks_within_candidates BOOLEAN,"
+        " diversity_no_worse BOOLEAN",
     )

@@ -88,11 +88,19 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_MERGE_RTOL = 0.10  # Datasketches lgK=12 rsd ~1.6%; generous bound
+
+
 @register(
     "agg_hll_rollup",
-    oracle=None,  # the Datasketches HLL estimate has no SQL twin;
-    # rows-only + the ±5% bound test in tests/test_approx.py
-    tags=("agg", "approx", "sketch", "rollup"),
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merge_within_rtol
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("agg", "approx", "sketch", "rollup", "audit"),
 )
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup — the continuous-aggregate
@@ -103,10 +111,13 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events (the distinct-count sibling of `rollup_hypertable`; plain
     counts re-aggregate with SUM, distincts only merge via sketches).
 
-    Self-auditing output: the merged-sketch estimate sits next to the
-    exact global distinct (affordable at test SF) and their relative
-    error, so a sketch-quality regression is visible in the result
-    itself — same audit shape as `dedup_minhash_estimate`. Scale
+    Hash-checkable audit row (round 9; previously rows-only): the
+    Datasketches estimate has no SQL twin, but its error CONTRACT
+    does — the merged estimate folds to a within-{HLL_MERGE_RTOL}
+    boolean next to the SQL-exact n_days and distinct count, so the
+    driver hash now pins sketch quality instead of recording
+    rows-only (same reduction as sim_ann_quality / the round-9
+    sim_ivf_recall_curve audit row). Scale
     shape: daily sketching is a combinable aggregate (each partition
     ships a bounded sketch, never user ids); the merge shuffles
     #days × #types sketches of ~2.5 KiB (lgConfigK=12), independent
@@ -127,14 +138,13 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.join(F.broadcast(exact), "event_type")
         .select(
             "event_type",
-            "n_days",
+            F.col("n_days").cast("bigint").alias("n_days"),
             "exact_users",
-            "est_users",
-            F.round(
+            (
                 F.abs(F.col("est_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                4,
-            ).alias("rel_err"),
+                / F.col("exact_users")
+                <= HLL_MERGE_RTOL
+            ).alias("merge_within_rtol"),
         )
         .orderBy("event_type")
     )

@@ -185,6 +185,16 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "agg_theil_sen",  # day-pair theta self-join + one-row
             # estimate crosses, all on the calendar-bounded (~30-row)
             # daily frame — same class as events_slo_burn
+            "agg_eb_shrinkage",  # cross of the one-row Beta-prior
+            # moment fit onto the user frame, same class as
+            # events_rfm / agg_sprt_ab
+            "events_xcorr",  # broadcast 7-row lag literal crossed
+            # with the calendar-bounded hourly series, same class as
+            # events_acf's 24-row lag table
+            "profile_selectivity_audit",  # crosses of the one-row
+            # min/width aggregate and the 4-row threshold literal
+            # onto the 16-row histogram / the scan, same class as
+            # events_active_rolling
         ), f"unexpected BNLJ in {name}"
 
 
@@ -433,6 +443,9 @@ UNPARTITIONED_WINDOW_OK = {
     "agg_fisher_exact",  # row_number + ln-factorial cumsum over the
     # <= PANEL_K (512) md5-ordered panel rows — a design constant,
     # same class as sample_fixed_k
+    "agg_holm_bonferroni",  # |z| rank + step-down cumulative MIN over
+    # exactly HOLM_M (5) metric rows — a plan literal, same class as
+    # agg_sprt_ab
 }
 
 

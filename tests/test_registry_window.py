@@ -32,7 +32,7 @@ ROUND1_GREEN = {
     "join_left_outer", "join_full_outer", "join_semi", "join_anti",
     "join_range", "join_asof", "agg_group", "agg_distinct", "agg_salted",
     "agg_percentile", "agg_stats", "agg_rollup", "agg_cube", "agg_pivot",
-    "agg_approx_distinct", "subquery_scalar", "q3_shipping_priority",
+    "subquery_scalar", "q3_shipping_priority",
     "q5_local_supplier_volume", "q10_returned_items", "win_range_frame",
     "win_distribution", "fn_string", "fn_date", "fn_math", "fn_array",
     "fn_json", "fn_conditional", "fn_timestamp", "fn_explode",
@@ -111,8 +111,6 @@ ROUND5_GREEN = {
     # round-4 post-window backlog
     "events_gapfill", "events_ohlc", "events_time_weighted",
     "graph_pagerank", "text_chunk_overlap",
-    "emb_pca",  # rows-only by design (driver eigensolve; tests/test_pca.py)
-    "agg_hll_rollup",  # rows-only by design (HLL estimate; tests/test_approx.py)
     "join_bucketed", "scan_binaryfile", "cdc_snapshot_diff",
     "profile_moments", "dedup_keep_best", "sim_range_search",
     "skyline_pareto", "text_sentiment", "sim_trajectory_users",
@@ -135,7 +133,6 @@ ROUND5_GREEN = {
 # window additions — plus the two declared rows-only rows recorded
 # the same round; 0 FAILs, fifth consecutive clean round).
 ROUND6_GREEN = {
-    "emb_mmr",  # rows-only by design (greedy MMR; numpy-equivalence test)
     "dedup_cdc_chunks",
     "join_asof_tolerance",
     "profile_topk_values",
@@ -348,6 +345,12 @@ NEW_IN_R9 = {
     "graph_adamic_adar",
     "profile_functional_deps",
     "profile_selectivity_audit",
+    # -- round-9 audit-row reductions: previously rows-only, output
+    # changed to oracle-hashable invariant rows (VERDICT r8 task 3) --
+    "agg_approx_distinct",
+    "agg_hll_rollup",
+    "emb_pca",
+    "emb_mmr",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

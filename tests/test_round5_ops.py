@@ -518,13 +518,21 @@ def test_mmr_matches_independent_numpy(spark, sf_oracle):
         .limit(MMR_CANDIDATES)
         .collect()
     ]
+    from target_iceberg_spark.plans.similarity_mmr import mmr_select
+
     want = _mmr_numpy(cands, TOP_K, MMR_LAMBDA)
-    got = SPECS["emb_mmr"].builder(spark, sf_oracle).collect()
-    assert [r["vec_id"] for r in got] == [w[0] for w in want]
-    for r, w in zip(got, want):
-        assert abs(r["relevance"] - w[1]) < 1e-6
-        assert abs(r["mmr_score"] - w[2]) < 1e-6
-    assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))
+    # the engine's selector, straight on the same candidates (the
+    # query now folds the sequence to the audit row the driver hashes)
+    got = mmr_select(cands, TOP_K, MMR_LAMBDA)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-6
+        assert abs(g[2] - w[2]) < 1e-6
+    # and the audit row reports the matching endpoints
+    row = SPECS["emb_mmr"].builder(spark, sf_oracle).collect()[0]
+    assert row["n_selected"] == len(want) == TOP_K
+    assert row["first_pick_vec_id"] == want[0][0]
+    assert row["picks_unique"] and row["picks_within_candidates"]
 
 
 def test_mmr_is_more_diverse_than_pure_relevance(spark, sf_oracle):
@@ -537,15 +545,41 @@ def test_mmr_is_more_diverse_than_pure_relevance(spark, sf_oracle):
     from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K
     from target_iceberg_spark.sources.tables import load_table
 
-    got = SPECS["emb_mmr"].builder(spark, sf_oracle).collect()
+    from target_iceberg_spark.functions.vectors import cosine
+    from target_iceberg_spark.plans.similarity_mmr import (
+        MMR_CANDIDATES,
+        MMR_LAMBDA,
+        mmr_select,
+    )
+
+    row = SPECS["emb_mmr"].builder(spark, sf_oracle).collect()[0]
     rel_top = SPECS["sim_cosine_topk"].builder(spark, sf_oracle).collect()
-    assert got[0]["vec_id"] == rel_top[0]["vec_id"]  # first pick = argmax rel
+    # first pick = argmax rel (also value-checked by the oracle)
+    assert row["first_pick_vec_id"] == rel_top[0]["vec_id"]
+    assert row["n_selected"] == TOP_K
+    assert row["diversity_no_worse"]
+
+    emb_df = load_table(spark, sf_oracle, "embeddings")
+    probe = [
+        float(x)
+        for x in emb_df.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    p_lit = F.array(*[F.lit(v) for v in probe])
+    cands = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["rel"])
+        for r in emb_df.where(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", "embedding", cosine("embedding", p_lit).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .collect()
+    ]
+    picked = [vid for vid, _, _ in mmr_select(cands, TOP_K, MMR_LAMBDA)]
 
     emb = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
-        for r in load_table(spark, sf_oracle, "embeddings")
-        .where(F.col("vec_id") != PROBE_VEC_ID)
-        .collect()
+        for r in emb_df.where(F.col("vec_id") != PROBE_VEC_ID).collect()
     }
 
     def max_pairwise(ids):
@@ -554,10 +588,10 @@ def test_mmr_is_more_diverse_than_pure_relevance(spark, sf_oracle):
             float(a @ b) for i, a in enumerate(vs) for b in vs[i + 1 :]
         )
 
-    assert len(got) == TOP_K
-    assert max_pairwise([r["vec_id"] for r in got]) <= max_pairwise(
+    # the STRICT diversity win, on the engine's own selector
+    assert max_pairwise(picked) < max_pairwise(
         [r["vec_id"] for r in rel_top]
-    ) + 1e-12
+    )
 
 
 # -- dedup_cdc_chunks ------------------------------------------------------
