@@ -260,6 +260,11 @@ def _load_all() -> None:
         graph_adamic,
         profiling_fds,
         profiling_selectivity,
+        curation_fertility,
+        analytics_seasonal,
+        text_entropy,
+        windows_pattern,
+        text_keyness,
     )
 
 
@@ -301,6 +306,12 @@ _HOIST: tuple[str, ...] = (
     "agg_hll_rollup",
     "emb_pca",
     "emb_mmr",
+    # -- round-9 batch 7 ----------------------------------------------
+    "curation_tokenizer_fertility",
+    "events_seasonal_strength",
+    "text_char_entropy",
+    "win_match_pattern",
+    "text_keyness_g2",
 )
 
 

@@ -195,6 +195,12 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # min/width aggregate and the 4-row threshold literal
             # onto the 16-row histogram / the scan, same class as
             # events_active_rolling
+            "events_seasonal_strength",  # cross of the one-row hour
+            # span onto the |types|-row frame (grid = types x span),
+            # same class as events_acf's calendar-bounded grid
+            "text_keyness_g2",  # cross of the one-row corpus token
+            # total onto the df-capped (source, word) counts, same
+            # class as text_tfidf's one-row corpus count
         ), f"unexpected BNLJ in {name}"
 
 

@@ -351,6 +351,12 @@ NEW_IN_R9 = {
     "agg_hll_rollup",
     "emb_pca",
     "emb_mmr",
+    # -- round-9 batch 7 ----------------------------------------------
+    "curation_tokenizer_fertility",
+    "events_seasonal_strength",
+    "text_char_entropy",
+    "win_match_pattern",
+    "text_keyness_g2",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

@@ -734,3 +734,172 @@ def test_selectivity_estimates_track_actuals(spark, sf_oracle):
         assert abs(r["est_rows"] - est) < 1e-3
         # a uniform-ish column must estimate well (single-digit % error)
         assert r["rel_error"] < 0.1
+
+
+def test_fertility_matches_python_recompute(spark, sf_oracle):
+    import math
+    from collections import defaultdict
+
+    from target_iceberg_spark.plans.curation_fertility import (
+        FERTILITY_HIGH,
+        PIECE_LEN,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, 0, 0])
+    docs = load_table(spark, sf_oracle, "documents").collect()
+    for r in docs:
+        words = r["text"].split(" ")
+        n_sub = sum(math.ceil(len(w) / PIECE_LEN) for w in words)
+        n_words = len(words)
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += n_words
+        a[2] += n_sub
+        a[3] += 1 if n_sub / n_words > FERTILITY_HIGH else 0
+    rows = SPECS["curation_tokenizer_fertility"].builder(
+        spark, sf_oracle
+    ).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, w, s, hi = agg[r["lang"]]
+        assert (r["n_docs"], r["total_words"], r["total_subwords"]) == (n, w, s)
+        assert abs(r["fertility"] - s / w) < 1e-4
+        assert r["n_high_fertility"] == hi
+        # the threshold genuinely splits the corpus
+        assert 0 < hi < n
+
+
+def test_seasonal_strength_matches_numpy_recompute(spark, sf_oracle):
+    import numpy as np
+
+    pdf = _events_pdf(spark, sf_oracle)
+    hr = pdf.ts.astype("int64") // (3_600 * 10**9)
+    lo, hi = hr.min(), hr.max()
+    n = hi - lo + 1
+    rows = SPECS["events_seasonal_strength"].builder(spark, sf_oracle).collect()
+    types = sorted(pdf.event_type.unique())
+    assert [r["event_type"] for r in rows] == types
+    for r in rows:
+        y = np.zeros(n)
+        for h in hr[pdf.event_type == r["event_type"]]:
+            y[h - lo] += 1
+        hod = (np.arange(lo, hi + 1)) % 24
+        m = np.array([y[hod == k].mean() for k in range(24)])
+        resid = y - m[hod]
+        vt = y.var(ddof=1)
+        vr = resid.var(ddof=1)
+        assert r["n_hours"] == n
+        assert abs(r["var_total"] - vt) < 1e-4
+        assert abs(r["var_residual"] - vr) < 1e-4
+        assert abs(r["seasonal_strength"] - max(0.0, 1 - vr / vt)) < 1e-4
+
+
+def test_char_entropy_matches_python_recompute(spark, sf_oracle):
+    import math
+    from collections import Counter, defaultdict
+
+    from target_iceberg_spark.plans.text_entropy import (
+        ENTROPY_LOW,
+        ENTROPY_PREFIX,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    per_source: dict[str, list] = defaultdict(list)
+    for r in load_table(spark, sf_oracle, "documents").collect():
+        prefix = r["text"][:ENTROPY_PREFIX]
+        c = Counter(prefix)
+        nn = len(prefix)
+        h = -sum((v / nn) * math.log2(v / nn) for v in c.values())
+        per_source[r["source"]].append(h)
+    rows = SPECS["text_char_entropy"].builder(spark, sf_oracle).collect()
+    assert len(rows) == len(per_source)
+    for r in rows:
+        hs = per_source[r["source"]]
+        assert r["n_docs"] == len(hs)
+        assert abs(r["avg_entropy"] - sum(hs) / len(hs)) < 1e-3
+        assert abs(r["min_entropy"] - min(hs)) < 1e-3
+        assert r["n_low_entropy"] == sum(1 for h in hs if h < ENTROPY_LOW)
+
+
+def test_vshape_pattern_matches_python_recompute(spark, sf_oracle):
+    from collections import defaultdict
+
+    pdf = _events_pdf(spark, sf_oracle)
+    p = pdf[pdf.event_type == "purchase"].sort_values("ts")
+    per_user: dict[int, list] = defaultdict(list)
+    for uid, v in zip(p.user_id, p.value):
+        per_user[uid].append(v)
+    counts = {}
+    for uid, vs in per_user.items():
+        n = sum(
+            1
+            for i in range(len(vs) - 3)
+            if vs[i] > vs[i + 1] > vs[i + 2] < vs[i + 3]
+        )
+        counts[uid] = (len(vs), n)
+    expect = sorted(
+        ((n, uid, na) for uid, (na, n) in counts.items() if n > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:15]
+    rows = SPECS["win_match_pattern"].builder(spark, sf_oracle).collect()
+    assert len(rows) == len(expect)
+    for r, (n, uid, na) in zip(rows, expect):
+        assert (r["user_id"], r["n_vshapes"], r["n_anchors"]) == (uid, n, na)
+        assert abs(r["vshape_rate"] - n / na) < 1e-6
+
+
+def test_keyness_g2_matches_python_recompute(spark, sf_oracle):
+    import math
+    from collections import Counter, defaultdict
+
+    from target_iceberg_spark.plans.text_keyness import (
+        KEYNESS_MIN_CORPUS,
+        KEYNESS_PER_SOURCE,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    sw: dict[tuple, int] = Counter()
+    for r in load_table(spark, sf_oracle, "documents").collect():
+        for w in r["text"].split(" "):
+            sw[(r["source"], w)] += 1
+    wt = Counter()
+    st = Counter()
+    for (s, w), a in sw.items():
+        wt[w] += a
+        st[s] += a
+    nn = sum(sw.values())
+
+    def g2(a, b, c, d):
+        total = a + b + c + d
+        out = 0.0
+        for o, rt, ct in (
+            (a, a + b, a + c),
+            (b, a + b, b + d),
+            (c, c + d, a + c),
+            (d, c + d, b + d),
+        ):
+            if o > 0:
+                out += o * math.log(o / (rt * ct / total))
+        return 2 * out
+
+    per_source: dict[str, list] = defaultdict(list)
+    for (s, w), a in sw.items():
+        if wt[w] < KEYNESS_MIN_CORPUS:
+            continue
+        b = wt[w] - a
+        c = st[s] - a
+        d = nn - wt[w] - st[s] + a
+        per_source[s].append((round(g2(a, b, c, d), 4), w, a))
+    rows = SPECS["text_keyness_g2"].builder(spark, sf_oracle).collect()
+    by_source: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_source[r["source"]].append(r)
+    for s, got in by_source.items():
+        want = sorted(per_source[s], key=lambda t: (-t[0], t[1]))[
+            :KEYNESS_PER_SOURCE
+        ]
+        assert len(got) == len(want)
+        for r, (score, w, a) in zip(got, want):
+            assert r["word"] == w and r["n_in_source"] == a
+            assert abs(r["g2"] - score) < 2e-4
