@@ -27,16 +27,36 @@ from target_iceberg_spark.functions.vectors import (
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
-RKNN_BITS = 4  # 16 buckets per band
 RKNN_BANDS = 2  # OR-amplified: candidates share ANY band bucket
 RKNN_K = 5  # reciprocal rank threshold
 RKNN_TOP = 25  # output rows
+RKNN_TARGET_BUCKET = 32  # sized-for occupancy per band bucket
+RKNN_MIN_BITS = 4  # floor = the oracle's instantiation at test SFs
+RKNN_MAX_BITS = 12  # 2 bands x 12 bits <= 24 of d=64 sign dims
+
+
+def rknn_bits(n_vectors: int) -> int:
+    """Corpus-sized bucket width: enough sign bits that a band bucket
+    holds ~RKNN_TARGET_BUCKET vectors. Within-bucket pair volume is
+    quadratic in occupancy, so FIXED bits turn 10x data into ~100x
+    pairs (the round-9 scale audit measured exactly that at 20x);
+    sizing bits from N holds occupancy — and therefore per-vector
+    candidate degree — constant. Same NDV-derived-sizing discipline
+    as the Bloom join's sized_m (plans/joins_bloom.py). The MIN_BITS
+    floor keeps the driver-checked sf0.01/0.001 instantiation (500
+    vectors -> 4 bits) identical to the static oracle SQL."""
+    import math
+
+    raw = math.ceil(math.log2(max(n_vectors, 1) / RKNN_TARGET_BUCKET))
+    return max(RKNN_MIN_BITS, min(RKNN_MAX_BITS, raw))
 
 
 def _rknn_oracle() -> str:
+    # the oracle pins the MIN_BITS instantiation — what rknn_bits()
+    # yields at every driver-checked SF (500 vectors -> 4 bits)
     keys = "\nUNION ALL ".join(
         f"SELECT vec_id, {t} AS band, "
-        f"{sign_bucket_sql('embedding', RKNN_BITS, offset=t * RKNN_BITS)}"
+        f"{sign_bucket_sql('embedding', RKNN_MIN_BITS, offset=t * RKNN_MIN_BITS)}"
         " AS bucket FROM embeddings"
         for t in range(RKNN_BANDS)
     )
@@ -84,7 +104,7 @@ LIMIT {RKNN_TOP}
 def sim_reciprocal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{RKNN_TOP} mutual-{RKNN_K}-NN pairs: candidate pairs come
     from the deterministic banded sign-LSH blocking ({RKNN_BANDS}
-    bands x {RKNN_BITS} sign bits, same planes as sim_ann_rp), each
+    bands x rknn_bits(N) sign bits, same planes as sim_ann_rp), each
     vector ranks its candidates by exact cosine, and a pair survives
     only if each side ranks the other within its top-{RKNN_K}.
 
@@ -97,12 +117,13 @@ def sim_reciprocal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     reversed pair key. Embeddings join candidates by id, so vectors
     shuffle once per side, not per pair."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bits = rknn_bits(emb.count())  # metadata-cheap; sizes the buckets
     keys = None
     for t in range(RKNN_BANDS):
         k = emb.select(
             "vec_id",
             F.lit(t).alias("band"),
-            sign_bucket("embedding", RKNN_BITS, offset=t * RKNN_BITS).alias(
+            sign_bucket("embedding", bits, offset=t * bits).alias(
                 "bucket"
             ),
         )

@@ -344,19 +344,20 @@ def test_reciprocal_knn_ranks_match_numpy_recompute(spark, sf_smoke):
 
     from target_iceberg_spark.plans.similarity_mutual import (
         RKNN_BANDS,
-        RKNN_BITS,
         RKNN_K,
+        rknn_bits,
     )
     from target_iceberg_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_smoke, "embeddings").collect()
+    nb = rknn_bits(len(emb))
     ids = np.array([r["vec_id"] for r in emb])
     X = np.array([r["embedding"] for r in emb], dtype=np.float64)
     Xu = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
     buckets = []
     for t in range(RKNN_BANDS):
-        bits = (X[:, t * RKNN_BITS : (t + 1) * RKNN_BITS] > 0).astype(int)
-        buckets.append(bits @ (1 << np.arange(RKNN_BITS - 1, -1, -1)))
+        bits = (X[:, t * nb : (t + 1) * nb] > 0).astype(int)
+        buckets.append(bits @ (1 << np.arange(nb - 1, -1, -1)))
     idx = {v: i for i, v in enumerate(ids)}
 
     def cand_of(i: int) -> np.ndarray:
@@ -903,3 +904,26 @@ def test_keyness_g2_matches_python_recompute(spark, sf_oracle):
         for r, (score, w, a) in zip(got, want):
             assert r["word"] == w and r["n_in_source"] == a
             assert abs(r["g2"] - score) < 2e-4
+
+
+def test_rknn_bits_sizing_holds_bucket_occupancy():
+    """The corpus-sized bucket width: occupancy N/2^bits stays within
+    [TARGET/2, TARGET] once past the floor, so within-bucket pair
+    volume — quadratic in occupancy — stays CONSTANT per vector as N
+    grows (the round-9 scale-audit fix)."""
+    from target_iceberg_spark.plans.similarity_mutual import (
+        RKNN_MAX_BITS,
+        RKNN_MIN_BITS,
+        RKNN_TARGET_BUCKET,
+        rknn_bits,
+    )
+
+    assert rknn_bits(500) == RKNN_MIN_BITS  # the oracle's pinned SFs
+    assert rknn_bits(1) == RKNN_MIN_BITS
+    for n in (2_000, 20_000, 200_000, 2_000_000):
+        b = rknn_bits(n)
+        occ = n / (1 << b)
+        if b < RKNN_MAX_BITS:
+            assert occ <= RKNN_TARGET_BUCKET
+            assert occ > RKNN_TARGET_BUCKET / 2
+    assert rknn_bits(10**9) == RKNN_MAX_BITS  # clamp
