@@ -1324,3 +1324,87 @@ def streaming_slo_burn(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_vshape(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-length pattern matching on streams — the stateful twin of
+    plans/windows_pattern.py::win_match_pattern and the Spark-native
+    form of what Flink CEP / MATCH_RECOGNIZE do for a fixed-length
+    PATTERN: the automaton state for a length-L pattern is exactly the
+    last L-1 events, so per-key state is O(L), a plan constant.
+
+    Per key the state is (last <=3 values, n_anchors, n_vshapes,
+    epoch). Every arriving row is an anchor (n_anchors += 1, matching
+    the batch query's COUNT(*) over the per-user frame); each time the
+    4-value window [v0 v1 v2 v3] completes, v0 > v1 > v2 < v3 credits
+    one V-shape to the anchor that opened it — the same predicate the
+    batch plan evaluates with three LEADs. A pattern SPANNING a
+    micro-batch boundary is caught because the carried 3-value tail is
+    the automaton state (pinned in tests/test_streaming.py).
+
+    Emission contract: one epoch-tagged cumulative (n_anchors,
+    n_vshapes) row per touched key per batch; the max-epoch emission
+    per key after a full in-order drain equals the batch query's
+    per-user counts row-for-row. Within a batch, rows fold in
+    (ts, order) sort — the batch window's ordering."""
+    import pandas as pd  # executor-side; local import for pickling
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, n_anchors LONG, n_vshapes LONG, epoch LONG"
+    )
+    state_schema = (
+        "tail ARRAY<DOUBLE>, n_anchors LONG, n_vshapes LONG, epoch LONG"
+    )
+
+    def pattern_fn(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        tail, n_anchors, n_vshapes, epoch = (
+            state.get if state.exists else ([], 0, 0, 0)
+        )
+        tail = list(tail)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        batch = batch.sort_values([ts_col, order_col], kind="mergesort")
+        for v in batch[value_col].astype(float).to_numpy():
+            n_anchors += 1
+            tail.append(float(v))
+            if len(tail) == 4:
+                if tail[0] > tail[1] > tail[2] < tail[3]:
+                    n_vshapes += 1
+                tail.pop(0)
+        epoch = int(epoch) + 1
+        state.update((tail, int(n_anchors), int(n_vshapes), epoch))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_anchors": [int(n_anchors)],
+                "n_vshapes": [int(n_vshapes)],
+                "epoch": [epoch],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        pattern_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

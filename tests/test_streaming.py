@@ -2208,3 +2208,95 @@ def test_streaming_slo_burn_twin_matches_batch(spark, sf_oracle, tmp_path):
 
     per_epoch = Counter(r["epoch"] for r in drained)
     assert max(per_epoch.values()) <= 2 * SLO_LONG_H
+
+
+# -- streaming fixed-length pattern matching (round-9 twin) -------------------
+
+
+def test_streaming_vshape_twin_matches_batch(spark, sf_oracle, tmp_path):
+    """The stateful pattern scan must reproduce the batch
+    win_match_pattern counts per user after a full in-order drain:
+    drain purchase events in daily micro-batches, take each user's
+    max-epoch emission, and (n_anchors, n_vshapes) equals the batch
+    query's per-user frame — including patterns that SPAN micro-batch
+    boundaries (a day split cuts many users' sequences mid-window)."""
+    import pandas as pd
+
+    from target_iceberg_spark.plans.registry import queries
+    from target_iceberg_spark.streaming.stateful import streaming_vshape
+
+    ev = (
+        load_table(spark, sf_oracle, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+            "event_id",
+            "value",
+        )
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+    pdf["_day"] = pdf["ts"] // (86_400 * 1_000_000)
+    src = tmp_path / "vshape_stream"
+    src.mkdir()
+    for i, (_, day) in enumerate(pdf.groupby("_day")):
+        f = src / f"day{i:03d}.parquet"
+        day[["user_id", "ts", "event_id", "value"]].to_parquet(f)
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, ts LONG, event_id LONG, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_vshape(stream)
+        .writeStream.format("memory")
+        .queryName("vshape_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_vshape"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    drained = spark.table("vshape_twin").collect()
+    assert drained
+
+    final: dict[int, tuple] = {}
+    for r in drained:
+        if (
+            r["user_id"] not in final
+            or r["epoch"] > final[r["user_id"]][2]
+        ):
+            final[r["user_id"]] = (r["n_anchors"], r["n_vshapes"], r["epoch"])
+
+    # independent per-user recompute (the batch query's exact logic)
+    per_user: dict[int, list] = {}
+    for _, row in pdf.iterrows():
+        per_user.setdefault(row["user_id"], []).append(row["value"])
+    want = {}
+    for uid, vs in per_user.items():
+        n = sum(
+            1
+            for i in range(len(vs) - 3)
+            if vs[i] > vs[i + 1] > vs[i + 2] < vs[i + 3]
+        )
+        want[uid] = (len(vs), n)
+    assert {u: v[:2] for u, v in final.items()} == want
+
+    # cross-batch coverage: daily splits genuinely cut sequences
+    # mid-window, so some user must accrue v-shapes across >1 epoch
+    grew = set()
+    seen_counts: dict[int, int] = {}
+    for r in sorted(drained, key=lambda r: r["epoch"]):
+        prev = seen_counts.get(r["user_id"])
+        if prev is not None and r["n_vshapes"] > prev > 0:
+            grew.add(r["user_id"])
+        seen_counts[r["user_id"]] = r["n_vshapes"]
+    assert grew, "no pattern spanned a micro-batch boundary"
+
+    # and the batch QUERY's emitted top rows agree with the twin
+    for r in queries()["win_match_pattern"](spark, sf_oracle).collect():
+        assert final[r["user_id"]][:2] == (r["n_anchors"], r["n_vshapes"])
