@@ -265,6 +265,7 @@ def _load_all() -> None:
         text_entropy,
         windows_pattern,
         text_keyness,
+        analytics_burstiness,
     )
 
 
@@ -312,6 +313,7 @@ _HOIST: tuple[str, ...] = (
     "text_char_entropy",
     "win_match_pattern",
     "text_keyness_g2",
+    "events_burstiness",
 )
 
 

@@ -357,6 +357,7 @@ NEW_IN_R9 = {
     "text_char_entropy",
     "win_match_pattern",
     "text_keyness_g2",
+    "events_burstiness",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

@@ -927,3 +927,37 @@ def test_rknn_bits_sizing_holds_bucket_occupancy():
             assert occ <= RKNN_TARGET_BUCKET
             assert occ > RKNN_TARGET_BUCKET / 2
     assert rknn_bits(10**9) == RKNN_MAX_BITS  # clamp
+
+
+def test_burstiness_matches_numpy_recompute(spark, sf_oracle):
+    import numpy as np
+    from collections import defaultdict
+
+    pdf = _events_pdf(spark, sf_oracle)
+    pdf = pdf.sort_values("ts", kind="mergesort")
+    gaps: dict[str, list] = defaultdict(list)
+    pairs: dict[str, list] = defaultdict(list)
+    last: dict[tuple, list] = {}
+    for _, r in pdf.iterrows():
+        k = (r.user_id, r.event_type)
+        t = r.ts.value // 1000  # microseconds
+        hist = last.setdefault(k, [])
+        if hist:
+            gap = t - hist[-1]
+            gaps[r.event_type].append(gap)
+            if len(hist) >= 2:
+                pairs[r.event_type].append((hist[-1] - hist[-2], gap))
+        hist.append(t)
+    rows = SPECS["events_burstiness"].builder(spark, sf_oracle).collect()
+    assert [r["event_type"] for r in rows] == sorted(gaps)
+    for r in rows:
+        g = np.array(gaps[r["event_type"]], dtype=float)
+        sd, mu = g.std(ddof=1), g.mean()
+        assert r["n_gaps"] == len(g)
+        assert abs(r["burstiness"] - (sd - mu) / (sd + mu)) < 1e-5
+        pg = np.array(pairs[r["event_type"]], dtype=float)
+        m = np.corrcoef(pg[:, 0], pg[:, 1])[0, 1]
+        assert abs(r["memory_coef"] - m) < 1e-5
+        # the synthetic corpus is Poisson-like: B pins near 0, well
+        # away from the periodic (-1) and bursty (+1) extremes
+        assert -0.1 < r["burstiness"] < 0.1
