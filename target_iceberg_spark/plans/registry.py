@@ -266,6 +266,9 @@ def _load_all() -> None:
         windows_pattern,
         text_keyness,
         analytics_burstiness,
+        stats_fdr,
+        text_stylometry,
+        similarity_prf,
     )
 
 
@@ -314,6 +317,9 @@ _HOIST: tuple[str, ...] = (
     "win_match_pattern",
     "text_keyness_g2",
     "events_burstiness",
+    "agg_benjamini_hochberg",
+    "text_burrows_delta",
+    "sim_prf_rocchio",
 )
 
 

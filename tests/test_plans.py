@@ -201,6 +201,13 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "text_keyness_g2",  # cross of the one-row corpus token
             # total onto the df-capped (source, word) counts, same
             # class as text_tfidf's one-row corpus count
+            "text_burrows_delta",  # cross of the DELTA_WORDS (30)
+            # marker panel onto the |sources|-row totals — the
+            # bounded stylometry grid, same class as emb_kmeans's
+            # centroid cross
+            "sim_prf_rocchio",  # broadcast PRF_TOP (10)-row result
+            # crossed back for the threshold-count ranks, same class
+            # as sim_topk_incremental's one-row tau cross
         ), f"unexpected BNLJ in {name}"
 
 
@@ -452,6 +459,11 @@ UNPARTITIONED_WINDOW_OK = {
     "agg_holm_bonferroni",  # |z| rank + step-down cumulative MIN over
     # exactly HOLM_M (5) metric rows — a plan literal, same class as
     # agg_sprt_ab
+    "agg_benjamini_hochberg",  # |z| rank + step-up suffix MAX over
+    # exactly BH_M (5) metric rows — the Holm query's window dual
+    "sim_prf_rocchio",  # rank_new row_number over the PRF_TOP (10)
+    # already-TakeOrdered result rows — never over the corpus (the
+    # corpus-wide ranks are broadcast threshold-counts)
 }
 
 

@@ -358,6 +358,9 @@ NEW_IN_R9 = {
     "win_match_pattern",
     "text_keyness_g2",
     "events_burstiness",
+    "agg_benjamini_hochberg",
+    "text_burrows_delta",
+    "sim_prf_rocchio",
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY

@@ -961,3 +961,132 @@ def test_burstiness_matches_numpy_recompute(spark, sf_oracle):
         # the synthetic corpus is Poisson-like: B pins near 0, well
         # away from the periodic (-1) and bursty (+1) extremes
         assert -0.1 < r["burstiness"] < 0.1
+
+
+def test_bh_stepup_matches_recompute_and_dominates_holm(spark, sf_oracle):
+    """BH rejection set must match a from-scratch step-up recompute
+    and CONTAIN Holm's rejection set (FDR is never less powerful than
+    FWER on the same statistics at alpha_bh >= alpha_holm)."""
+    import numpy as np
+    from statistics import NormalDist
+
+    from target_iceberg_spark.plans.stats_fdr import (
+        BH_ALPHA,
+        BH_M,
+        BH_Z_CRIT,
+    )
+
+    assert BH_Z_CRIT[0] == round(
+        NormalDist().inv_cdf(1 - (1 / BH_M) * BH_ALPHA / 2), 6
+    )
+    # BH's ladder LOOSENS with the step (step-up), Holm's tightens
+    assert list(BH_Z_CRIT) == sorted(BH_Z_CRIT, reverse=True)
+
+    pdf = _events_pdf(spark, sf_oracle)
+    zs = {}
+    for et, g in pdf.groupby("event_type"):
+        t = g[g.user_id % 2 == 1].value.to_numpy()
+        c = g[g.user_id % 2 == 0].value.to_numpy()
+        zs[et] = round(
+            float(
+                (t.mean() - c.mean())
+                / np.sqrt(t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c))
+            ),
+            6,
+        )
+    order = sorted(zs, key=lambda k: (-abs(zs[k]), k))
+    passes = [abs(zs[et]) >= BH_Z_CRIT[i] for i, et in enumerate(order)]
+    kmax = max((i for i, p in enumerate(passes) if p), default=-1)
+    rows = SPECS["agg_benjamini_hochberg"].builder(spark, sf_oracle).collect()
+    assert [r["event_type"] for r in rows] == order
+    for i, r in enumerate(rows):
+        assert abs(r["z"] - zs[r["event_type"]]) < 2e-6
+        assert r["bh_reject"] == (i <= kmax)
+    holm = {
+        r["event_type"]: r["holm_reject"]
+        for r in SPECS["agg_holm_bonferroni"].builder(spark, sf_oracle).collect()
+    }
+    for r in rows:
+        if holm[r["event_type"]]:
+            assert r["bh_reject"]  # BH(0.10) contains Holm(0.05)
+
+
+def test_burrows_delta_matches_numpy_recompute(spark, sf_oracle):
+    import numpy as np
+    from collections import Counter, defaultdict
+
+    from target_iceberg_spark.plans.text_stylometry import (
+        DELTA_TOP,
+        DELTA_WORDS,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    sw: Counter = Counter()
+    wtot: Counter = Counter()
+    stot: Counter = Counter()
+    for r in load_table(spark, sf_oracle, "documents").collect():
+        for w in r["text"].split(" "):
+            sw[(r["source"], w)] += 1
+            wtot[w] += 1
+            stot[r["source"]] += 1
+    topw = sorted(wtot, key=lambda w: (-wtot[w], w))[:DELTA_WORDS]
+    sources = sorted(stot)
+    Fm = np.array(
+        [[sw.get((s, w), 0) / stot[s] for w in topw] for s in sources]
+    )
+    Z = (Fm - Fm.mean(axis=0)) / Fm.std(axis=0, ddof=1)
+    deltas = {}
+    for i, a in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            deltas[(a, sources[j])] = round(
+                float(np.abs(Z[i] - Z[j]).mean()), 6
+            )
+    want = sorted(deltas.items(), key=lambda t: (t[1], t[0]))[:DELTA_TOP]
+    rows = SPECS["text_burrows_delta"].builder(spark, sf_oracle).collect()
+    assert len(rows) == DELTA_TOP
+    for r, ((a, b), dv) in zip(rows, want):
+        assert (r["source_a"], r["source_b"]) == (a, b)
+        assert abs(r["delta"] - dv) < 2e-5
+
+
+def test_prf_rocchio_feedback_properties(spark, sf_oracle):
+    """The expanded query must (a) keep the pseudo-relevant set highly
+    ranked, (b) produce ranks that are a permutation consistent with
+    the reported expanded scores, and (c) match a numpy recompute of
+    both scoring rounds."""
+    import numpy as np
+
+    from target_iceberg_spark.plans.similarity import PROBE_VEC_ID
+    from target_iceberg_spark.plans.similarity_prf import (
+        PRF_BETA,
+        PRF_FEEDBACK_K,
+        PRF_TOP,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    q = vecs[PROBE_VEC_ID]
+    cands = sorted(v for v in vecs if v != PROBE_VEC_ID)
+
+    def cos(a, b):
+        return round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 6)
+
+    c0 = {v: cos(vecs[v], q) for v in cands}
+    order0 = sorted(cands, key=lambda v: (-c0[v], v))
+    fb = order0[:PRF_FEEDBACK_K]
+    qx = q + PRF_BETA * np.mean([vecs[v] for v in fb], axis=0)
+    cx = {v: cos(vecs[v], qx) for v in cands}
+    orderx = sorted(cands, key=lambda v: (-cx[v], v))
+
+    rows = SPECS["sim_prf_rocchio"].builder(spark, sf_oracle).collect()
+    assert len(rows) == PRF_TOP
+    for i, r in enumerate(rows):
+        assert r["vec_id"] == orderx[i]
+        assert r["rank_new"] == i + 1
+        assert abs(r["cos_expanded"] - cx[r["vec_id"]]) < 2e-6
+        assert abs(r["cos_orig"] - c0[r["vec_id"]]) < 2e-6
+        assert r["rank_orig"] == order0.index(r["vec_id"]) + 1
+    # feedback keeps the pseudo-relevant set near the top
+    new_rank = {v: i + 1 for i, v in enumerate(orderx)}
+    assert all(new_rank[v] <= 2 * PRF_FEEDBACK_K for v in fb)
