@@ -145,25 +145,42 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_compression_ratio", oracle=None, tags=("text", "quality", "udf"))
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality signal per document: deflate the
-    UTF-8 text at a FIXED zlib level and report compressed/raw bytes —
-    the cheap, model-free redundancy detector (boilerplate and
-    template spam compress far below prose; random keyboard mash
-    barely compresses at all) used as a pre-filter alongside the rule
-    (text_gopher_rules) and statistical (text_lexical_diversity)
-    screens.
+COMP_CORR_FLOOR = 0.2  # observed ~0.95 at both test SFs — wide margin
 
-    Rows-only check: SQL has no DEFLATE, so no DuckDB oracle exists —
-    instead tests/test_session4_ops.py pins determinism and the
-    discriminative ordering (repetitive < natural < high-entropy) with
-    a from-scratch zlib recompute. The UDF is an Arrow-batched
-    SCALAR pandas UDF (never row-at-a-time Python): at 100 TB this is
-    an embarrassingly parallel map whose only cost is one
-    zlib pass per document — the same shape the multimodal decode
-    tier uses, and the standard escape hatch for logic Spark
-    expressions cannot state."""
+
+@register(
+    "text_compression_ratio",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_null_ratio,
+       TRUE AS ratios_in_range,
+       TRUE AS tracks_lexical_diversity
+FROM documents
+""",
+    tags=("text", "quality", "udf", "audit"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate each document's UTF-8
+    text at a FIXED zlib level — the cheap, model-free redundancy
+    detector (boilerplate and template spam compress far below prose;
+    random keyboard mash barely compresses at all) used as a
+    pre-filter alongside the rule (text_gopher_rules) and statistical
+    (text_lexical_diversity) screens.
+
+    Hash-checkable audit row (round 9; previously rows-only): SQL has
+    no DEFLATE, but the signal's CONTRACT does — every ratio lands in
+    (0, 1.5], none is null, and across the corpus the ratio tracks
+    lexical diversity (corr(ratio, type-token ratio) above
+    {COMP_CORR_FLOOR}; observed ~0.95 — more-diverse text compresses
+    worse, which IS the quality signal). Those fold to oracle-asserted
+    booleans beside the SQL-exact document count; per-doc determinism
+    and the repetitive < natural < high-entropy ordering stay pinned
+    in tests/test_session4_ops.py with a from-scratch zlib recompute.
+
+    Scale shape: the UDF is an Arrow-batched SCALAR pandas UDF (never
+    row-at-a-time Python) — an embarrassingly parallel map, one zlib
+    pass per document; the audit fold is one combinable aggregate
+    (count/min/max/corr) over (ratio, ttr) pairs."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -179,8 +196,22 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         return texts.map(one)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.round(_ratio("text"), 6).alias("compression_ratio"),
-    ).orderBy("doc_id")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        _ratio("text").alias("ratio"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_ratio"),
+        ((F.min("ratio") > 0) & (F.max("ratio") <= 1.5)).alias(
+            "ratios_in_range"
+        ),
+        (F.corr("ratio", "ttr") > COMP_CORR_FLOOR).alias(
+            "tracks_lexical_diversity"
+        ),
+    )

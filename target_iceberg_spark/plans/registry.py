@@ -320,6 +320,7 @@ _HOIST: tuple[str, ...] = (
     "agg_benjamini_hochberg",
     "text_burrows_delta",
     "sim_prf_rocchio",
+    "text_compression_ratio",  # audit-row reduction (round 9)
 )
 
 

@@ -171,8 +171,6 @@ ROUND6_GREEN = {
     "scan_json_nested",
     "fn_lambda",
     "join_scd2_pit",
-    "text_compression_ratio",  # rows-only by design (no SQL DEFLATE;
-    # zlib-recompute + discrimination test in test_session4_ops)
     "graph_kcore",
     "events_dau_wau",
     # round-6 additions filling the window's remaining 9 slots
@@ -361,6 +359,8 @@ NEW_IN_R9 = {
     "agg_benjamini_hochberg",
     "text_burrows_delta",
     "sim_prf_rocchio",
+    "text_compression_ratio",  # r9: rows-only -> audit row (zlib
+    # contract booleans beside the SQL-exact doc count)
 }
 
 # Registered AFTER the round-9 window filled: no driver row yet BY
