@@ -51,12 +51,14 @@ def rknn_bits(n_vectors: int) -> int:
     return max(RKNN_MIN_BITS, min(RKNN_MAX_BITS, raw))
 
 
-def _rknn_oracle() -> str:
-    # the oracle pins the MIN_BITS instantiation — what rknn_bits()
-    # yields at every driver-checked SF (500 vectors -> 4 bits)
+def _rknn_oracle(bits: int = RKNN_MIN_BITS) -> str:
+    # the REGISTERED oracle pins the MIN_BITS instantiation — what
+    # rknn_bits() yields at every driver-checked SF (500 vectors ->
+    # 4 bits); tests/test_round9_ops.py re-derives the oracle at the
+    # adaptive width for larger fixtures and runs the same comparison
     keys = "\nUNION ALL ".join(
         f"SELECT vec_id, {t} AS band, "
-        f"{sign_bucket_sql('embedding', RKNN_MIN_BITS, offset=t * RKNN_MIN_BITS)}"
+        f"{sign_bucket_sql('embedding', bits, offset=t * bits)}"
         " AS bucket FROM embeddings"
         for t in range(RKNN_BANDS)
     )

@@ -1090,3 +1090,34 @@ def test_prf_rocchio_feedback_properties(spark, sf_oracle):
     # feedback keeps the pseudo-relevant set near the top
     new_rank = {v: i + 1 for i, v in enumerate(orderx)}
     assert all(new_rank[v] <= 2 * PRF_FEEDBACK_K for v in fb)
+
+
+def test_reciprocal_knn_adaptive_width_parity_at_sf01(spark):
+    """At sf0.1 the plan sizes the LSH grid wider than the registered
+    (MIN_BITS) oracle — re-derive the oracle SQL at the adaptive width
+    and the hash comparison must still hold, proving the adaptive
+    path is the SAME query at a different grid, not new semantics."""
+    import duckdb as _duck
+
+    from target_iceberg_spark.plans.similarity_mutual import (
+        RKNN_MIN_BITS,
+        _rknn_oracle,
+        rknn_bits,
+    )
+    from target_iceberg_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.1"
+    n = load_table(spark, sf, "embeddings").count()
+    bits = rknn_bits(n)
+    assert bits > RKNN_MIN_BITS  # the adaptive path is exercised
+    spark_pdf = SPECS["sim_reciprocal_knn"].builder(spark, sf).toPandas()
+    con = _duck.connect()
+    try:
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        duck_pdf = con.sql(_rknn_oracle(bits)).df()
+    finally:
+        con.close()
+    compare_frames("sim_reciprocal_knn[sf0.1-adaptive]", spark_pdf, duck_pdf)
