@@ -273,54 +273,17 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries with NO current external driver evidence. Round 9 leads
-# with the round-8 canonicalizer fail (events_sequence_dataset —
-# fixed by serializing the array in both arms) and the two r8-green
-# queries whose output changed this round (sim_ivf_recall_curve's
-# audit-row reduction; events_markov_stationary's ADVICE fix); all
-# round-9 additions append behind them, at most 47 before the window
-# fills and further queries go to NEW_IN_R9_POST_WINDOW. Everything
-# round 8 checked green (CORRECTNESS_r08.json: 48/50) rotates
-# behind. The evidence ledger lives in tests/test_registry_window.py.
+# queries with NO current external driver evidence. Round 9 closed
+# 50/50 green with an empty post-window set, so round 10 starts with
+# a fully free window: the hoist leads with round-10 work that
+# changes a previously-green query's output, then brand-new round-10
+# queries appended as each lands; overflow past 50 goes to
+# NEW_IN_R10_POST_WINDOW. Everything with a prior driver-green row
+# (CORRECTNESS_r01–r09) rotates behind. The evidence ledger lives in
+# tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-8 fail / round-9 output changes (driver evidence owed) -
-    "events_sequence_dataset",
-    "sim_ivf_recall_curve",
-    "events_markov_stationary",
-    # -- new in round 9 (appended as each lands) ----------------------
-    "agg_sprt_ab",
-    "agg_fisher_exact",
-    "agg_theil_sen",
-    "agg_winsorized_stats",
-    "text_cross_source_templates",
-    "sim_reciprocal_knn",
-    "emb_isotropy",
-    "agg_mcnemar",
-    "agg_holm_bonferroni",
-    "agg_eb_shrinkage",
-    "agg_diff_in_diff",
-    "events_xcorr",
-    "events_srm",
-    "events_capture_recapture",
-    "graph_adamic_adar",
-    "profile_functional_deps",
-    "profile_selectivity_audit",
-    # -- round-9 audit-row reductions (rows-only -> oracle-hashable) --
-    "agg_approx_distinct",
-    "agg_hll_rollup",
-    "emb_pca",
-    "emb_mmr",
-    # -- round-9 batch 7 ----------------------------------------------
-    "curation_tokenizer_fertility",
-    "events_seasonal_strength",
-    "text_char_entropy",
-    "win_match_pattern",
-    "text_keyness_g2",
-    "events_burstiness",
-    "agg_benjamini_hochberg",
-    "text_burrows_delta",
-    "sim_prf_rocchio",
-    "text_compression_ratio",  # audit-row reduction (round 9)
+    # -- round-10 output changes (driver evidence owed) ---------------
+    # -- new in round 10 (appended as each lands) ---------------------
 )
 
 

@@ -5,16 +5,16 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-10 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r09 into this ledger (every green row moves
-     from NEW_IN_R9 into a new ROUND9_GREEN set; any FAIL stays
+ROUND-11 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r10 into this ledger (every green row moves
+     from NEW_IN_R10 into a new ROUND10_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 10: any r9 FAILs first, then
-     NEW_IN_R9_POST_WINDOW (first driver check), then whatever
-     round-10 work changes outputs, then brand-new queries.
-  3. Round-10's own new queries fill whatever window slots remain
+  2. Rebuild registry._HOIST for round 11: any r10 FAILs first, then
+     NEW_IN_R10_POST_WINDOW (first driver check), then whatever
+     round-11 work changes outputs, then brand-new queries.
+  3. Round-11's own new queries fill whatever window slots remain
      after the hoist; overflow goes straight into a
-     NEW_IN_R10_POST_WINDOW set rather than competing for the window,
+     NEW_IN_R11_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -315,12 +315,11 @@ NEW_IN_R8 = {
     # tests/test_round8_ops.py)
 }
 
-# Queries with NO current driver evidence, hoisted for round 9:
-# the round-8 canonicalizer fail (fixed — serialized array), the two
-# r8-green queries whose OUTPUT changed in round 9 (sim_ivf_recall_curve
-# audit-row reduction; events_markov_stationary zero-row/state-universe
-# fix per ADVICE), plus every round-9 addition that fits the window.
-NEW_IN_R9 = {
+# Driver rows from round 9 (CORRECTNESS_r09.json: 50/50 hash-green —
+# the r8 canonicalizer fail fixed, the 2 output-changed re-checks,
+# 26 new queries, 5 audit-row reductions, and 16 hoisted spares;
+# 0 FAILs, the first zero-weak round).
+ROUND9_GREEN = {
     "events_sequence_dataset",  # r8 driver row errored; fix = r9
     "sim_ivf_recall_curve",  # r9: rows-only -> invariant audit row
     "events_markov_stationary",  # r9: ADVICE fix changes plan/output
@@ -363,14 +362,26 @@ NEW_IN_R9 = {
     # contract booleans beside the SQL-exact doc count)
 }
 
-# Registered AFTER the round-9 window filled: no driver row yet BY
+# Queries with NO current driver evidence, hoisted for round 10:
+# there is no backlog (round 9 was 50/50 green with an empty
+# post-window set), so the hoist starts with round-10 work that
+# CHANGES a previously-green query's output, then brand-new round-10
+# queries appended as each lands. Keep this set == registry._HOIST
+# at every commit.
+NEW_IN_R10 = {
+    # -- round-10 output changes (driver evidence owed) ---------------
+    # -- new in round 10 (appended as each lands) ---------------------
+}
+
+# Registered AFTER the round-10 window filled: no driver row yet BY
 # DESIGN — covered by local property/parity tests and first in line
-# for the round-10 hoist.
-NEW_IN_R9_POST_WINDOW: set[str] = set()
+# for the round-11 hoist.
+NEW_IN_R10_POST_WINDOW: set[str] = set()
 
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
     | ROUND5_GREEN | ROUND6_GREEN | ROUND7_GREEN | ROUND8_GREEN
+    | ROUND9_GREEN
 )
 
 
@@ -380,7 +391,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R9_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R10_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -389,9 +400,9 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert NEW_IN_R9 == set(_HOIST)
+    assert set(NEW_IN_R10) == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = NEW_IN_R9 - set(names)
+    missing = set(NEW_IN_R10) - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
 
 
@@ -399,5 +410,5 @@ def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - NEW_IN_R9 - NEW_IN_R9_POST_WINDOW
+    unaccounted = names - GREEN - set(NEW_IN_R10) - NEW_IN_R10_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
