@@ -146,6 +146,8 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COMP_CORR_FLOOR = 0.2  # observed ~0.95 at both test SFs — wide margin
+COMP_MIN_CHARS = 64  # ratio ceiling asserted only above this length
+# (zlib's ~11-byte fixed overhead dominates shorter docs)
 
 
 @register(
@@ -199,18 +201,34 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     scored = docs.select(
         _ratio("text").alias("ratio"),
+        F.length("text").alias("n_chars"),
         (
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
         ).alias("ttr"),
     )
+    # The <= 1.5 ceiling is asserted only for docs with at least
+    # COMP_MIN_CHARS chars: zlib's fixed header/trailer (~11 bytes)
+    # legitimately pushes the ratio past 1.5 on very short documents,
+    # so an unrestricted max would flip the oracle-pinned boolean on
+    # a corpus change that adds short docs even though the UDF is
+    # correct (ADVICE r9).
     return scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_null_ratio"),
-        ((F.min("ratio") > 0) & (F.max("ratio") <= 1.5)).alias(
-            "ratios_in_range"
-        ),
+        (
+            (F.min("ratio") > 0)
+            & (
+                F.max(
+                    F.when(
+                        F.col("n_chars") >= COMP_MIN_CHARS,
+                        F.col("ratio"),
+                    )
+                )
+                <= 1.5
+            )
+        ).alias("ratios_in_range"),
         (F.corr("ratio", "ttr") > COMP_CORR_FLOOR).alias(
             "tracks_lexical_diversity"
         ),

@@ -282,7 +282,9 @@ def _load_all() -> None:
 # (CORRECTNESS_r01–r09) rotates behind. The evidence ledger lives in
 # tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-10 output changes (driver evidence owed) ---------------
+    # -- round-10 plan/output changes (driver evidence owed) ----------
+    "text_char_entropy",  # ADVICE r9: empty-doc guard in both arms
+    "text_compression_ratio",  # ADVICE r9: length-aware ratio ceiling
     # -- new in round 10 (appended as each lands) ---------------------
 )
 

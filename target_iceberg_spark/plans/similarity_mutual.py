@@ -98,6 +98,13 @@ LIMIT {RKNN_TOP}
 """
 
 
+# NOTE: the registered oracle pins the RKNN_MIN_BITS instantiation,
+# which matches rknn_bits(N) only while the driver fixture holds
+# <= RKNN_TARGET_BUCKET * 2**RKNN_MIN_BITS = 512 vectors (sf0.001 and
+# sf0.01 both ship 500). A larger driver fixture would make the plan
+# and this static SQL use different LSH blockings — regenerate with
+# _rknn_oracle(rknn_bits(N)) in that case (tests/test_round9_ops.py
+# already runs the width-parametric comparison at bigger fixtures).
 @register(
     "sim_reciprocal_knn",
     oracle=_rknn_oracle(),

@@ -160,8 +160,17 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
     )
 
-    def lf(expr, alias):
-        return F.broadcast(lfact.select(F.col("i").alias(f"_i_{alias}"), F.col("lf").alias(alias)))
+    def lf_join(df, expr, alias):
+        # broadcast-join the log-factorial lookup on the given index
+        # expression, leaving one `alias` column behind
+        tbl = F.broadcast(
+            lfact.select(
+                F.col("i").alias(f"_i_{alias}"), F.col("lf").alias(alias)
+            )
+        )
+        return df.join(tbl, expr == F.col(f"_i_{alias}")).drop(
+            f"_i_{alias}"
+        )
 
     pmf = kgrid
     for alias, expr in [
@@ -175,9 +184,7 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lf_c1k", F.col("c1") - F.col("k")),
         ("lf_rest", F.col("n") - F.col("r1") - F.col("c1") + F.col("k")),
     ]:
-        pmf = pmf.join(lf(expr, alias), expr == F.col(f"_i_{alias}")).drop(
-            f"_i_{alias}"
-        )
+        pmf = lf_join(pmf, expr, alias)
     pmf = pmf.select(
         "n",
         "a",

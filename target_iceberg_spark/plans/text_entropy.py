@@ -31,6 +31,7 @@ WITH chars AS (
            substring(text, i.i, 1) AS ch
     FROM documents,
          LATERAL (SELECT unnest(range(1, LEAST(len(text), {ENTROPY_PREFIX}) + 1)) AS i) i
+    WHERE len(text) > 0
 ),
 freq AS (
     SELECT doc_id, source, ch, COUNT(*) AS c
@@ -69,8 +70,16 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     are both combinable groupBys keyed by doc_id (uniform, skew-free),
     and the source rollup is a final low-cardinality aggregate.
     p*log2(p) runs identically on both engines' doubles; the 4-decimal
-    round absorbs the sum-order ulp."""
-    docs = load_table(spark, sf_dir, "documents")
+    round absorbs the sum-order ulp.
+
+    Zero-length documents are filtered BEFORE the char fan-out in
+    both arms: Spark's sequence(1, 0) auto-steps DESCENDING to [1, 0]
+    (two empty-char rows) while DuckDB's range(1, 1) is empty, so an
+    unguarded empty doc would be counted by the plan but dropped by
+    the oracle (ADVICE r9)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
     chars = docs.select(
         "doc_id",
         "source",

@@ -369,7 +369,9 @@ ROUND9_GREEN = {
 # queries appended as each lands. Keep this set == registry._HOIST
 # at every commit.
 NEW_IN_R10 = {
-    # -- round-10 output changes (driver evidence owed) ---------------
+    # -- round-10 plan/output changes (driver evidence owed) ----------
+    "text_char_entropy",  # ADVICE r9: empty-doc guard in both arms
+    "text_compression_ratio",  # ADVICE r9: length-aware ratio ceiling
     # -- new in round 10 (appended as each lands) ---------------------
 }
 
