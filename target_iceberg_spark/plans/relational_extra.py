@@ -188,59 +188,104 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPROX_RTOL = 0.15  # 3x the rsd=0.05 contract — the hash-pinned bound
+APPROX_SAMPLE_HEX = ("0", "1", "2", "3")  # md5 1st hex char -> 1/4
+
+
+def _md5_quarter(col):
+    """Deterministic 1/4 event sample: first hex char of
+    md5(cast(event_id as string)) ∈ {APPROX_SAMPLE_HEX} — identical
+    on both engines, stable across partitionings and rounds."""
+    return F.substring(F.md5(col.cast("string")), 1, 1).isin(
+        *APPROX_SAMPLE_HEX
+    )
 
 
 @register(
     "agg_approx_distinct",
     oracle=f"""
 SELECT event_type,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-       CAST(COUNT(DISTINCT value) AS BIGINT) AS exact_values,
+       CAST(COUNT(DISTINCT CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                                     IN ('0','1','2','3') THEN user_id END) AS BIGINT)
+           AS exact_users_audit,
+       CAST(COUNT(DISTINCT CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                                     IN ('0','1','2','3') THEN value END) AS BIGINT)
+           AS exact_values_audit,
        TRUE AS users_within_rtol,
-       TRUE AS values_within_rtol
+       TRUE AS values_within_rtol,
+       TRUE AS full_est_covers_audit_users,
+       TRUE AS full_est_covers_audit_values
 FROM events GROUP BY event_type ORDER BY event_type
 """,
     tags=("aggregate", "approx", "audit"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimates per event type, reduced to a
-    HASH-CHECKABLE audit row (round 9; previously rows-only): the
-    exact distinct counts ride along and the HLL++ estimates fold to
-    within-{APPROX_RTOL} booleans the oracle asserts as TRUE — the
-    same audit-row reduction sim_ann_quality applies to the seeded
-    ANN arms (Spark's HLL register values have no SQL twin, but the
-    ERROR CONTRACT does). rsd=0.05 (Spark's default, ~512 registers):
-    tighter rsd inflates the register file quadratically — rsd=0.01
-    was the 2nd-slowest bench entry (2.2s warm vs 0.35s) for precision
-    the contract doesn't need; tests/test_approx.py still pins the
-    tighter observed 5% error on the deterministic testdata.
+    """HyperLogLog++ distinct estimates per event type, with the
+    exact-distinct audit arm BOUNDED to an md5-deterministic 1/4
+    sample (round 10; the r9 full-corpus exact arm tripled warm time
+    via the multi-distinct expand — VERDICT r9 watch item 1).
 
-    Scale shape: the exact branch is the audit's luxury at test SF
-    (it dies first at 100 TB); the sketch branch is the product —
-    combinable partial sketches, no user ids on the wire."""
+    Two branches, joined on the tiny event_type key:
+    - PRODUCT: one full-corpus pass computing only the two HLL++
+      sketches — no COUNT DISTINCT beside them, so there is NO
+      expand; partial sketches combine map-side and only register
+      files shuffle. This is the 100 TB path.
+    - AUDIT: the deterministic quarter (first md5 hex char of
+      event_id in {APPROX_SAMPLE_HEX}) carries BOTH exact distincts
+      and sketches; |est-exact|/exact <= {APPROX_RTOL} folds to the
+      oracle-asserted booleans. The expand still happens here, but
+      over 1/4 of the rows — and at 100 TB the sample fraction is
+      the knob that keeps the audit affordable.
+    The full-corpus sketch is cross-checked against the audit arm
+    without full exact counts: true_full >= exact_audit, so
+    est_full >= (1-rtol)*exact_audit whenever the sketch honors its
+    error contract — a derivable boolean that keeps the product
+    branch in the checked output (un-prunable). rsd=0.05 (Spark's
+    default, ~512 registers): tighter rsd inflates the register file
+    quadratically — rsd=0.01 was the 2nd-slowest bench entry for
+    precision the contract doesn't need; tests/test_approx.py still
+    pins the observed 5% error on the deterministic testdata."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
+    full = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("au_full"),
+        F.approx_count_distinct("value", rsd=0.05).alias("av_full"),
+    )
+    audit = (
+        ev.where(_md5_quarter(F.col("event_id")))
+        .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.05).alias("au"),
-            F.approx_count_distinct("value", rsd=0.05).alias("av"),
-            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
-            F.countDistinct("value").cast("bigint").alias("exact_values"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("au_a"),
+            F.approx_count_distinct("value", rsd=0.05).alias("av_a"),
+            F.countDistinct("user_id").cast("bigint").alias(
+                "exact_users_audit"
+            ),
+            F.countDistinct("value").cast("bigint").alias(
+                "exact_values_audit"
+            ),
         )
+    )
+    lo = 1.0 - APPROX_RTOL
+    return (
+        full.join(audit, "event_type")
         .select(
             "event_type",
-            "exact_users",
-            "exact_values",
+            "exact_users_audit",
+            "exact_values_audit",
             (
-                F.abs(F.col("au") - F.col("exact_users"))
-                / F.col("exact_users")
+                F.abs(F.col("au_a") - F.col("exact_users_audit"))
+                / F.col("exact_users_audit")
                 <= APPROX_RTOL
             ).alias("users_within_rtol"),
             (
-                F.abs(F.col("av") - F.col("exact_values"))
-                / F.col("exact_values")
+                F.abs(F.col("av_a") - F.col("exact_values_audit"))
+                / F.col("exact_values_audit")
                 <= APPROX_RTOL
             ).alias("values_within_rtol"),
+            (F.col("au_full") >= lo * F.col("exact_users_audit")).alias(
+                "full_est_covers_audit_users"
+            ),
+            (F.col("av_full") >= lo * F.col("exact_values_audit")).alias(
+                "full_est_covers_audit_values"
+            ),
         )
         .orderBy("event_type")
     )

@@ -82,6 +82,7 @@ def _ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         source=source,
     )
     probes = emb.where(F.col("vec_id") < IVC_PROBES).collect()  # bounded
+    n_clusters = len(index.centroids)
     ranks = []
     for r in probes:
         d = np.linalg.norm(
@@ -89,8 +90,15 @@ def _ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for crank, c in enumerate(np.argsort(d)):
             ranks.append((int(r["vec_id"]), int(c), crank))
-    rank_df = spark.createDataFrame(
-        ranks, "probe_id LONG, cluster INT, crank INT"
+    # bounded probes x clusters ranks (8 x 16) ride as a LITERAL map
+    # keyed by probe_id * n_clusters + cluster — no extra DataFrame,
+    # no broadcast join (round-10 trim; was the 2nd join in the plan)
+    rank_map = F.create_map(
+        *[
+            x
+            for pid, c, cr in ranks
+            for x in (F.lit(pid * n_clusters + c), F.lit(cr))
+        ]
     )
     panel = spark.createDataFrame(
         [
@@ -119,13 +127,20 @@ def _ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("rn") <= IVC_K)
-        .join(F.broadcast(rank_df), ["probe_id", "cluster"])
+        .withColumn(
+            "crank",
+            rank_map[
+                F.col("probe_id") * n_clusters + F.col("cluster")
+            ],
+        )
     )
-    depths = spark.createDataFrame(
-        [(p,) for p in IVC_NPROBES], "nprobe INT"
-    )
+    # depth fan-out via a literal array explode (was a crossJoin with
+    # a 5-row DataFrame — round-10 trim)
     return (
-        topk.crossJoin(F.broadcast(depths))
+        topk.withColumn(
+            "nprobe",
+            F.explode(F.array(*[F.lit(p) for p in IVC_NPROBES])),
+        )
         .groupBy("nprobe")
         .agg(
             F.lit(IVC_PROBES).cast("bigint").alias("n_probes"),

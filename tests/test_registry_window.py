@@ -372,6 +372,8 @@ NEW_IN_R10 = {
     # -- round-10 plan/output changes (driver evidence owed) ----------
     "text_char_entropy",  # ADVICE r9: empty-doc guard in both arms
     "text_compression_ratio",  # ADVICE r9: length-aware ratio ceiling
+    "agg_approx_distinct",  # r10: exact arm bounded to md5 quarter
+    "sim_ivf_recall_curve",  # r10 trim: literal rank map, no crossJoin
     # -- new in round 10 (appended as each lands) ---------------------
 }
 
