@@ -270,6 +270,10 @@ def _load_all() -> None:
         text_stylometry,
         similarity_prf,
     )
+    # Round-10 additions.
+    from target_iceberg_spark.plans import (  # noqa: F401
+        similarity_ivfpq,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -287,7 +291,9 @@ _HOIST: tuple[str, ...] = (
     "text_compression_ratio",  # ADVICE r9: length-aware ratio ceiling
     "agg_approx_distinct",  # r10: exact arm bounded to md5 quarter
     "sim_ivf_recall_curve",  # r10 trim: literal rank map, no crossJoin
+    "sim_ann_quality",  # r10: 4th arm (ivfpq) added to the hashed row
     # -- new in round 10 (appended as each lands) ---------------------
+    "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
 )
 
 

@@ -461,6 +461,8 @@ ANN_RECALL_FLOOR = 0.8  # same floor the CI unit tests pin per arm
 SELECT 'ivf' AS arm, CAST({ANN_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
        TRUE AS meets_floor
 UNION ALL
+SELECT 'ivfpq', CAST({ANN_RECALL_FLOOR} AS DOUBLE), TRUE
+UNION ALL
 SELECT 'lsh', CAST({ANN_RECALL_FLOOR} AS DOUBLE), TRUE
 UNION ALL
 SELECT 'pq', CAST({ANN_RECALL_FLOOR} AS DOUBLE), TRUE
@@ -469,8 +471,9 @@ ORDER BY arm
     tags=("similarity", "ann", "audit"),
 )
 def sim_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall floors for ALL THREE seeded ANN arms (IVF, MLlib BRP-LSH,
-    PQ) in one hash-checkable query: each arm's top-k is joined against
+    """Recall floors for ALL FOUR seeded ANN arms (IVF, MLlib BRP-LSH,
+    PQ, and the composed IVF+PQ "IVFADC" layout — round 10) in one
+    hash-checkable query: each arm's top-k is joined against
     the exact top-k under the arm's own metric (cosine for IVF, L2 for
     PQ/LSH — what their re-rankers emit) and reduced to a boolean
     `meets_floor` = recall@k >= 0.8.
@@ -521,6 +524,9 @@ def sim_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq": (exact_l2, sim_ann_pq(spark, sf_dir).select("vec_id")),
     }
+    from target_iceberg_spark.plans.similarity_ivfpq import sim_ann_ivfpq
+
+    arms["ivfpq"] = (exact_l2, sim_ann_ivfpq(spark, sf_dir).select("vec_id"))
     need = int(ANN_RECALL_FLOOR * TOP_K)
     parts = [
         truth.join(got, "vec_id")

@@ -374,7 +374,9 @@ NEW_IN_R10 = {
     "text_compression_ratio",  # ADVICE r9: length-aware ratio ceiling
     "agg_approx_distinct",  # r10: exact arm bounded to md5 quarter
     "sim_ivf_recall_curve",  # r10 trim: literal rank map, no crossJoin
+    "sim_ann_quality",  # r10: 4th arm (ivfpq) added to the hashed row
     # -- new in round 10 (appended as each lands) ---------------------
+    "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY
