@@ -273,6 +273,7 @@ def _load_all() -> None:
     # Round-10 additions.
     from target_iceberg_spark.plans import (  # noqa: F401
         similarity_ivfpq,
+        curation_dsir,
     )
 
 
@@ -294,6 +295,7 @@ _HOIST: tuple[str, ...] = (
     "sim_ann_quality",  # r10: 4th arm (ivfpq) added to the hashed row
     # -- new in round 10 (appended as each lands) ---------------------
     "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
+    "curation_dsir",
 )
 
 

@@ -377,6 +377,7 @@ NEW_IN_R10 = {
     "sim_ann_quality",  # r10: 4th arm (ivfpq) added to the hashed row
     # -- new in round 10 (appended as each lands) ---------------------
     "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
+    "curation_dsir",
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY

@@ -1,4 +1,5 @@
-"""Round-10 operator pins: IVFADC (sim_ann_ivfpq) recall + structure."""
+"""Round-10 operator pins: IVFADC (sim_ann_ivfpq) recall + structure,
+DSIR planted-target recovery."""
 
 from __future__ import annotations
 
@@ -93,3 +94,41 @@ def test_ivfpq_result_within_probed_clusters(spark, sf_oracle):
             f"vec {vid} from unprobed cluster {member[vid]}"
         )
     assert IVFPQ_SHORTLIST >= len(got)
+
+
+def test_dsir_recovers_planted_target(spark):
+    """DSIR must recover a planted target distribution: raw docs
+    written in the target's vocabulary outscore (and are selected
+    over) raw docs from a disjoint vocabulary."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.plans.curation_dsir import dsir_select
+
+    vocab_a = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    vocab_b = ["zeta", "eta", "theta", "iota", "kappa"]
+
+    def doc(words, i, n=30):
+        return " ".join(words[(i + j) % len(words)] for j in range(n))
+
+    rows = []
+    for i in range(5):  # target: vocab A
+        rows.append((i, "target", doc(vocab_a, i)))
+    for i in range(10):  # raw pool, target-like
+        rows.append((100 + i, "poolA", doc(vocab_a, i + 1)))
+    for i in range(40):  # raw pool, off-target
+        rows.append((200 + i, "poolB", doc(vocab_b, i)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = dsir_select(
+        docs, F.col("source") == "target", k=10
+    ).collect()
+    assert len(got) == 10
+    from_a = [r for r in got if r["source"] == "poolA"]
+    assert len(from_a) >= 8, (
+        f"planted target not recovered: {[r['source'] for r in got]}"
+    )
+    # every target-vocab doc outweighs every off-target doc
+    wa = min(r["logw"] for r in got if r["source"] == "poolA")
+    wb = [r["logw"] for r in got if r["source"] == "poolB"]
+    assert all(wa > w for w in wb) or not wb
