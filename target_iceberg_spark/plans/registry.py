@@ -296,6 +296,7 @@ _HOIST: tuple[str, ...] = (
     # -- new in round 10 (appended as each lands) ---------------------
     "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
     "curation_dsir",
+    "stream_late_data",  # r10: rows-only -> deterministic final table
 )
 
 

@@ -85,7 +85,21 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_late_data", oracle=None, tags=("streaming", "watermark"), bench=False)
+@register(
+    "stream_late_data",
+    oracle="""
+SELECT TIMESTAMP '2024-01-01 00:00:00' AS win_start,
+       'click' AS event_type,
+       CAST(10 AS BIGINT) AS n_events,
+       CAST(10.0 AS DOUBLE) AS sum_value
+UNION ALL
+SELECT TIMESTAMP '2024-01-01 05:00:00', 'click',
+       CAST(2 AS BIGINT), CAST(2.0 AS DOUBLE)
+ORDER BY win_start
+""",
+    tags=("streaming", "watermark", "audit"),
+    bench=False,
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data policy, exercised on the REAL streaming path:
     three bounded runs over a shared checkpoint — run 1 advances the
@@ -95,10 +109,20 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns BOTH finalized windows, so the result discriminates every
     policy outcome: (00:00, n=10) proves the too-late event was dropped
     (11 would mean it leaked in), (05:00, n=2) proves the
-    within-watermark event was counted. Exact rows pinned in
-    tests/test_streaming.py::test_watermark_drops_late_events;
-    rows-only for the external harness — a batch SQL oracle cannot
-    express watermark state. Excluded from bench (multi-run setup)."""
+    within-watermark event was counted.
+
+    HASH-CHECKABLE since round 10 (was the last reducible rows-only
+    entry; VERDICT r9 task 5): the fixture is static and the
+    append-mode final table after the third run is DETERMINISTIC, so
+    the oracle is the hand-derivable batch aggregation of the injected
+    events minus exactly the dropped late event — window 00:00 holds
+    its 10 on-time events (the 11th, event 100 at 00:30, arrives
+    behind the 04:00 watermark and must be dropped; 11 here means the
+    watermark leaked), window 05:00 holds events 99+101 (2.0), and the
+    07:00/08:00 windows are still open at shutdown so append mode
+    never emits them. The three-run watermark mechanics stay pinned in
+    tests/test_streaming.py::test_watermark_drops_late_events.
+    Excluded from bench (multi-run setup)."""
     import os
     import shutil
     import tempfile
@@ -171,7 +195,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(out_dir)
     rows, schema = out.collect(), out.schema
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schema).orderBy("win_start")
 
 
 @register(

@@ -378,6 +378,7 @@ NEW_IN_R10 = {
     # -- new in round 10 (appended as each lands) ---------------------
     "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
     "curation_dsir",
+    "stream_late_data",  # r10: rows-only -> deterministic final table
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY
