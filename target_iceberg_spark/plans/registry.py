@@ -274,6 +274,12 @@ def _load_all() -> None:
     from target_iceberg_spark.plans import (  # noqa: F401
         similarity_ivfpq,
         curation_dsir,
+        stats_contingency,
+        stats_kendall,
+        stats_order_ci,
+        sketches_cm,
+        analytics_changepoint,
+        graph_jaccard,
     )
 
 
@@ -297,6 +303,13 @@ _HOIST: tuple[str, ...] = (
     "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
     "curation_dsir",
     "stream_late_data",  # r10: rows-only -> deterministic final table
+    "agg_chi2_independence",
+    "agg_levene_bf",
+    "agg_kendall_tau",
+    "agg_median_order_ci",
+    "agg_countmin_sketch",
+    "events_changepoint",
+    "graph_neighbor_jaccard",
 )
 
 

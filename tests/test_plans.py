@@ -208,6 +208,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "sim_prf_rocchio",  # broadcast PRF_TOP (10)-row result
             # crossed back for the threshold-count ranks, same class
             # as sim_topk_incremental's one-row tau cross
+            "curation_dsir",  # cross of the two one-row corpus-size
+            # totals (T and R) onto the bucket models — the Laplace
+            # denominators, same class as text_bm25's one-row stats
         ), f"unexpected BNLJ in {name}"
 
 
@@ -419,6 +422,10 @@ def test_neardup_pipeline_drops_via_anti_join(spark, sf_oracle):
 # #months rows by a combinable groupBy, where a single-task window is
 # O(groups) by construction.
 UNPARTITIONED_WINDOW_OK = {
+    "events_changepoint",  # cumulative-SSE scan over the daily series
+    # (calendar-bounded rows), same class as agg_mom_growth
+    "agg_chi2_independence",  # margin windows over the <= |types|x2
+    # contingency cells, same class as agg_cramers_v
     "curation_domain_mix",  # per-source share frame (<= #sources rows)
     "curation_mix_temperature",  # same bounded per-source frame
     "agg_mom_growth",  # monthly series (<= months-of-history rows)

@@ -379,6 +379,13 @@ NEW_IN_R10 = {
     "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
     "curation_dsir",
     "stream_late_data",  # r10: rows-only -> deterministic final table
+    "agg_chi2_independence",
+    "agg_levene_bf",
+    "agg_kendall_tau",
+    "agg_median_order_ci",
+    "agg_countmin_sketch",
+    "events_changepoint",
+    "graph_neighbor_jaccard",
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY

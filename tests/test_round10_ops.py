@@ -132,3 +132,199 @@ def test_dsir_recovers_planted_target(spark):
     wa = min(r["logw"] for r in got if r["source"] == "poolA")
     wb = [r["logw"] for r in got if r["source"] == "poolB"]
     assert all(wa > w for w in wb) or not wb
+
+
+# ---------------------------------------------------------------------------
+# Round-10 stats tier: independent NumPy/pure-Python re-derivations
+# (the DuckDB oracle is checked separately by test_oracle_parity.py;
+# these pin the STATISTIC against a from-scratch implementation so a
+# shared plan/oracle mistake cannot self-confirm).
+# ---------------------------------------------------------------------------
+
+
+def _events_pdf(sf_oracle):
+    import duckdb
+
+    return duckdb.connect().execute(
+        f"SELECT event_type, value, event_id FROM '{sf_oracle}/events.parquet'"
+    ).df()
+
+
+def test_chi2_independence_matches_numpy(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.plans.stats_contingency import CHI2_SPLIT
+
+    row = all_specs()["agg_chi2_independence"].builder(spark, sf_oracle).collect()[0]
+    pdf = _events_pdf(sf_oracle)
+    pdf["hi"] = (pdf["value"] >= CHI2_SPLIT).astype(int)
+    obs = pdf.groupby(["event_type", "hi"]).size().unstack(fill_value=0).to_numpy()
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    assert row["dof"] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    assert abs(row["chi2"] - round(chi2, 6)) < 1e-4
+    assert row["reject_independence"] == (row["chi2"] >= row["chi2_crit"])
+
+
+def test_levene_bf_matches_numpy(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.plans.registry import all_specs
+
+    row = all_specs()["agg_levene_bf"].builder(spark, sf_oracle).collect()[0]
+    pdf = _events_pdf(sf_oracle)
+    groups = [
+        np.abs(g["value"].to_numpy() - round(float(np.median(g["value"])), 6))
+        for _, g in pdf.groupby("event_type")
+    ]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    zbar = sum(g.sum() for g in groups) / n
+    ssb = sum(len(g) * (g.mean() - zbar) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["dof_between"] == k - 1
+    assert row["dof_within"] == n - k
+    assert abs(row["f_stat"] - f) < 1e-4
+
+
+def test_kendall_tau_matches_pure_python(spark, sf_oracle):
+    import duckdb
+
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.plans.stats_kendall import KENDALL_N
+
+    row = all_specs()["agg_kendall_tau"].builder(spark, sf_oracle).collect()[0]
+    samp = duckdb.connect().execute(
+        f"""SELECT o_totalprice AS x,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+            FROM '{sf_oracle}/orders.parquet'
+            ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+            LIMIT {KENDALL_N}"""
+    ).fetchall()
+    c = d = tx = ty = 0
+    for i in range(len(samp)):
+        for j in range(i + 1, len(samp)):
+            dx = (samp[i][0] > samp[j][0]) - (samp[i][0] < samp[j][0])
+            dy = (samp[i][1] > samp[j][1]) - (samp[i][1] < samp[j][1])
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy == 1:
+                c += 1
+            elif dx * dy == -1:
+                d += 1
+    n0 = len(samp) * (len(samp) - 1) // 2
+    tau = (c - d) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    assert row["pairs"] == n0
+    assert (row["concordant"], row["discordant"]) == (c, d)
+    assert abs(row["tau_b"] - tau) < 1e-5
+    assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_median_order_ci_brackets_and_ranks(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.plans.stats_order_ci import Z95
+
+    rows = all_specs()["agg_median_order_ci"].builder(spark, sf_oracle).collect()
+    pdf = _events_pdf(sf_oracle)
+    assert len(rows) == pdf["event_type"].nunique()
+    for r in rows:
+        vals = np.sort(
+            pdf.loc[pdf["event_type"] == r["event_type"], "value"].to_numpy()
+        )
+        n = len(vals)
+        lo = max(int(np.floor((n - Z95 * np.sqrt(n)) / 2)), 1)
+        hi = min(int(np.ceil(1 + (n + Z95 * np.sqrt(n)) / 2)), n)
+        med = int(np.ceil(n / 2))
+        assert r["n"] == n
+        assert abs(r["ci_lo"] - round(float(vals[lo - 1]), 6)) < 1e-9
+        assert abs(r["ci_hi"] - round(float(vals[hi - 1]), 6)) < 1e-9
+        assert abs(r["median_os"] - round(float(vals[med - 1]), 6)) < 1e-9
+        assert r["ci_lo"] <= r["median_os"] <= r["ci_hi"]
+
+
+def test_countmin_contracts_and_exactness(spark, sf_oracle):
+    """CM contracts from an independent dict-based sketch build."""
+    import duckdb
+
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.plans.sketches_cm import CM_D, CM_TOP, CM_W
+
+    rows = all_specs()["agg_countmin_sketch"].builder(spark, sf_oracle).collect()
+    assert len(rows) == CM_TOP
+    import hashlib
+    from collections import Counter
+
+    uids = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT user_id FROM '{sf_oracle}/events.parquet'")
+        .fetchall()
+    ]
+    sketch = Counter()
+    for u in uids:
+        for s in range(CM_D):
+            h = int(hashlib.md5(f"{s}:{u}".encode()).hexdigest()[:8], 16) % CM_W
+            sketch[(s, h)] += 1
+    exact = Counter(uids)
+    for r in rows:
+        u = r["user_id"]
+        est = min(
+            sketch[
+                (s, int(hashlib.md5(f"{s}:{u}".encode()).hexdigest()[:8], 16) % CM_W)
+            ]
+            for s in range(CM_D)
+        )
+        assert r["exact_cnt"] == exact[u]
+        assert r["cm_est"] == est
+        assert r["no_underestimate"] and r["cm_est"] >= r["exact_cnt"]
+
+
+def test_changepoint_matches_numpy_scan(spark, sf_oracle):
+    import duckdb
+    import numpy as np
+
+    from target_iceberg_spark.plans.registry import all_specs
+
+    row = all_specs()["events_changepoint"].builder(spark, sf_oracle).collect()[0]
+    daily = duckdb.connect().execute(
+        f"""SELECT CAST(ts AS DATE) AS day, ROUND(AVG(value), 6) AS x
+            FROM '{sf_oracle}/events.parquet' GROUP BY 1 ORDER BY day"""
+    ).fetchall()
+    x = np.array([d[1] for d in daily])
+    tt = len(x)
+    best = None
+    for t in range(1, tt):
+        sse = ((x[:t] - x[:t].mean()) ** 2).sum() + ((x[t:] - x[t:].mean()) ** 2).sum()
+        if best is None or sse < best[1] - 1e-9:
+            best = (t, sse)
+    assert row["split_t"] == best[0]
+    assert row["n_days"] == tt
+    assert abs(row["cost"] - best[1]) < 1e-3
+    total = ((x - x.mean()) ** 2).sum()
+    assert abs(row["var_reduction"] - (1 - best[1] / total)) < 1e-4
+
+
+def test_neighbor_jaccard_is_valid_and_unlinked(spark, sf_oracle):
+    from target_iceberg_spark.plans.graph_edges import copurchase_edges
+    from target_iceberg_spark.plans.graph_jaccard import NJ_SUPPORT, NJ_TOP
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["graph_neighbor_jaccard"].builder(spark, sf_oracle).collect()
+    assert 0 < len(rows) <= NJ_TOP
+    edges = {
+        (r["pa"], r["pb"])
+        for r in copurchase_edges(spark, sf_oracle, support=NJ_SUPPORT).collect()
+    }
+    jac = [r["jaccard"] for r in rows]
+    assert jac == sorted(jac, reverse=True)
+    for r in rows:
+        assert (r["part_a"], r["part_b"]) not in edges
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["common_nbrs"] <= r["union_nbrs"]
