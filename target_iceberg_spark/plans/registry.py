@@ -280,6 +280,9 @@ def _load_all() -> None:
         sketches_cm,
         analytics_changepoint,
         graph_jaccard,
+        text_kneser_ney,
+        text_nb_classifier,
+        embeddings_whitening,
     )
 
 
@@ -310,6 +313,9 @@ _HOIST: tuple[str, ...] = (
     "agg_countmin_sketch",
     "events_changepoint",
     "graph_neighbor_jaccard",
+    "text_kneser_ney",
+    "text_nb_langid",
+    "emb_whitening",
 )
 
 

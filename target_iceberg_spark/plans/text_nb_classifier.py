@@ -1,0 +1,155 @@
+"""Distributed Naive-Bayes language classifier — train, score, and
+evaluate in one job (SURVEY.md §2B text tier, round 10).
+
+text_langid is the n-gram HEURISTIC (stopword hit rates); production
+pipelines (fastText's langid, CCNet — public) use a TRAINED linear
+model. Multinomial Naive Bayes is the one trained classifier whose
+fit is literally a groupBy: per-class token log-likelihoods
+ln P(w|c) = ln((c(w,c)+1)/(T_c+V)) and priors ln P(c), so the whole
+train -> predict -> confusion-matrix loop is expressible as counts
+and joins in both engines — a real trained-model operator with an
+exact oracle, no RNG and no gradient loop.
+
+Resubstitution evaluation (train and score on the same corpus) is
+deliberate and stated: the point is the distributed TRAINER shape,
+and the confusion matrix makes the quality measurable either way.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from target_iceberg_spark.functions.textfns import tokens
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+
+@register(
+    "text_nb_langid",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+cls AS (
+    SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           LN(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents))
+               AS log_prior
+    FROM documents GROUP BY lang
+),
+cw AS (
+    SELECT tok, lang AS c, CAST(COUNT(*) AS BIGINT) AS cwc
+    FROM toks GROUP BY tok, lang
+),
+vocab AS (SELECT DISTINCT tok FROM toks),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+tc AS (SELECT c, SUM(cwc) AS t_c FROM cw GROUP BY c),
+grid AS (
+    SELECT vo.tok, cl.c,
+           LN((COALESCE(cw.cwc, 0) + 1) / (tc.t_c + v.v)) AS logp
+    FROM vocab vo
+    CROSS JOIN cls cl
+    CROSS JOIN v
+    JOIN tc ON tc.c = cl.c
+    LEFT JOIN cw ON cw.tok = vo.tok AND cw.c = cl.c
+),
+scores AS (
+    SELECT t.doc_id, t.lang AS true_lang, g.c,
+           ROUND(SUM(g.logp) + ANY_VALUE(cl.log_prior), 6) AS score
+    FROM toks t
+    JOIN grid g ON g.tok = t.tok
+    JOIN cls cl ON cl.c = g.c
+    GROUP BY t.doc_id, t.lang, g.c
+),
+pred AS (
+    SELECT doc_id, true_lang, c AS pred_lang
+    FROM (SELECT doc_id, true_lang, c,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, c) AS rn
+          FROM scores)
+    WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+""",
+    tags=("text", "classifier", "langid", "ml"),
+)
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NB language classifier trained distributedly:
+    Laplace-smoothed per-class token log-likelihoods over the full
+    vocab x class grid (zeros included via left join — absent tokens
+    still carry smoothed mass), doc scores = sum of token logps +
+    class prior, argmax per doc, confusion matrix vs the true lang.
+
+    On the synthetic fixture every token occurs in every language (the
+    lang column is drawn independently of the text), so resubstitution
+    accuracy sits near the class prior — expected, and the driver hash
+    pins that exact confusion matrix; the ALGORITHM's separating power
+    is pinned in tests on a planted two-language corpus where the same
+    plan must score a perfect diagonal.
+
+    Scale shape: training is TWO combinable aggregates ((tok, class)
+    counts and class totals); the scoring grid is vocabulary x
+    classes — Zipf-bounded, never corpus-bounded; the per-doc score
+    join shuffles token occurrences against that bounded grid, and
+    the argmax is a (doc)-partitioned window over |classes| rows.
+    Scores round to 6 before the argmax so a cross-engine sum-order
+    ulp cannot flip a prediction (ties then break on class name)."""
+    return nb_confusion(load_table(spark, sf_dir, "documents"))
+
+
+def nb_confusion(docs: DataFrame) -> DataFrame:
+    """Train-score-evaluate multinomial NB on (doc_id, lang, text):
+    the full operator body, factored so tests can run it on planted
+    corpora with known separability."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    cls_counts = docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = cls_counts.agg(F.sum("n_docs").cast("double").alias("nd"))
+    cls = cls_counts.crossJoin(F.broadcast(tot)).select(
+        "c", F.log(F.col("n_docs") / F.col("nd")).alias("log_prior")
+    )
+    cw = toks.groupBy("tok", F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cwc")
+    )
+    vocab = toks.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    tc = cw.groupBy("c").agg(F.sum("cwc").alias("t_c"))
+    grid = (
+        vocab.crossJoin(F.broadcast(cls.select("c")))
+        .crossJoin(F.broadcast(v))
+        .join(F.broadcast(tc), "c")
+        .join(cw, ["tok", "c"], "left")
+        .select(
+            "tok",
+            "c",
+            F.log(
+                (F.coalesce(F.col("cwc"), F.lit(0)) + 1) / (F.col("t_c") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    scores = (
+        toks.join(grid, "tok")
+        .join(F.broadcast(cls.select("c", "log_prior")), "c")
+        .groupBy(F.col("doc_id"), F.col("lang").alias("true_lang"), F.col("c"))
+        .agg(
+            F.round(F.sum("logp") + F.any_value("log_prior"), 6).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("c").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -211,6 +211,19 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "curation_dsir",  # cross of the two one-row corpus-size
             # totals (T and R) onto the bucket models — the Laplace
             # denominators, same class as text_bm25's one-row stats
+            "text_kneser_ney",  # cross of the one-row bigram-type
+            # total (the continuation denominator N1+(..))
+            "text_nb_langid",  # cross of the <= |classes|-row class
+            # list onto the vocab (the smoothing grid) + the one-row
+            # vocab size — same class as emb_centroid_classify
+            "emb_whitening",  # cross of the one-row variance audit
+            # onto the K-row axis list, same class as emb_pca
+            "agg_kendall_tau",  # broadcast inequality self-join of
+            # the CONSTANT 400-row md5 sample (~80k pairs at any SF)
+            "agg_countmin_sketch",  # cross of the one-row corpus
+            # count N (the eps*N bound denominator)
+            "agg_levene_bf",  # cross of the one-row grand-total
+            # sufficient stats onto the k-row group table
         ), f"unexpected BNLJ in {name}"
 
 

@@ -386,6 +386,9 @@ NEW_IN_R10 = {
     "agg_countmin_sketch",
     "events_changepoint",
     "graph_neighbor_jaccard",
+    "text_kneser_ney",
+    "text_nb_langid",
+    "emb_whitening",
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY

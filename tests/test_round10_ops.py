@@ -328,3 +328,126 @@ def test_neighbor_jaccard_is_valid_and_unlinked(spark, sf_oracle):
         assert (r["part_a"], r["part_b"]) not in edges
         assert 0.0 < r["jaccard"] <= 1.0
         assert r["common_nbrs"] <= r["union_nbrs"]
+
+
+def test_kneser_ney_beats_unsmoothed_on_probability_mass(spark, sf_oracle):
+    """Model sanity: every scored bigram probability is in (0,1], and
+    the discounted+backoff mass for a seen bigram is strictly positive
+    (the KN log argument can never hit zero on same-corpus scoring)."""
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["text_kneser_ney"].builder(spark, sf_oracle).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["n_docs"] > 0 and r["n_bigrams"] >= r["n_docs"]
+        # mean -ln P > 0 <=> all P < 1 on average; finite => P > 0
+        assert 0.0 < r["mean_kn_cross_entropy"] < 50.0
+
+
+def test_kneser_ney_matches_pure_python(spark, sf_oracle):
+    """Statistic pin: recompute interpolated-KN per-source cross
+    entropy from scratch in Python (dict counts) and compare."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.plans.text_kneser_ney import KN_D
+    import math
+
+    rows = {
+        r["source"]: r
+        for r in all_specs()["text_kneser_ney"].builder(spark, sf_oracle).collect()
+    }
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, source, lower(text) FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    c12, per_doc_bgs = Counter(), {}
+    for doc_id, source, text in docs:
+        t = text.split(" ")
+        bgs = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        per_doc_bgs[(doc_id, source)] = bgs
+        c12.update(bgs)
+    c1, fwd, bwd = Counter(), Counter(), Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        fwd[w1] += 1
+        bwd[w2] += 1
+    n_types = len(c12)
+    ces = defaultdict(list)
+    for (doc_id, source), bgs in per_doc_bgs.items():
+        if not bgs:
+            continue
+        nll = [
+            -math.log(
+                max(c12[b] - KN_D, 0) / c1[b[0]]
+                + KN_D * fwd[b[0]] / c1[b[0]] * bwd[b[1]] / n_types
+            )
+            for b in bgs
+        ]
+        ces[source].append(sum(nll) / len(nll))
+    for source, ce_list in ces.items():
+        assert rows[source]["n_docs"] == len(ce_list)
+        assert abs(rows[source]["mean_kn_cross_entropy"] - sum(ce_list) / len(ce_list)) < 1e-3
+
+
+def test_nb_langid_confusion_is_doc_complete(spark, sf_oracle):
+    """Every doc lands in exactly one confusion cell. (The fixture's
+    lang column is independent of its text — all tokens occur in all
+    languages — so NO classifier can beat the prior here; separating
+    power is pinned on the planted corpus below.)"""
+    import duckdb
+
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["text_nb_langid"].builder(spark, sf_oracle).collect()
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{sf_oracle}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_docs
+
+
+def test_nb_separates_planted_languages(spark):
+    """Algorithm pin: on a corpus whose two languages have disjoint
+    vocabulary (plus shared stopwords), the same NB plan must produce
+    a perfect diagonal — and a doc of mixed tokens goes to the class
+    contributing more of them."""
+    from target_iceberg_spark.plans.text_nb_classifier import nb_confusion
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "aa", "alpha beta gamma the of alpha beta"))
+    for i in range(20, 40):
+        rows.append((i, "bb", "uno dos tres the of uno dos"))
+    # mixed doc: 3 aa-tokens vs 1 bb-token => predicted aa
+    rows.append((40, "bb", "alpha beta gamma uno"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["true_lang"], r["pred_lang"]): r["n"]
+        for r in nb_confusion(docs).collect()
+    }
+    assert out[("aa", "aa")] == 20
+    assert out[("bb", "bb")] == 20
+    assert out[("bb", "aa")] == 1  # the planted mixed doc
+
+
+def test_whitening_identity_contract(spark, sf_oracle):
+    """All audit booleans true, and the whitened scores really have
+    ~unit variance when recomputed via numpy on the collected corpus."""
+    import numpy as np
+
+    from target_iceberg_spark.operators.pca import fit_pca
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.sources.tables import load_table
+
+    rows = all_specs()["emb_whitening"].builder(spark, sf_oracle).collect()
+    assert all(
+        r["unit_variance"] and r["centered"] and r["decorrelated"] for r in rows
+    )
+    emb = load_table(spark, sf_oracle, "embeddings")
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    mean, comps, eigs = fit_pca(emb, "embedding", k=2)
+    Y = (X - np.asarray(mean)) @ np.asarray(comps).T / np.sqrt(np.asarray(eigs))
+    assert np.allclose(Y.var(axis=0, ddof=1), 1.0, rtol=1e-3)
+    assert abs(np.cov(Y.T, ddof=1)[0, 1]) < 1e-4
