@@ -1,0 +1,130 @@
+"""ROC-AUC via the rank-sum identity (SURVEY.md §2B ML-evaluation
+tier, round 10).
+
+A pipeline that trains quality classifiers (text_nb_langid,
+text_quality_logistic) needs to EVALUATE them at corpus scale. AUC is
+the standard threshold-free metric, and the rank-sum identity
+AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) (Hanley & McNeil
+1982; the Mann-Whitney U equivalence, public) computes it in ONE rank
+pass — no threshold sweep, no per-point trapezoid join.
+
+Two scorers are evaluated against the length label in the same plan —
+a signal scorer (token count: near-perfect by construction, tokens
+track chars) and a null scorer (stopword share: uninformative for
+length) — so the output self-validates: AUC_signal >> AUC_null ~ 0.5.
+Mid-rank tie handling makes the statistic exact under ties.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from target_iceberg_spark.plans.registry import register
+from target_iceberg_spark.sources.tables import load_table
+
+AUC_LABEL_CHARS = 200  # positive class: n_chars >= this
+AUC_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _stops_sql() -> str:
+    return ", ".join(f"'{w}'" for w in AUC_STOPWORDS)
+
+
+@register(
+    "agg_auc_roc",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN n_chars >= {AUC_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
+           CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS s_signal,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ({_stops_sql()})))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS s_null
+    FROM documents
+),
+long AS (
+    SELECT doc_id, y, 'signal' AS scorer, s_signal AS s FROM scored
+    UNION ALL
+    SELECT doc_id, y, 'null', s_null FROM scored
+),
+rk AS (
+    SELECT scorer, y, s,
+           CAST(ROW_NUMBER() OVER (PARTITION BY scorer ORDER BY s)
+                AS DOUBLE) AS r
+    FROM long
+),
+ranked AS (
+    SELECT scorer, y,
+           AVG(r) OVER (PARTITION BY scorer, s) AS midrank
+    FROM rk
+)
+SELECT scorer,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+       ROUND((SUM(CASE WHEN y = 1 THEN midrank ELSE 0 END)
+              - SUM(y) * (SUM(y) + 1) / 2.0)
+             / (SUM(y) * CAST(SUM(1 - y) AS DOUBLE)), 6) AS auc
+FROM ranked
+GROUP BY scorer
+ORDER BY scorer
+""",
+    tags=("ml-eval", "classifier", "auc", "stats"),
+)
+def agg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of two document scorers against the length label via the
+    rank-sum identity with mid-rank ties: rank all scores once per
+    scorer, average ranks within tied score groups, and AUC falls out
+    of the positive-class rank sum — no threshold sweep.
+
+    Scale shape: scores compute map-side (codegen array ops, no
+    explode); the rank is ONE window per scorer partition — at 100 TB
+    the global per-scorer sort is the price of an EXACT AUC, and the
+    documented swap is binned AUC (histogram the scores, trapezoid
+    over the bounded bins — same shape as profile_equidepth_histogram)
+    when an approximation suffices. The final reduce is a 2-row
+    groupBy of sufficient sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in AUC_STOPWORDS])
+    scored = docs.select(
+        F.when(F.col("n_chars") >= AUC_LABEL_CHARS, 1).otherwise(0).alias("y"),
+        F.size(toks).cast("double").alias("s_signal"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.size(toks).cast("double")
+        ).alias("s_null"),
+    )
+    long = scored.select("y", F.lit("signal").alias("scorer"), F.col("s_signal").alias("s")).unionAll(
+        scored.select("y", F.lit("null").alias("scorer"), F.col("s_null").alias("s"))
+    )
+    rk = long.select(
+        "scorer",
+        "y",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("scorer").orderBy("s"))
+        .cast("double")
+        .alias("r"),
+    )
+    ranked = rk.select(
+        "scorer",
+        "y",
+        F.avg("r").over(Window.partitionBy("scorer", "s")).alias("midrank"),
+    )
+    return (
+        ranked.groupBy("scorer")
+        .agg(
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+            F.round(
+                (
+                    F.sum(F.when(F.col("y") == 1, F.col("midrank")).otherwise(0.0))
+                    - F.sum("y") * (F.sum("y") + 1) / 2.0
+                )
+                / (F.sum("y") * F.sum(1 - F.col("y")).cast("double")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("scorer")
+    )

@@ -283,6 +283,16 @@ def _load_all() -> None:
         text_kneser_ney,
         text_nb_classifier,
         embeddings_whitening,
+        lakehouse_compaction,
+        curation_order,
+        profiling_equidepth,
+        analytics_forecast,
+        curation_card,
+        stats_welch_anova,
+        stats_kappa,
+        eval_auc,
+        eval_calibration,
+        sketches_intersect,
     )
 
 
@@ -316,6 +326,16 @@ _HOIST: tuple[str, ...] = (
     "text_kneser_ney",
     "text_nb_langid",
     "emb_whitening",
+    "lakehouse_compaction_plan",
+    "curation_semantic_order",
+    "profile_equidepth_histogram",
+    "events_snaive_backtest",
+    "curation_dataset_card",
+    "agg_welch_anova",
+    "agg_cohens_kappa",
+    "agg_auc_roc",
+    "agg_calibration_ece",
+    "agg_hll_intersection",
 )
 
 

@@ -58,7 +58,12 @@ def agg_median_order_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     median — no resampling, no replicate pass.
 
     Scale shape: one window rank partitioned by the group key (the
-    well-partitioned class — each partition sorts independently), a
+    well-partitioned class — each partition sorts independently; at
+    100 TB with few huge groups, the full rank is the piece to swap
+    for a two-pass selection — approx_percentile brackets the three
+    target ranks, a second filtered pass ranks only the bracket — the
+    same exact-arm-vs-sketch trade documented on
+    profile_equidepth_histogram), a
     k-row bounds table derived from the same pass, and a semi-join
     that keeps exactly 3 rows per group before a k-row final
     aggregate. The IN-filter prunes the ranked table BEFORE the

@@ -224,6 +224,16 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # count N (the eps*N bound denominator)
             "agg_levene_bf",  # cross of the one-row grand-total
             # sufficient stats onto the k-row group table
+            "agg_welch_anova",  # same one-row weighted-totals cross
+            # as agg_levene_bf
+            "profile_equidepth_histogram",  # cross of the ONE-row
+            # quantile-boundary array onto the scan (the bucket
+            # classifier), same class as text_bm25's one-row stats
+            "agg_calibration_ece",  # cross of the one-row (mu, sd)
+            # moment fit onto the scan, same class as agg_cuped
+            "agg_hll_intersection",  # crosses of four ONE-row
+            # aggregates (three exact audience counts + the sketch
+            # row), same class as profile_kmv_jaccard
         ), f"unexpected BNLJ in {name}"
 
 
@@ -435,6 +445,8 @@ def test_neardup_pipeline_drops_via_anti_join(spark, sf_oracle):
 # #months rows by a combinable groupBy, where a single-task window is
 # O(groups) by construction.
 UNPARTITIONED_WINDOW_OK = {
+    "curation_semantic_order",  # final rank over the 40-row
+    # TakeOrdered head, same class as sim_hybrid_rrf's k-row ranks
     "events_changepoint",  # cumulative-SSE scan over the daily series
     # (calendar-bounded rows), same class as agg_mom_growth
     "agg_chi2_independence",  # margin windows over the <= |types|x2

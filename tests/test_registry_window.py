@@ -389,6 +389,16 @@ NEW_IN_R10 = {
     "text_kneser_ney",
     "text_nb_langid",
     "emb_whitening",
+    "lakehouse_compaction_plan",
+    "curation_semantic_order",
+    "profile_equidepth_histogram",
+    "events_snaive_backtest",
+    "curation_dataset_card",
+    "agg_welch_anova",
+    "agg_cohens_kappa",
+    "agg_auc_roc",
+    "agg_calibration_ece",
+    "agg_hll_intersection",
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY

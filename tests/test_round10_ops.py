@@ -451,3 +451,247 @@ def test_whitening_identity_contract(spark, sf_oracle):
     Y = (X - np.asarray(mean)) @ np.asarray(comps).T / np.sqrt(np.asarray(eigs))
     assert np.allclose(Y.var(axis=0, ddof=1), 1.0, rtol=1e-3)
     assert abs(np.cov(Y.T, ddof=1)[0, 1]) < 1e-4
+
+
+def test_compaction_plan_respects_target_and_conserves_bytes(spark, sf_oracle):
+    """Every bin except a partition's last holds >= target bytes
+    (next-fit never closes a bin early), no file is split, and total
+    bytes across bins equals the inventory total."""
+    import duckdb
+
+    from target_iceberg_spark.plans.lakehouse_compaction import (
+        ROW_BYTES,
+        TARGET_BYTES,
+    )
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["lakehouse_compaction_plan"].builder(spark, sf_oracle).collect()
+    total = sum(r["bin_bytes"] for r in rows)
+    expect = duckdb.connect().execute(
+        f"SELECT COUNT(*) * {ROW_BYTES} FROM '{sf_oracle}/orders.parquet'"
+    ).fetchone()[0]
+    assert total == expect
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r["part"]].append(r)
+    for part, bins in by_part.items():
+        bins.sort(key=lambda r: r["bin"])
+        assert [r["bin"] for r in bins] == list(range(len(bins)))
+        for r in bins[:-1]:
+            # interior bins overflow the target by design (next-fit
+            # closes a bin only once the running sum crosses it)
+            assert r["bin_bytes"] >= TARGET_BYTES
+
+
+def test_semantic_order_is_cluster_contiguous_and_centroid_out(spark, sf_oracle):
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["curation_semantic_order"].builder(spark, sf_oracle).collect()
+    ranks = [r["curriculum_rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    # cluster ids never decrease along the curriculum; distance is
+    # non-decreasing within a cluster (coherent-core-first)
+    for a, b in zip(rows, rows[1:]):
+        assert b["cluster"] >= a["cluster"]
+        if b["cluster"] == a["cluster"]:
+            assert b["dist2"] >= a["dist2"]
+    # the centroid seed of the first cluster present sits at distance 0
+    first = rows[0]
+    assert first["dist2"] == 0.0 and first["vec_id"] == first["cluster"]
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_oracle):
+    import duckdb
+
+    from target_iceberg_spark.plans.profiling_equidepth import ED_B
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["profile_equidepth_histogram"].builder(spark, sf_oracle).collect()
+    assert [r["bucket"] for r in rows] == list(range(ED_B))
+    n_total = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{sf_oracle}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_total
+    # equi-depth: every bucket within 2% of N/B (continuous values,
+    # ties cannot pile up)
+    for r in rows:
+        assert abs(r["n"] - n_total / ED_B) <= 0.02 * n_total
+    # ranges tile without overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_snaive_backtest_matches_pandas(spark, sf_oracle):
+    import duckdb
+
+    from target_iceberg_spark.plans.analytics_forecast import (
+        SNAIVE_HOLDOUT,
+        SNAIVE_SEASON,
+    )
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = {
+        r["event_type"]: r
+        for r in all_specs()["events_snaive_backtest"].builder(spark, sf_oracle).collect()
+    }
+    daily = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(ts AS DATE) d, ROUND(SUM(value),6) y
+            FROM '{sf_oracle}/events.parquet' GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    for et, g in daily.groupby("event_type"):
+        y = g["y"].tolist()
+        days = g["d"].tolist()
+        last = days[-1]
+        errs = [
+            (y[i], y[i - SNAIVE_SEASON])
+            for i in range(SNAIVE_SEASON, len(y))
+            if (last - days[i]).days < SNAIVE_HOLDOUT
+        ]
+        mae = sum(abs(a - b) for a, b in errs) / len(errs)
+        mape = sum(abs(a - b) / abs(a) for a, b in errs) / len(errs)
+        assert rows[et]["n_days"] == len(errs)
+        assert abs(rows[et]["mae"] - mae) < 1e-5
+        assert abs(rows[et]["mape"] - mape) < 1e-5
+
+
+def test_dataset_card_is_single_pass_consistent(spark, sf_oracle):
+    import duckdb
+
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["curation_dataset_card"].builder(spark, sf_oracle).collect()
+    con = duckdb.connect()
+    truth = {
+        r[0]: r
+        for r in con.execute(
+            f"""SELECT source, COUNT(*), SUM(len(string_split(lower(text),' '))),
+                       COUNT(DISTINCT lang), COUNT(DISTINCT md5(text))
+                FROM '{sf_oracle}/documents.parquet' GROUP BY source"""
+        ).fetchall()
+    }
+    assert len(rows) == len(truth)
+    for r in rows:
+        t = truth[r["source"]]
+        assert r["n_docs"] == t[1]
+        assert r["total_tokens"] == t[2]
+        assert r["n_langs"] == t[3]
+        assert abs(r["exact_dup_rate"] - (1 - t[4] / t[1])) < 1e-6
+        assert 0.0 <= r["exact_dup_rate"] < 1.0
+
+
+def test_welch_anova_matches_numpy(spark, sf_oracle):
+    import numpy as np
+
+    from target_iceberg_spark.plans.registry import all_specs
+
+    row = all_specs()["agg_welch_anova"].builder(spark, sf_oracle).collect()[0]
+    pdf = _events_pdf(sf_oracle)
+    groups = [g["value"].to_numpy() for _, g in pdf.groupby("event_type")]
+    k = len(groups)
+    w = np.array([len(g) / g.var(ddof=1) for g in groups])
+    m = np.array([g.mean() for g in groups])
+    n = np.array([len(g) for g in groups])
+    mw = (w * m).sum() / w.sum()
+    num = (w * (m - mw) ** 2).sum() / (k - 1)
+    lam = ((1 - w / w.sum()) ** 2 / (n - 1)).sum()
+    f = num / (1 + 2 * (k - 2) / (k**2 - 1) * lam)
+    assert row["dof1"] == k - 1
+    assert abs(row["f_welch"] - f) < 1e-4
+    assert abs(row["dof2"] - (k**2 - 1) / (3 * lam)) < 0.02
+
+
+def test_cohens_kappa_matches_pure_python(spark, sf_oracle):
+    import duckdb
+
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.plans.stats_kappa import (
+        KAPPA_MIN_CHARS,
+        KAPPA_MIN_STOP_RATIO,
+        KAPPA_STOPWORDS,
+    )
+
+    row = all_specs()["agg_cohens_kappa"].builder(spark, sf_oracle).collect()[0]
+    docs = duckdb.connect().execute(
+        f"SELECT n_chars, lower(text) FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    stops = set(KAPPA_STOPWORDS)
+    n = bp = bf = ap = bp2 = 0
+    for n_chars, text in docs:
+        toks = text.split(" ")
+        ra = 1 if n_chars >= KAPPA_MIN_CHARS else 0
+        rb = 1 if sum(t in stops for t in toks) / len(toks) >= KAPPA_MIN_STOP_RATIO else 0
+        n += 1
+        ap += ra
+        bp2 += rb
+        if ra and rb:
+            bp += 1
+        if not ra and not rb:
+            bf += 1
+    assert (row["n"], row["both_pass"], row["both_fail"]) == (n, bp, bf)
+    assert (row["a_pass"], row["b_pass"]) == (ap, bp2)
+    p_o = (bp + bf) / n
+    p_e = (ap * bp2 + (n - ap) * (n - bp2)) / (n * n)
+    assert abs(row["kappa"] - (p_o - p_e) / (1 - p_e)) < 1e-5
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_auc_signal_beats_null_and_matches_sklearn_free_impl(spark, sf_oracle):
+    import duckdb
+
+    from target_iceberg_spark.plans.eval_auc import AUC_LABEL_CHARS
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = {
+        r["scorer"]: r
+        for r in all_specs()["agg_auc_roc"].builder(spark, sf_oracle).collect()
+    }
+    assert rows["signal"]["auc"] > 0.95 > rows["null"]["auc"] > 0.3
+    # independent rank-free AUC: P(score_pos > score_neg) + 0.5 ties
+    docs = duckdb.connect().execute(
+        f"""SELECT CASE WHEN n_chars >= {AUC_LABEL_CHARS} THEN 1 ELSE 0 END,
+                   len(string_split(lower(text), ' '))
+            FROM '{sf_oracle}/documents.parquet'"""
+    ).fetchall()
+    pos = [s for y, s in docs if y == 1]
+    neg = [s for y, s in docs if y == 0]
+    wins = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg)
+    assert abs(rows["signal"]["auc"] - wins / (len(pos) * len(neg))) < 1e-6
+
+
+def test_calibration_ece_matches_numpy(spark, sf_oracle):
+    import duckdb
+    import numpy as np
+
+    from target_iceberg_spark.plans.eval_calibration import (
+        ECE_BINS,
+        ECE_LABEL_CHARS,
+    )
+    from target_iceberg_spark.plans.registry import all_specs
+
+    row = all_specs()["agg_calibration_ece"].builder(spark, sf_oracle).collect()[0]
+    docs = duckdb.connect().execute(
+        f"""SELECT CASE WHEN n_chars >= {ECE_LABEL_CHARS} THEN 1 ELSE 0 END y,
+                   len(string_split(lower(text), ' ')) t
+            FROM '{sf_oracle}/documents.parquet'"""
+    ).df()
+    t = docs["t"].to_numpy(dtype=float)
+    p = np.round(1 / (1 + np.exp(-((t - t.mean()) / t.std(ddof=1)))), 6)
+    bins = np.minimum((p * ECE_BINS).astype(int), ECE_BINS - 1)
+    ece = 0.0
+    for b in np.unique(bins):
+        m = bins == b
+        ece += m.sum() / len(p) * abs(docs["y"].to_numpy()[m].mean() - p[m].mean())
+    assert row["n_docs"] == len(p)
+    assert abs(row["ece"] - ece) < 1e-4
+    assert 0.0 <= row["ece"] <= row["max_bin_gap"] <= 1.0
+
+
+def test_hll_intersection_contracts(spark, sf_oracle):
+    from target_iceberg_spark.plans.registry import all_specs
+
+    row = all_specs()["agg_hll_intersection"].builder(spark, sf_oracle).collect()[0]
+    assert row["union_within_rtol"] and row["intersection_within_rtol"]
+    assert row["exact_both"] <= min(row["exact_a"], row["exact_b"])
+    assert row["exact_both"] > 0
