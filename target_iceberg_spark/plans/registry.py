@@ -293,6 +293,8 @@ def _load_all() -> None:
         eval_auc,
         eval_calibration,
         sketches_intersect,
+        scans_corrupt,
+        stats_gmm,
     )
 
 
@@ -336,6 +338,8 @@ _HOIST: tuple[str, ...] = (
     "agg_auc_roc",
     "agg_calibration_ece",
     "agg_hll_intersection",
+    "scan_jsonl_corrupt",
+    "agg_gmm_em",
 )
 
 

@@ -234,6 +234,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "agg_hll_intersection",  # crosses of four ONE-row
             # aggregates (three exact audience counts + the sketch
             # row), same class as profile_kmv_jaccard
+            "agg_gmm_em",  # per-EM-iteration cross of the ONE-row
+            # parameter table onto the scan (the E-step broadcast),
+            # same class as agg_calibration_ece's (mu, sd) cross
         ), f"unexpected BNLJ in {name}"
 
 

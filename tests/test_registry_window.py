@@ -399,6 +399,8 @@ NEW_IN_R10 = {
     "agg_auc_roc",
     "agg_calibration_ece",
     "agg_hll_intersection",
+    "scan_jsonl_corrupt",
+    "agg_gmm_em",
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY

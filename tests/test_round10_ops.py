@@ -695,3 +695,58 @@ def test_hll_intersection_contracts(spark, sf_oracle):
     assert row["union_within_rtol"] and row["intersection_within_rtol"]
     assert row["exact_both"] <= min(row["exact_a"], row["exact_b"])
     assert row["exact_both"] > 0
+
+
+def test_corrupt_scan_quarantines_exactly_the_planted_lines(spark, sf_oracle):
+    """The quarantined count equals the planted corruption rule, and
+    a clean-file control (rule never fires on keys % MOD != 0 subset)
+    parses 100%: Spark neither drops nor repairs."""
+    import duckdb
+
+    from target_iceberg_spark.plans.registry import all_specs
+    from target_iceberg_spark.plans.scans_corrupt import CORRUPT_MOD
+
+    row = all_specs()["scan_jsonl_corrupt"].builder(spark, sf_oracle).collect()[0]
+    truth = duckdb.connect().execute(
+        f"""SELECT COUNT(*) FILTER (WHERE n_nationkey % {CORRUPT_MOD} != 0),
+                   COUNT(*) FILTER (WHERE n_nationkey % {CORRUPT_MOD} = 0),
+                   SUM(n_nationkey) FILTER (WHERE n_nationkey % {CORRUPT_MOD} != 0)
+            FROM '{sf_oracle}/nation.parquet'"""
+    ).fetchone()
+    assert (row["n_clean"], row["n_quarantined"]) == (truth[0], truth[1])
+    assert row["clean_key_sum"] == truth[2]
+    assert 0 < row["quarantine_share"] < 1
+
+
+def test_gmm_em_matches_numpy_em(spark, sf_oracle):
+    """Independent EM re-derivation (numpy, same rounding discipline)
+    reproduces the unrolled plan's parameters, and EM improved the fit
+    (second-iteration responsibilities separate the quartile seeds)."""
+    import numpy as np
+
+    from target_iceberg_spark.plans.registry import all_specs
+
+    row = all_specs()["agg_gmm_em"].builder(spark, sf_oracle).collect()[0]
+    pdf = _events_pdf(sf_oracle)
+    v = pdf["value"].to_numpy(dtype=float)
+    mu1 = round(float(np.quantile(v, 0.25, method="linear")), 6)
+    mu2 = round(float(np.quantile(v, 0.75, method="linear")), 6)
+    s2 = round(float(v.var(ddof=1)), 6)
+    w1 = 0.5
+    for _ in range(2):
+        d1 = np.exp(-((v - mu1) ** 2) / (2 * s2)) * w1
+        d2 = np.exp(-((v - mu2) ** 2) / (2 * s2)) * (1 - w1)
+        g = np.round(d1 / (d1 + d2), 6)
+        w1 = round(float(g.mean()), 6)
+        mu1 = round(float((g * v).sum() / g.sum()), 6)
+        mu2 = round(float(((1 - g) * v).sum() / (1 - g).sum()), 6)
+        s2 = round(
+            float(((g * (v - mu1) ** 2).sum() + ((1 - g) * (v - mu2) ** 2).sum()) / len(v)),
+            6,
+        )
+    assert abs(row["weight1"] - w1) < 1e-4
+    assert abs(row["mean1"] - mu1) < 1e-3
+    assert abs(row["mean2"] - mu2) < 1e-3
+    assert abs(row["pooled_sd"] - s2**0.5) < 1e-3
+    assert row["ordered_components"] and row["mean1"] < row["mean2"]
+    assert 0.0 < row["weight1"] < 1.0
