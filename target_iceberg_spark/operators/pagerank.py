@@ -48,10 +48,17 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     teleport: float = 0.15,
+    restart: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of the weighted power
     method over ``edges``; ranks are full-precision doubles (callers
-    round for cross-engine comparison)."""
+    round for cross-engine comparison).
+
+    ``restart`` personalizes the teleport: a (node, r) distribution
+    (must sum to 1) that replaces the uniform 1/N both as the initial
+    rank vector and as the per-round teleport mass — Personalized
+    PageRank (Page et al. 1999 §6; Jeh & Widom WWW 2003, public).
+    ``None`` keeps the classic uniform behavior unchanged."""
     # Normalize once: every edge carries its source's out-weight share.
     # Reused by all rounds — checkpointed so each round's plan starts
     # from a materialized table instead of re-deriving the groupBy.
@@ -72,7 +79,16 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # driver-side scalar: the teleport denominator
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if restart is None:
+        # uniform teleport: constant column, no join needed
+        base = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    else:
+        # personalized teleport: nodes outside the restart set get 0
+        base = nodes.join(restart, "node", "left").select(
+            "node", F.coalesce("r", F.lit(0.0)).alias("r")
+        )
+    base = base.localCheckpoint()
+    ranks = base.select("node", F.col("r").alias("rank"))
     for _ in range(iterations):
         mass = (
             norm.join(ranks, norm.e_src == ranks.node)
@@ -80,11 +96,11 @@ def pagerank(
             .agg(F.sum(F.col("frac") * F.col("rank")).alias("mass"))
         )
         ranks = (
-            nodes.join(mass, nodes.node == mass.m_node, "left")
+            base.join(mass, base.node == mass.m_node, "left")
             .select(
                 "node",
                 (
-                    F.lit(teleport / n)
+                    F.lit(teleport) * F.col("r")
                     + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
                 ).alias("rank"),
             )

@@ -295,6 +295,8 @@ def _load_all() -> None:
         sketches_intersect,
         scans_corrupt,
         stats_gmm,
+        graph_ppr,
+        curation_dp,
     )
 
 
@@ -340,6 +342,8 @@ _HOIST: tuple[str, ...] = (
     "agg_hll_intersection",
     "scan_jsonl_corrupt",
     "agg_gmm_em",
+    "graph_ppr",
+    "curation_dp_counts",
 )
 
 

@@ -401,6 +401,8 @@ NEW_IN_R10 = {
     "agg_hll_intersection",
     "scan_jsonl_corrupt",
     "agg_gmm_em",
+    "graph_ppr",
+    "curation_dp_counts",
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY

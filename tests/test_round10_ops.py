@@ -750,3 +750,61 @@ def test_gmm_em_matches_numpy_em(spark, sf_oracle):
     assert abs(row["pooled_sd"] - s2**0.5) < 1e-3
     assert row["ordered_components"] and row["mean1"] < row["mean2"]
     assert 0.0 < row["weight1"] < 1.0
+
+
+def test_ppr_mass_concentrates_near_seed_and_matches_numpy(spark, sf_oracle):
+    """PPR from the seed beats uniform PageRank's share AT the seed,
+    total mass <= 1 (dangling drop only removes), and the unrolled
+    power method reproduces a numpy implementation."""
+    import duckdb
+    import numpy as np
+
+    from target_iceberg_spark.plans.graph_ppr import PPR_ITERS, PPR_SEED
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["graph_ppr"].builder(spark, sf_oracle).collect()
+    ppr = {r["node"]: r["ppr"] for r in rows}
+    assert abs(sum(ppr.values())) <= 1.0 + 1e-9
+    assert ppr[PPR_SEED] == max(ppr.values())  # seed dominates at 3 rounds
+    edges = duckdb.connect().execute(
+        f"""WITH seq AS (
+              SELECT event_type AS src,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS dst
+              FROM '{sf_oracle}/events.parquet')
+            SELECT src, dst, COUNT(*) FROM seq
+            WHERE dst IS NOT NULL GROUP BY src, dst"""
+    ).fetchall()
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    W = np.zeros((len(nodes), len(nodes)))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] = w
+    P = W / W.sum(axis=1, keepdims=True)
+    r = np.zeros(len(nodes))
+    r[idx[PPR_SEED]] = 1.0
+    rank = r.copy()
+    for _ in range(PPR_ITERS):
+        rank = 0.15 * r + 0.85 * (P.T @ rank)
+    for n in nodes:
+        assert abs(ppr[n] - rank[idx[n]]) < 1e-6
+
+
+def test_dp_counts_mechanism_algebra(spark, sf_oracle):
+    """The Laplace inverse-CDF reproduces in pure Python from the same
+    md5 uniform, and dp_n = exact + noise exactly."""
+    import hashlib
+    import math
+
+    from target_iceberg_spark.plans.curation_dp import DP_B
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["curation_dp_counts"].builder(spark, sf_oracle).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        u = (int(hashlib.md5(f"{r['source']}:dp".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        noise = round(
+            DP_B * math.log(2 * u) if u < 0.5 else -DP_B * math.log(2 * (1 - u)), 6
+        )
+        assert abs(r["dp_n"] - round(r["exact_n"] + noise, 6)) < 1e-9
+        assert r["within_95_interval"] == (abs(noise) <= 2.995732)
