@@ -297,6 +297,7 @@ def _load_all() -> None:
         stats_gmm,
         graph_ppr,
         curation_dp,
+        curation_knapsack,
     )
 
 
@@ -344,6 +345,7 @@ _HOIST: tuple[str, ...] = (
     "agg_gmm_em",
     "graph_ppr",
     "curation_dp_counts",
+    "curation_mix_knapsack",
 )
 
 

@@ -448,6 +448,8 @@ def test_neardup_pipeline_drops_via_anti_join(spark, sf_oracle):
 # #months rows by a combinable groupBy, where a single-task window is
 # O(groups) by construction.
 UNPARTITIONED_WINDOW_OK = {
+    "curation_mix_knapsack",  # greedy cumulative-budget sweep over
+    # the <= #sources-row aggregate, same class as curation_domain_mix
     "curation_semantic_order",  # final rank over the 40-row
     # TakeOrdered head, same class as sim_hybrid_rrf's k-row ranks
     "events_changepoint",  # cumulative-SSE scan over the daily series

@@ -403,6 +403,7 @@ NEW_IN_R10 = {
     "agg_gmm_em",
     "graph_ppr",
     "curation_dp_counts",
+    "curation_mix_knapsack",
 }
 
 # Registered AFTER the round-10 window filled: no driver row yet BY

@@ -808,3 +808,42 @@ def test_dp_counts_mechanism_algebra(spark, sf_oracle):
         )
         assert abs(r["dp_n"] - round(r["exact_n"] + noise, 6)) < 1e-9
         assert r["within_95_interval"] == (abs(noise) <= 2.995732)
+
+
+def test_knapsack_allocation_is_optimal_and_budget_exact(spark, sf_oracle):
+    """Budget exactly exhausted (or all tokens taken), monotone
+    take-shares along the quality order, and the greedy allocation
+    matches a pure-Python fractional knapsack."""
+    import duckdb
+
+    from target_iceberg_spark.plans.curation_knapsack import (
+        KNAP_BUDGET,
+        KNAP_STOPS,
+    )
+    from target_iceberg_spark.plans.registry import all_specs
+
+    rows = all_specs()["curation_mix_knapsack"].builder(spark, sf_oracle).collect()
+    total_alloc = sum(r["allocated"] for r in rows)
+    total_tokens = sum(r["tokens"] for r in rows)
+    assert total_alloc == min(KNAP_BUDGET, total_tokens)
+    shares = [r["take_share"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(shares, shares[1:]))
+    stops = ", ".join(f"'{w}'" for w in KNAP_STOPS)
+    src = duckdb.connect().execute(
+        f"""WITH per_doc AS (
+              SELECT source, len(string_split(lower(text),' ')) nt,
+                     len(list_filter(string_split(lower(text),' '),
+                         t -> t IN ({stops})))
+                     / CAST(len(string_split(lower(text),' ')) AS DOUBLE) q
+              FROM '{sf_oracle}/documents.parquet')
+            SELECT source, SUM(nt), ROUND(AVG(q),6) FROM per_doc
+            GROUP BY source ORDER BY 3 DESC, 1"""
+    ).fetchall()
+    budget = KNAP_BUDGET
+    expect = {}
+    for source, tokens, _q in src:
+        take = min(tokens, max(budget, 0))
+        expect[source] = take
+        budget -= tokens
+    for r in rows:
+        assert r["allocated"] == expect[r["source"]]
