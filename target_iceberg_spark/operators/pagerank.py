@@ -58,7 +58,15 @@ def pagerank(
     (must sum to 1) that replaces the uniform 1/N both as the initial
     rank vector and as the per-round teleport mass — Personalized
     PageRank (Page et al. 1999 §6; Jeh & Widom WWW 2003, public).
-    ``None`` keeps the classic uniform behavior unchanged."""
+    ``None`` keeps the classic uniform behavior unchanged.
+
+    CAVEAT: the node domain is derived from ``edges``, so restart
+    entries for nodes with no edges at all (isolated seeds) are
+    silently DROPPED by the left join below — the effective teleport
+    distribution then sums to less than 1. Callers whose seeds come
+    from the same edge table (the registered graph_ppr query) are
+    unaffected; callers with external seed sets must pre-filter to the
+    edge-derived node domain (asserted in tests/test_round10_ops.py)."""
     # Normalize once: every edge carries its source's out-weight share.
     # Reused by all rounds — checkpointed so each round's plan starts
     # from a materialized table instead of re-deriving the groupBy.
@@ -80,13 +88,22 @@ def pagerank(
     )
     n = nodes.count()  # driver-side scalar: the teleport denominator
     if restart is None:
-        # uniform teleport: constant column, no join needed
+        # Uniform teleport: constant column, no join needed. The
+        # per-round teleport term is the SINGLE Python division
+        # teleport / n — NOT lit(teleport) * lit(1.0 / n), whose double
+        # rounding differs from a SQL oracle's one-division teleport/n
+        # by 1 ulp for ~25% of n.
         base = nodes.select("node", F.lit(1.0 / n).alias("r"))
+        tele = F.lit(teleport / n)
     else:
-        # personalized teleport: nodes outside the restart set get 0
+        # Personalized teleport: nodes outside the restart set get 0.
+        # Here teleport * r IS exact — r values are caller-supplied
+        # literals (0.0 / 1.0-style), matching an oracle's
+        # teleport * r product bit-for-bit.
         base = nodes.join(restart, "node", "left").select(
             "node", F.coalesce("r", F.lit(0.0)).alias("r")
         )
+        tele = F.lit(teleport) * F.col("r")
     base = base.localCheckpoint()
     ranks = base.select("node", F.col("r").alias("rank"))
     for _ in range(iterations):
@@ -99,10 +116,9 @@ def pagerank(
             base.join(mass, base.node == mass.m_node, "left")
             .select(
                 "node",
-                (
-                    F.lit(teleport) * F.col("r")
-                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-                ).alias("rank"),
+                (tele + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "rank"
+                ),
             )
             .localCheckpoint()
         )

@@ -23,18 +23,25 @@ from target_iceberg_spark.sources.tables import load_table
 PPR_SEED = "signup"  # restart distribution: all mass on this state
 PPR_ITERS = 3
 PPR_DAMP = 0.85
+# Explicit double literal, NOT 1 - PPR_DAMP: Python evaluates 1 - 0.85
+# to 0.15000000000000002 while the oracle's literal 0.15 is the nearest
+# double to 0.15 — both engines must run identical IEEE arithmetic
+# (operators/pagerank.py module docstring).
+PPR_TELEPORT = 0.15
 
-_ROUND = """
-m{i} AS (
-    SELECT norm.dst AS node, SUM(norm.frac * r{p}.rank) AS mass
-    FROM norm JOIN r{p} ON norm.src = r{p}.node
+# Oracle literals are DERIVED from the module constants so a constant
+# change cannot silently desynchronize plan and oracle (ADVICE r10).
+_ROUND = f"""
+m{{i}} AS (
+    SELECT norm.dst AS node, SUM(norm.frac * r{{p}}.rank) AS mass
+    FROM norm JOIN r{{p}} ON norm.src = r{{p}}.node
     GROUP BY norm.dst
 ),
-r{i} AS (
+r{{i}} AS (
     SELECT nodes.node,
-           CAST(0.15 AS DOUBLE) * nodes.r
-               + CAST(0.85 AS DOUBLE) * COALESCE(m{i}.mass, 0) AS rank
-    FROM nodes LEFT JOIN m{i} ON nodes.node = m{i}.node
+           CAST({PPR_TELEPORT!r} AS DOUBLE) * nodes.r
+               + CAST({PPR_DAMP!r} AS DOUBLE) * COALESCE(m{{i}}.mass, 0) AS rank
+    FROM nodes LEFT JOIN m{{i}} ON nodes.node = m{{i}}.node
 )"""
 
 _PPR_ORACLE = (
@@ -122,7 +129,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
         iterations=PPR_ITERS,
         damping=PPR_DAMP,
-        teleport=1 - PPR_DAMP,
+        teleport=PPR_TELEPORT,
         restart=restart,
     )
     return ranks.select("node", F.round("rank", 9).alias("ppr")).orderBy(

@@ -790,6 +790,27 @@ def test_ppr_mass_concentrates_near_seed_and_matches_numpy(spark, sf_oracle):
         assert abs(ppr[n] - rank[idx[n]]) < 1e-6
 
 
+def test_ppr_restart_mass_on_isolated_seed_is_dropped(spark):
+    """Documented operator caveat (operators/pagerank.py): restart
+    entries for nodes absent from the edge-derived node set are dropped
+    by the left join, so the effective teleport sums to < 1. Pin the
+    behavior so a silent change is caught."""
+    from target_iceberg_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, weight double"
+    )
+    # Half the restart mass sits on an isolated node 'z' (no edges).
+    restart = spark.createDataFrame(
+        [("a", 0.5), ("z", 0.5)], "node string, r double"
+    )
+    rows = pagerank(edges, iterations=2, restart=restart).collect()
+    got = {r["node"]: r["rank"] for r in rows}
+    assert "z" not in got  # dropped, not ranked
+    # With z's mass gone the system conserves only the surviving 0.5.
+    assert abs(sum(got.values()) - 0.5) < 1e-12
+
+
 def test_dp_counts_mechanism_algebra(spark, sf_oracle):
     """The Laplace inverse-CDF reproduces in pure Python from the same
     md5 uniform, and dp_n = exact + noise exactly."""
