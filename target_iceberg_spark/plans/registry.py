@@ -311,41 +311,25 @@ def _load_all() -> None:
 # (CORRECTNESS_r01–r09) rotates behind. The evidence ledger lives in
 # tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-10 plan/output changes (driver evidence owed) ----------
-    "text_char_entropy",  # ADVICE r9: empty-doc guard in both arms
-    "text_compression_ratio",  # ADVICE r9: length-aware ratio ceiling
-    "agg_approx_distinct",  # r10: exact arm bounded to md5 quarter
-    "sim_ivf_recall_curve",  # r10 trim: literal rank map, no crossJoin
-    "sim_ann_quality",  # r10: 4th arm (ivfpq) added to the hashed row
-    # -- new in round 10 (appended as each lands) ---------------------
-    "sim_ann_ivfpq",  # rows-only by design (seeded coarse+sub k-means)
-    "curation_dsir",
-    "stream_late_data",  # r10: rows-only -> deterministic final table
-    "agg_chi2_independence",
-    "agg_levene_bf",
-    "agg_kendall_tau",
-    "agg_median_order_ci",
-    "agg_countmin_sketch",
-    "events_changepoint",
-    "graph_neighbor_jaccard",
-    "text_kneser_ney",
-    "text_nb_langid",
-    "emb_whitening",
-    "lakehouse_compaction_plan",
-    "curation_semantic_order",
-    "profile_equidepth_histogram",
-    "events_snaive_backtest",
-    "curation_dataset_card",
-    "agg_welch_anova",
-    "agg_cohens_kappa",
-    "agg_auc_roc",
-    "agg_calibration_ece",
-    "agg_hll_intersection",
-    "scan_jsonl_corrupt",
-    "agg_gmm_em",
-    "graph_ppr",
-    "curation_dp_counts",
-    "curation_mix_knapsack",
+    # -- round-11 plan/output changes (driver evidence owed) ----------
+    "graph_ppr",  # ADVICE r10: explicit PPR_TELEPORT literal
+    "graph_pagerank",  # ADVICE r10: single-division teleport/n restored
+    # -- new in round 11 (appended as each lands) ---------------------
+    # -- evidence-freshness rotation (already green; newest driver row
+    #    = r01 — re-checked this round per VERDICT r10 task 2; evict
+    #    from the END of this block if a new query needs the slot) ----
+    "agg_cube", "agg_distinct", "agg_group", "agg_percentile",
+    "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",
+    "dedup_clusters", "dedup_embedding", "dedup_exact", "dedup_keyed",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash", "fn_array",
+    "fn_conditional", "fn_date", "fn_explode", "fn_json", "fn_math",
+    "fn_string", "fn_timestamp", "join_anti", "join_asof",
+    "join_broadcast", "join_full_outer", "join_left_outer", "join_range",
+    "join_semi", "join_sortmerge", "multimodal_meta", "project_filter",
+    "q10_returned_items", "q3_shipping_priority",
+    "q5_local_supplier_volume", "scan_json_props", "scan_parquet",
+    "set_union_except", "sim_cosine_topk", "sim_cosine_topk_batch",
+    "sort_limit", "subquery_scalar", "udtf_tokens",
 )
 
 

@@ -5,16 +5,22 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-11 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r10 into this ledger (every green row moves
-     from NEW_IN_R10 into a new ROUND10_GREEN set; any FAIL stays
+ROUND-12 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r11 into this ledger (every green row moves
+     from NEW_IN_R11 into a new ROUND11_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 11: any r10 FAILs first, then
-     NEW_IN_R10_POST_WINDOW (first driver check), then whatever
-     round-11 work changes outputs, then brand-new queries.
-  3. Round-11's own new queries fill whatever window slots remain
-     after the hoist; overflow goes straight into a
-     NEW_IN_R11_POST_WINDOW set rather than competing for the window,
+  2. Rebuild registry._HOIST for round 12: any r11 FAILs first, then
+     NEW_IN_R11_POST_WINDOW (first driver check), then whatever
+     round-12 work changes outputs, then brand-new queries.
+  3. Spare window slots go to EVIDENCE FRESHNESS: hoist the queries
+     whose newest driver row is oldest (after the round-11 refresh
+     that is the remaining 2 round-1 entries `win_distribution`
+     `win_range_frame`, then the ~45 round-2 entries) so no entry's
+     newest driver row ages past ~6 rounds.
+  4. Round-12's own new queries fill whatever window slots remain
+     after the hoist (evict refresh entries from the END of the hoist
+     if a new query needs the slot); overflow goes straight into a
+     NEW_IN_R12_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -411,10 +417,71 @@ NEW_IN_R10 = {
 # for the round-11 hoist.
 NEW_IN_R10_POST_WINDOW: set[str] = set()
 
+# Driver rows from round 10 (CORRECTNESS_r10.json: 49/50 hash-green —
+# the full NEW_IN_R10 hoist plus 17 rotation re-checks — plus the one
+# by-design no_oracle row; 0 FAILs, the second zero-weak round).
+ROUND10_GREEN = {
+    "text_char_entropy", "text_compression_ratio", "agg_approx_distinct",
+    "sim_ivf_recall_curve", "sim_ann_quality", "curation_dsir",
+    "stream_late_data", "agg_chi2_independence", "agg_levene_bf",
+    "agg_kendall_tau", "agg_median_order_ci", "agg_countmin_sketch",
+    "events_changepoint", "graph_neighbor_jaccard", "text_kneser_ney",
+    "text_nb_langid", "emb_whitening", "lakehouse_compaction_plan",
+    "curation_semantic_order", "profile_equidepth_histogram",
+    "events_snaive_backtest", "curation_dataset_card", "agg_welch_anova",
+    "agg_cohens_kappa", "agg_auc_roc", "agg_calibration_ece",
+    "agg_hll_intersection", "scan_jsonl_corrupt", "agg_gmm_em",
+    "graph_ppr", "curation_dp_counts", "curation_mix_knapsack",
+    # rotation re-checks carried in the same r10 window
+    "q1_pricing_summary", "q6_revenue_forecast", "q4_order_priority",
+    "q12_ship_speed", "q9_product_profit", "q11_important_parts",
+    "q16_supplier_variety", "q2_min_cost_supplier",
+    "q20_promotion_suppliers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "events_sessionize_gap",
+    "events_path_topk", "events_active_rolling", "events_attribution",
+    "events_streaks", "events_interarrival",
+    # rows-only by design (seeded coarse+sub k-means; recall floor
+    # hashed via sim_ann_quality's green row the same round)
+    "sim_ann_ivfpq",
+}
+
+# Round-11 hoist == registry._HOIST at every commit. Composition
+# (per the round-11 procedure above): no r10 FAILs, empty r10
+# post-window set, so the hoist is
+#   (a) round-11 plan/output changes owing a fresh driver row,
+#   (b) new round-11 queries appended as each lands,
+#   (c) EVIDENCE-FRESHNESS rotation — the 44 oldest driver-green rows
+#       (all from CORRECTNESS_r01) re-checked this round; they are
+#       already green, the slots are simply spare (VERDICT r10 task 2).
+NEW_IN_R11 = {
+    # -- (a) round-11 plan/output changes (driver evidence owed) ------
+    "graph_ppr",  # ADVICE r10: explicit PPR_TELEPORT literal
+    "graph_pagerank",  # ADVICE r10: single-division teleport/n restored
+    # -- (b) new in round 11 (appended as each lands) ------------------
+    # -- (c) evidence-freshness rotation: newest driver row = r01 -----
+    "agg_cube", "agg_distinct", "agg_group", "agg_percentile",
+    "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",
+    "dedup_clusters", "dedup_embedding", "dedup_exact", "dedup_keyed",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash", "fn_array",
+    "fn_conditional", "fn_date", "fn_explode", "fn_json", "fn_math",
+    "fn_string", "fn_timestamp", "join_anti", "join_asof",
+    "join_broadcast", "join_full_outer", "join_left_outer", "join_range",
+    "join_semi", "join_sortmerge", "multimodal_meta", "project_filter",
+    "q10_returned_items", "q3_shipping_priority",
+    "q5_local_supplier_volume", "scan_json_props", "scan_parquet",
+    "set_union_except", "sim_cosine_topk", "sim_cosine_topk_batch",
+    "sort_limit", "subquery_scalar", "udtf_tokens",
+}
+
+# Registered AFTER the round-11 window filled: no driver row yet BY
+# DESIGN — covered by local property/parity tests and first in line
+# for the round-12 hoist.
+NEW_IN_R11_POST_WINDOW: set[str] = set()
+
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
     | ROUND5_GREEN | ROUND6_GREEN | ROUND7_GREEN | ROUND8_GREEN
-    | ROUND9_GREEN
+    | ROUND9_GREEN | ROUND10_GREEN
 )
 
 
@@ -424,7 +491,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R10_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R11_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -433,15 +500,23 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert set(NEW_IN_R10) == set(_HOIST)
+    assert set(NEW_IN_R11) == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = set(NEW_IN_R10) - set(names)
+    missing = set(NEW_IN_R11) - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
+
+
+def test_hoist_fits_checker_window():
+    assert len(_HOIST) <= WINDOW, (
+        f"hoist has {len(_HOIST)} entries but the checker only reads "
+        f"the first {WINDOW}; evict freshness-rotation entries from the "
+        f"end of the hoist"
+    )
 
 
 def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - set(NEW_IN_R10) - NEW_IN_R10_POST_WINDOW
+    unaccounted = names - GREEN - set(NEW_IN_R11) - NEW_IN_R11_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
