@@ -314,6 +314,8 @@ _HOIST: tuple[str, ...] = (
     # -- round-11 plan/output changes (driver evidence owed) ----------
     "graph_ppr",  # ADVICE r10: explicit PPR_TELEPORT literal
     "graph_pagerank",  # ADVICE r10: single-division teleport/n restored
+    "agg_holm_bonferroni",  # r11: crit ladder createDataFrame -> VALUES
+    "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
     # -- new in round 11 (appended as each lands) ---------------------
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01 — re-checked this round per VERDICT r10 task 2; evict
@@ -329,7 +331,7 @@ _HOIST: tuple[str, ...] = (
     "q10_returned_items", "q3_shipping_priority",
     "q5_local_supplier_volume", "scan_json_props", "scan_parquet",
     "set_union_except", "sim_cosine_topk", "sim_cosine_topk_batch",
-    "sort_limit", "subquery_scalar", "udtf_tokens",
+    "sort_limit",
 )
 
 

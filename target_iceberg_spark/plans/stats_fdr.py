@@ -110,9 +110,16 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc(F.abs(F.col("z"))), "event_type"))
         .cast("bigint"),
     )
-    crit = spark.createDataFrame(
-        [(i + 1, zc) for i, zc in enumerate(BH_Z_CRIT)],
-        "bh_step BIGINT, z_crit DOUBLE",
+    # VALUES literal (LocalRelation) rather than createDataFrame
+    # (opaque LogicalRDD) so the bounded-window plan assertion can
+    # prove the ladder's boundedness structurally (tests/test_plans.py).
+    crit = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(
+            f"(CAST({i + 1} AS BIGINT), CAST({zc!r} AS DOUBLE))"
+            for i, zc in enumerate(BH_Z_CRIT)
+        )
+        + " AS crit(bh_step, z_crit)"
     )
     flags = ranked.join(F.broadcast(crit), "bh_step").select(
         "event_type",

@@ -112,9 +112,17 @@ def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = z.withColumn(
         "holm_step", F.row_number().over(w_rank).cast("bigint")
     )
-    crit = spark.createDataFrame(
-        [(i + 1, zc) for i, zc in enumerate(HOLM_Z_CRIT)],
-        "holm_step BIGINT, z_crit DOUBLE",
+    # VALUES literal (plans as a LocalRelation) rather than
+    # createDataFrame (plans as an opaque LogicalRDD): the ladder's
+    # boundedness is then structurally provable by the registry-wide
+    # bounded-window plan assertion (tests/test_plans.py).
+    crit = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(
+            f"(CAST({i + 1} AS BIGINT), CAST({zc!r} AS DOUBLE))"
+            for i, zc in enumerate(HOLM_Z_CRIT)
+        )
+        + " AS crit(holm_step, z_crit)"
     )
     flags = ranked.join(F.broadcast(crit), "holm_step").select(
         "event_type",

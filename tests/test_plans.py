@@ -8,6 +8,7 @@ no pipeline ever degenerates into a cartesian/BNL join.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from target_iceberg_spark.plans import all_specs
@@ -569,6 +570,100 @@ def test_no_unpartitioned_windows_outside_bounded_whitelist(
         f"{name} plans an unpartitioned window ({hits[:2]}) — either "
         f"partition it, collapse the input through an aggregate first, "
         f"or whitelist it with a boundedness argument"
+    )
+
+
+# --- Structural boundedness proof for the whitelist itself ----------
+# The whitelist above records a human adjudication ("this window's
+# input is aggregate/limit-bounded"). These checks turn that contract
+# into a machine-verified plan property (VERDICT r10 task 3): every
+# unpartitioned logical Window must sit above a subtree that provably
+# collapses cardinality — an Aggregate, a Limit, a literal relation, or
+# a small Range — before any unbounded scan is reached. Residual risk
+# (documented): an Aggregate's group count is trusted as bounded, so an
+# unpartitioned window over groupBy(doc_id) would pass structurally;
+# the whitelist's per-case comments remain the guard for group-key
+# cardinality.
+
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation"}
+_COLLAPSING = {"Aggregate", "GlobalLimit", "LocalLimit"}
+
+
+def _subtree_is_bounded(node) -> bool:
+    """True if every root-to-leaf path through ``node`` crosses a
+    cardinality-collapsing operator before reaching an unbounded
+    source. Pass-through operators (Project/Filter/Join/Window/Sort/
+    Union/...) are bounded iff ALL their children are — conservative
+    for joins (bounded x unbounded is treated unbounded)."""
+    name = node.getClass().getSimpleName()
+    if name in _COLLAPSING or name in _BOUNDED_LEAVES:
+        return True
+    if name == "Range":
+        return node.numElements().longValue() <= 100_000
+    children = node.children()
+    if children.size() == 0:
+        return False  # parquet relation, LogicalRDD, stream source, ...
+    return all(
+        _subtree_is_bounded(children.apply(i)) for i in range(children.size())
+    )
+
+
+def _unbounded_unpartitioned_windows(df) -> list[str]:
+    """argStrings of unpartitioned logical Window nodes whose input
+    subtree is NOT provably bounded."""
+    bad: list[str] = []
+
+    def walk(node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not _subtree_is_bounded(node.children().apply(0))
+        ):
+            bad.append(node.argString(120))
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+def test_bounded_window_prover_rejects_window_over_scan(spark, sf_oracle):
+    # Guard the guard: a deliberately-bad unpartitioned window straight
+    # over a parquet scan must be flagged; the same window above an
+    # aggregate or a limit must pass.
+    from pyspark.sql import Window as W
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    bad = li.withColumn("r", F.row_number().over(W.orderBy("l_orderkey")))
+    assert _unbounded_unpartitioned_windows(bad)
+    over_agg = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .withColumn("r", F.row_number().over(W.orderBy("s")))
+    )
+    assert not _unbounded_unpartitioned_windows(over_agg)
+    over_limit = li.limit(10).withColumn(
+        "r", F.row_number().over(W.orderBy("l_orderkey"))
+    )
+    assert not _unbounded_unpartitioned_windows(over_limit)
+    # join of a bounded side with an unbounded side stays unbounded
+    joined = li.join(li.limit(5).select("l_orderkey"), "l_orderkey").withColumn(
+        "r", F.row_number().over(W.orderBy("l_partkey"))
+    )
+    assert _unbounded_unpartitioned_windows(joined)
+
+
+@pytest.mark.parametrize("name", sorted(UNPARTITIONED_WINDOW_OK))
+def test_whitelisted_unpartitioned_windows_are_structurally_bounded(
+    spark, sf_oracle, name
+):
+    df = SPECS[name].builder(spark, sf_oracle)
+    bad = _unbounded_unpartitioned_windows(df)
+    assert not bad, (
+        f"{name} is whitelisted as bounded but its unpartitioned window "
+        f"input is not structurally provable (no Aggregate/Limit/literal "
+        f"between window and scan): {bad[:2]}"
     )
 
 
