@@ -299,6 +299,10 @@ def _load_all() -> None:
         curation_dp,
         curation_knapsack,
     )
+    # Round-11 additions.
+    from target_iceberg_spark.plans import (  # noqa: F401
+        quality_trained,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -316,6 +320,7 @@ _HOIST: tuple[str, ...] = (
     "graph_pagerank",  # ADVICE r10: single-division teleport/n restored
     "agg_holm_bonferroni",  # r11: crit ladder createDataFrame -> VALUES
     "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
+    "text_quality_trained",
     # -- new in round 11 (appended as each lands) ---------------------
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01 — re-checked this round per VERDICT r10 task 2; evict

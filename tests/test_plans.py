@@ -238,6 +238,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "agg_gmm_em",  # per-EM-iteration cross of the ONE-row
             # parameter table onto the scan (the E-step broadcast),
             # same class as agg_calibration_ece's (mu, sd) cross
+            "text_quality_trained",  # per-IRLS-step cross of the
+            # ONE-row beta table onto the feature scan, same class as
+            # agg_gmm_em's E-step broadcast
         ), f"unexpected BNLJ in {name}"
 
 

@@ -461,6 +461,7 @@ NEW_IN_R11 = {
     "agg_holm_bonferroni",  # r11: crit ladder createDataFrame -> VALUES
     "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
     # -- (b) new in round 11 (appended as each lands) ------------------
+    "text_quality_trained",
     # -- (c) evidence-freshness rotation: newest driver row = r01 -----
     "agg_cube", "agg_distinct", "agg_group", "agg_percentile",
     "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",

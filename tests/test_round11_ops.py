@@ -1,0 +1,65 @@
+"""Round-11 operator tests: trained logistic quality (IRLS), KN
+perplexity filter, PR-AUC, snapshot GC planner."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from target_iceberg_spark.plans.registry import all_specs
+
+
+def test_quality_trained_irls_matches_numpy_and_separates(spark, sf_oracle):
+    """The two unrolled Newton steps reproduce a numpy IRLS with the
+    identical per-iteration rounding, the fit beats majority class by a
+    wide margin, and repetition carries a negative weight."""
+    from target_iceberg_spark.plans.quality_trained import (
+        FLIP_HEX,
+        IRLS_ITERS,
+        REP_CUT,
+    )
+
+    row = all_specs()["text_quality_trained"].builder(spark, sf_oracle).collect()[0]
+    assert row["trained_beats_majority"]
+    assert row["rep_weight_negative"]
+    assert row["accuracy"] >= row["majority_rate"] + 0.2  # wide margin
+
+    # Rebuild features/labels in Python and run the same rounded IRLS.
+    import duckdb
+    import hashlib
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    X, y = [], []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        rep = 1.0 - len(set(toks)) / len(toks)
+        clean = rep <= REP_CUT
+        flip = hashlib.md5(str(doc_id).encode()).hexdigest()[0] == FLIP_HEX
+        X.append([1.0, np.log(len(toks)), rep])
+        y.append(1.0 if clean != flip else 0.0)
+    X, y = np.array(X), np.array(y)
+    beta = np.zeros(3)
+    for _ in range(IRLS_ITERS):
+        p = np.round(1.0 / (1.0 + np.exp(-X @ beta)), 6)
+        w = p * (1 - p)
+        g = np.round(X.T @ (y - p), 6)
+        H = np.round(X.T @ (X * w[:, None]), 6)
+        beta = np.round(beta + np.linalg.solve(H, g), 6)
+    # The closed-form adjugate solve and np.linalg.solve agree to well
+    # under the 1e-6 rounding grain on the final coefficients.
+    assert abs(row["beta_intercept"] - beta[0]) < 2e-5
+    assert abs(row["beta_ln_tokens"] - beta[1]) < 2e-5
+    assert abs(row["beta_rep"] - beta[2]) < 2e-5
+
+
+def test_quality_trained_plan_shape(spark, sf_oracle):
+    """Each IRLS step must broadcast the 1-row beta (no corpus-sized
+    shuffle): the plan has only broadcast joins and aggregates — no
+    SortMergeJoin, no Window, no row-at-a-time Python."""
+    df = all_specs()["text_quality_trained"].builder(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row beta broadcasts
