@@ -302,6 +302,7 @@ def _load_all() -> None:
     # Round-11 additions.
     from target_iceberg_spark.plans import (  # noqa: F401
         quality_trained,
+        text_kn_perplexity,
     )
 
 
@@ -321,6 +322,7 @@ _HOIST: tuple[str, ...] = (
     "agg_holm_bonferroni",  # r11: crit ladder createDataFrame -> VALUES
     "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
     "text_quality_trained",
+    "text_kn_perplexity",
     # -- new in round 11 (appended as each lands) ---------------------
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01 — re-checked this round per VERDICT r10 task 2; evict

@@ -26,11 +26,11 @@ from target_iceberg_spark.sources.tables import load_table
 
 KN_D = 0.75  # absolute discount (Chen & Goodman's fixed-D variant)
 
-
-@register(
-    "text_kneser_ney",
-    oracle=f"""
-WITH t AS (
+# Shared scoring CTEs: fit the KN model tables and emit one nll per
+# bigram occurrence. Reused verbatim by text_kn_perplexity's oracle so
+# the fit and the filter score with literally the same SQL.
+KN_SCORED_CTES = f"""
+t AS (
     SELECT doc_id, source, string_split(lower(text), ' ') AS toks
     FROM documents
 ),
@@ -63,7 +63,13 @@ scored AS (
     JOIN ctx ON ctx.w1 = string_split(bg.bigram, ' ')[1]
     JOIN cont ON cont.w2 = string_split(bg.bigram, ' ')[2]
     CROSS JOIN types ty
-),
+)"""
+
+
+@register(
+    "text_kneser_ney",
+    oracle=f"""
+WITH {KN_SCORED_CTES},
 per_doc AS (
     SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg, AVG(nll) AS ce
     FROM scored GROUP BY source, doc_id
@@ -91,6 +97,25 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with corpus size, only with vocabulary. Every scored bigram
     was seen in training (same-corpus fit), so the max(c-D,0) term is
     never the only mass and the log argument is strictly positive."""
+    scored = kn_scored(spark, sf_dir)
+    per_doc = scored.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bg"), F.avg("nll").alias("ce")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bg").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("ce"), 4).alias("mean_kn_cross_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+def kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, nll) — one row per bigram occurrence, scored
+    against the corpus-fit KN model. The Spark twin of KN_SCORED_CTES;
+    shared by the fit report above and text_kn_perplexity's filter."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", tokens("text").alias("toks"))
     bg = t.select(
@@ -106,7 +131,7 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
     )
     types = c12.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
-    scored = (
+    return (
         bg.join(c12, "bigram")
         .withColumn("_w1", w1)
         .withColumn("_w2", w2)
@@ -127,16 +152,4 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("nll"),
         )
-    )
-    per_doc = scored.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bg"), F.avg("nll").alias("ce")
-    )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_bg").cast("bigint").alias("n_bigrams"),
-            F.round(F.avg("ce"), 4).alias("mean_kn_cross_entropy"),
-        )
-        .orderBy("source")
     )

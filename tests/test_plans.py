@@ -214,6 +214,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # denominators, same class as text_bm25's one-row stats
             "text_kneser_ney",  # cross of the one-row bigram-type
             # total (the continuation denominator N1+(..))
+            "text_kn_perplexity",  # inherits text_kneser_ney's shared
+            # scoring stage and its one-row type-total cross
             "text_nb_langid",  # cross of the <= |classes|-row class
             # list onto the vocab (the smoothing grid) + the one-row
             # vocab size — same class as emb_centroid_classify

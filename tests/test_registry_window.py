@@ -462,6 +462,7 @@ NEW_IN_R11 = {
     "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
     # -- (b) new in round 11 (appended as each lands) ------------------
     "text_quality_trained",
+    "text_kn_perplexity",
     # -- (c) evidence-freshness rotation: newest driver row = r01 -----
     "agg_cube", "agg_distinct", "agg_group", "agg_percentile",
     "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",

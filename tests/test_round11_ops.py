@@ -53,6 +53,26 @@ def test_quality_trained_irls_matches_numpy_and_separates(spark, sf_oracle):
     assert abs(row["beta_rep"] - beta[2]) < 2e-5
 
 
+def test_kn_perplexity_filter_invariants(spark, sf_oracle):
+    """The filter actually cuts: some docs die, most survive, and the
+    perplexity means straddle the threshold by construction (killed
+    docs all have ppl > KN_PPL_MAX, kept docs <= within rounding)."""
+    from target_iceberg_spark.plans.text_kn_perplexity import KN_PPL_MAX
+
+    rows = all_specs()["text_kn_perplexity"].builder(spark, sf_oracle).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    killed = sum(r["n_killed"] for r in rows)
+    assert 0 < killed < total
+    for r in rows:
+        assert 0.0 <= r["kill_rate"] <= 1.0
+        if r["n_killed"]:
+            assert r["mean_ppl_killed"] > KN_PPL_MAX
+        if r["n_killed"] < r["n_docs"]:
+            assert r["mean_ppl_kept"] <= KN_PPL_MAX + 1e-3
+        assert r["bigrams_kept"] >= 0
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
