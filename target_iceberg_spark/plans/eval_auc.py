@@ -128,3 +128,117 @@ def agg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scorer")
     )
+
+
+# --------------------------------------------------------------------
+# agg_pr_auc — average precision (PR-AUC) from the same score pass
+# --------------------------------------------------------------------
+
+
+@register(
+    "agg_pr_auc",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN n_chars >= {AUC_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
+           CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS s_signal,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ({_stops_sql()})))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS s_null
+    FROM documents
+),
+long AS (
+    SELECT y, 'signal' AS scorer, s_signal AS s FROM scored
+    UNION ALL
+    SELECT y, 'null', s_null FROM scored
+),
+by_score AS (
+    SELECT scorer, s,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS tp
+    FROM long GROUP BY scorer, s
+),
+cum AS (
+    SELECT scorer, s, n, tp,
+           SUM(n) OVER (PARTITION BY scorer ORDER BY s DESC) AS cum_n,
+           SUM(tp) OVER (PARTITION BY scorer ORDER BY s DESC) AS cum_tp,
+           SUM(tp) OVER (PARTITION BY scorer) AS n_pos
+    FROM by_score
+)
+SELECT scorer,
+       CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n) - MAX(n_pos) AS BIGINT) AS n_neg,
+       ROUND(MAX(n_pos) / CAST(SUM(n) AS DOUBLE), 6) AS prevalence,
+       ROUND(SUM((CAST(tp AS DOUBLE) / n_pos)
+                 * (CAST(cum_tp AS DOUBLE) / cum_n)), 6) AS average_precision
+FROM cum
+GROUP BY scorer
+ORDER BY scorer
+""",
+    tags=("ml-eval", "classifier", "pr-auc", "stats"),
+)
+def agg_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-wise PR-AUC, ties grouped at distinct
+    thresholds: AP = sum over score groups of dR * precision-at-group)
+    for the same two scorers agg_auc_roc evaluates — the metric that
+    matters under the class imbalance quality filters actually face.
+    Self-validates: AP_signal >> AP_null ~ prevalence.
+
+    Scale shape: CHEAPER than the exact ROC pass — rows collapse to one
+    per DISTINCT (scorer, score) via a combinable aggregate first, so
+    the cumulative windows (partitioned by scorer) run over the
+    score-cardinality table, not the corpus; integer cumsums stay exact
+    and the only doubles are the final per-group products, rounded at
+    6. The finish is a 2-row groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in AUC_STOPWORDS])
+    scored = docs.select(
+        F.when(F.col("n_chars") >= AUC_LABEL_CHARS, 1).otherwise(0).alias("y"),
+        F.size(toks).cast("double").alias("s_signal"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.size(toks).cast("double")
+        ).alias("s_null"),
+    )
+    long = scored.select(
+        "y", F.lit("signal").alias("scorer"), F.col("s_signal").alias("s")
+    ).unionAll(
+        scored.select("y", F.lit("null").alias("scorer"), F.col("s_null").alias("s"))
+    )
+    by_score = long.groupBy("scorer", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("tp"),
+    )
+    w_cum = (
+        Window.partitionBy("scorer")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("scorer")
+    cum = by_score.select(
+        "scorer",
+        "n",
+        "tp",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("tp").over(w_cum).alias("cum_tp"),
+        F.sum("tp").over(w_all).alias("n_pos"),
+    )
+    return (
+        cum.groupBy("scorer")
+        .agg(
+            F.max("n_pos").cast("bigint").alias("n_pos"),
+            (F.sum("n") - F.max("n_pos")).cast("bigint").alias("n_neg"),
+            F.round(
+                F.max("n_pos") / F.sum("n").cast("double"), 6
+            ).alias("prevalence"),
+            F.round(
+                F.sum(
+                    (F.col("tp").cast("double") / F.col("n_pos"))
+                    * (F.col("cum_tp").cast("double") / F.col("cum_n"))
+                ),
+                6,
+            ).alias("average_precision"),
+        )
+        .orderBy("scorer")
+    )

@@ -323,6 +323,7 @@ _HOIST: tuple[str, ...] = (
     "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
     "text_quality_trained",
     "text_kn_perplexity",
+    "agg_pr_auc",
     # -- new in round 11 (appended as each lands) ---------------------
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01 — re-checked this round per VERDICT r10 task 2; evict

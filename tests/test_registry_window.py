@@ -463,6 +463,7 @@ NEW_IN_R11 = {
     # -- (b) new in round 11 (appended as each lands) ------------------
     "text_quality_trained",
     "text_kn_perplexity",
+    "agg_pr_auc",
     # -- (c) evidence-freshness rotation: newest driver row = r01 -----
     "agg_cube", "agg_distinct", "agg_group", "agg_percentile",
     "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",

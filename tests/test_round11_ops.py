@@ -73,6 +73,50 @@ def test_kn_perplexity_filter_invariants(spark, sf_oracle):
         assert r["bigrams_kept"] >= 0
 
 
+def test_pr_auc_matches_sklearn_style_ap_and_separates(spark, sf_oracle):
+    """AP_signal >> AP_null ~ prevalence, and the step-wise AP matches
+    a direct numpy computation (sum of dR * precision over descending
+    distinct thresholds)."""
+    rows = all_specs()["agg_pr_auc"].builder(spark, sf_oracle).collect()
+    got = {r["scorer"]: r for r in rows}
+    assert got["signal"]["average_precision"] > 0.95
+    null_ap = got["null"]["average_precision"]
+    prev = got["null"]["prevalence"]
+    assert abs(null_ap - prev) < 0.15  # uninformative ~ prevalence
+    assert got["signal"]["average_precision"] > null_ap + 0.3
+
+    import duckdb
+
+    from target_iceberg_spark.plans.eval_auc import (
+        AUC_LABEL_CHARS,
+        AUC_STOPWORDS,
+    )
+
+    docs = duckdb.connect().execute(
+        f"SELECT n_chars, lower(text) FROM '{sf_oracle}/documents.parquet'"
+    ).fetchall()
+    pairs = []
+    for n_chars, text in docs:
+        toks = text.split(" ")
+        y = 1 if n_chars >= AUC_LABEL_CHARS else 0
+        pairs.append((float(len(toks)), y))
+    from collections import defaultdict
+
+    by_s = defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        by_s[s][0] += 1
+        by_s[s][1] += y
+    n_pos = sum(v[1] for v in by_s.values())
+    cum_n = cum_tp = 0
+    ap = 0.0
+    for s in sorted(by_s, reverse=True):
+        n, tp = by_s[s]
+        cum_n += n
+        cum_tp += tp
+        ap += (tp / n_pos) * (cum_tp / cum_n)
+    assert abs(got["signal"]["average_precision"] - ap) < 1e-5
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
