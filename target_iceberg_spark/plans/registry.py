@@ -303,6 +303,7 @@ def _load_all() -> None:
     from target_iceberg_spark.plans import (  # noqa: F401
         quality_trained,
         text_kn_perplexity,
+        lakehouse_gc,
     )
 
 
@@ -324,6 +325,7 @@ _HOIST: tuple[str, ...] = (
     "text_quality_trained",
     "text_kn_perplexity",
     "agg_pr_auc",
+    "lakehouse_snapshot_gc",
     # -- new in round 11 (appended as each lands) ---------------------
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01 — re-checked this round per VERDICT r10 task 2; evict

@@ -243,6 +243,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "text_quality_trained",  # per-IRLS-step cross of the
             # ONE-row beta table onto the feature scan, same class as
             # agg_gmm_em's E-step broadcast
+            "lakehouse_snapshot_gc",  # crosses of the one-row
+            # newest/oldest-kept policy bounds onto the metadata-sized
+            # snapshot and file-inventory tables
         ), f"unexpected BNLJ in {name}"
 
 
@@ -507,6 +510,9 @@ UNPARTITIONED_WINDOW_OK = {
     "sim_prf_rocchio",  # rank_new row_number over the PRF_TOP (10)
     # already-TakeOrdered result rows — never over the corpus (the
     # corpus-wide ranks are broadcast threshold-counts)
+    "lakehouse_snapshot_gc",  # age-rank row_number over the
+    # distinct-months snapshot aggregate (calendar-bounded), same
+    # class as agg_mom_growth
 }
 
 

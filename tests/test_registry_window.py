@@ -464,6 +464,7 @@ NEW_IN_R11 = {
     "text_quality_trained",
     "text_kn_perplexity",
     "agg_pr_auc",
+    "lakehouse_snapshot_gc",
     # -- (c) evidence-freshness rotation: newest driver row = r01 -----
     "agg_cube", "agg_distinct", "agg_group", "agg_percentile",
     "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",

@@ -117,6 +117,49 @@ def test_pr_auc_matches_sklearn_style_ap_and_separates(spark, sf_oracle):
     assert abs(got["signal"]["average_precision"] - ap) < 1e-5
 
 
+def test_snapshot_gc_policy_invariants(spark, sf_oracle):
+    """expire_snapshots semantics: the kept set is a suffix of the
+    history containing at least RETAIN_LAST snapshots and everything
+    within MAX_AGE months of the newest; reclaim only on expired rows;
+    every file is attributed exactly once."""
+    from target_iceberg_spark.plans.lakehouse_gc import (
+        GC_MAX_AGE_MONTHS,
+        GC_RETAIN_LAST,
+    )
+
+    rows = (
+        all_specs()["lakehouse_snapshot_gc"].builder(spark, sf_oracle).collect()
+    )
+    rows.sort(key=lambda r: r["snap_month"])
+    actions = [r["action"] for r in rows]
+    # suffix property: once 'keep' starts it never reverts to 'expire'
+    first_keep = actions.index("keep")
+    assert all(a == "expire" for a in actions[:first_keep])
+    assert all(a == "keep" for a in actions[first_keep:])
+    n_keep = len(actions) - first_keep
+    assert n_keep >= GC_RETAIN_LAST
+    assert n_keep >= min(len(rows), GC_MAX_AGE_MONTHS)
+    assert first_keep > 0  # policy actually expires something
+    for r in rows:
+        if r["action"] == "keep":
+            assert r["reclaimable_bytes"] == 0
+        else:
+            assert r["reclaimable_bytes"] == r["last_ref_bytes"]
+    # age_rank 1 is the newest month and must be kept
+    newest = max(rows, key=lambda r: r["snap_month"])
+    assert newest["age_rank"] == 1 and newest["action"] == "keep"
+    # every simulated file's last reference lands on exactly one
+    # snapshot: totals equal the (month, priority) inventory size
+    import duckdb
+
+    n_files = duckdb.connect().execute(
+        f"""SELECT COUNT(*) FROM (
+              SELECT date_trunc('month', o_orderdate), o_orderpriority
+              FROM '{sf_oracle}/orders.parquet' GROUP BY 1, 2)"""
+    ).fetchone()[0]
+    assert sum(r["n_files_last_ref"] for r in rows) == n_files
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
