@@ -304,6 +304,7 @@ def _load_all() -> None:
         quality_trained,
         text_kn_perplexity,
         lakehouse_gc,
+        lakehouse_prune,
     )
 
 

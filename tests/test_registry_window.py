@@ -483,7 +483,9 @@ NEW_IN_R11 = {
 # Registered AFTER the round-11 window filled: no driver row yet BY
 # DESIGN — covered by local property/parity tests and first in line
 # for the round-12 hoist.
-NEW_IN_R11_POST_WINDOW: set[str] = set()
+NEW_IN_R11_POST_WINDOW: set[str] = {
+    "lakehouse_scan_prune",
+}
 
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN

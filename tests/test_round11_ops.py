@@ -160,6 +160,45 @@ def test_snapshot_gc_policy_invariants(spark, sf_oracle):
     assert sum(r["n_files_last_ref"] for r in rows) == n_files
 
 
+def test_scan_prune_layout_contrast(spark, sf_oracle):
+    """The audit's whole point: the clustered-key predicate prunes
+    most files, the equally-ranged unclustered predicate prunes ~none,
+    and amplification orders accordingly; matching-row counts equal
+    direct predicate counts (zone maps never lose rows)."""
+    from target_iceberg_spark.plans.lakehouse_prune import (
+        PRUNE_KEY_HI,
+        PRUNE_KEY_LO,
+        PRUNE_PRICE_HI,
+        PRUNE_PRICE_LO,
+    )
+
+    rows = {
+        r["predicate_arm"]: r
+        for r in all_specs()["lakehouse_scan_prune"]
+        .builder(spark, sf_oracle)
+        .collect()
+    }
+    ck, up = rows["clustered_key"], rows["unclustered_price"]
+    assert ck["skip_rate"] > 0.5 > up["skip_rate"]
+    assert ck["scan_amplification"] < up["scan_amplification"]
+    assert ck["n_files"] == up["n_files"]
+    import duckdb
+
+    con = duckdb.connect()
+    m_key, m_price = con.execute(
+        f"""SELECT COUNT(*) FILTER (WHERE o_orderkey BETWEEN {PRUNE_KEY_LO}
+                  AND {PRUNE_KEY_HI}),
+               COUNT(*) FILTER (WHERE o_totalprice BETWEEN {PRUNE_PRICE_LO}
+                  AND {PRUNE_PRICE_HI})
+        FROM '{sf_oracle}/orders.parquet'"""
+    ).fetchone()
+    assert ck["rows_matching"] == m_key
+    assert up["rows_matching"] == m_price
+    # skipped files can never contain matches: scanned >= matching
+    assert ck["rows_scanned"] >= ck["rows_matching"]
+    assert up["rows_scanned"] >= up["rows_matching"]
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
