@@ -305,6 +305,7 @@ def _load_all() -> None:
         text_kn_perplexity,
         lakehouse_gc,
         lakehouse_prune,
+        curation_repeat,
     )
 
 

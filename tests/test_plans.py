@@ -246,6 +246,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "lakehouse_snapshot_gc",  # crosses of the one-row
             # newest/oldest-kept policy bounds onto the metadata-sized
             # snapshot and file-inventory tables
+            "curation_repetition_schedule",  # cross of the one-row
+            # budget-share constant onto the <= #sources-row schedule
         ), f"unexpected BNLJ in {name}"
 
 

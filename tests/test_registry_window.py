@@ -485,6 +485,7 @@ NEW_IN_R11 = {
 # for the round-12 hoist.
 NEW_IN_R11_POST_WINDOW: set[str] = {
     "lakehouse_scan_prune",
+    "curation_repetition_schedule",
 }
 
 GREEN = (

@@ -199,6 +199,49 @@ def test_scan_prune_layout_contrast(spark, sf_oracle):
     assert up["rows_scanned"] >= up["rows_matching"]
 
 
+def test_repetition_schedule_budget_algebra(spark, sf_oracle):
+    """Schedule invariants: epochs in (0, CAP]; consumed <= share per
+    source (utilization <= 1 + rounding); effective <= consumed with
+    equality only under one epoch; capped iff epochs == CAP; total
+    consumed <= total budget."""
+    from target_iceberg_spark.plans.curation_repeat import (
+        REPEAT_BUDGET_X,
+        REPEAT_DECAY,
+        REPEAT_EPOCH_CAP,
+    )
+
+    rows = (
+        all_specs()["curation_repetition_schedule"]
+        .builder(spark, sf_oracle)
+        .collect()
+    )
+    assert rows
+    total_tokens = sum(r["tokens"] for r in rows)
+    budget = REPEAT_BUDGET_X * total_tokens
+    consumed = sum(r["tokens_consumed"] for r in rows)
+    assert consumed <= budget + 1.0
+    for r in rows:
+        assert 0 < r["epochs"] <= REPEAT_EPOCH_CAP
+        assert r["budget_utilization"] <= 1.0001
+        assert r["capped"] == (r["epochs"] >= REPEAT_EPOCH_CAP)
+        assert r["effective_tokens"] <= r["tokens_consumed"] + 0.01
+        if r["epochs"] <= 1:
+            assert abs(r["effective_tokens"] - r["tokens_consumed"]) < 0.02
+        # python reproduction of the geometric yield
+        import math
+
+        e = r["epochs"]
+        full = math.floor(e)
+        eff = r["tokens"] * (1 - REPEAT_DECAY**full) / (1 - REPEAT_DECAY) + (
+            e - full
+        ) * r["tokens"] * REPEAT_DECAY**full
+        assert abs(r["effective_tokens"] - round(eff, 2)) < 0.02
+    # with a 2.5x budget over heterogeneous sources, BOTH regimes occur
+    assert any(r["capped"] for r in rows) or any(
+        r["budget_utilization"] >= 0.999 for r in rows
+    )
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
