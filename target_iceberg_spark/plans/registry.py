@@ -306,6 +306,7 @@ def _load_all() -> None:
         lakehouse_gc,
         lakehouse_prune,
         curation_repeat,
+        eval_f1,
     )
 
 

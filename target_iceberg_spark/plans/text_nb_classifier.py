@@ -25,10 +25,10 @@ from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
 
-@register(
-    "text_nb_langid",
-    oracle="""
-WITH toks AS (
+# Shared train->score->argmax CTEs ending at `pred (doc_id, true_lang,
+# pred_lang)`. Reused verbatim by eval_macro_f1's oracle so the
+# classifier and its evaluation score with literally the same SQL.
+NB_PRED_CTES = """toks AS (
     SELECT doc_id, lang,
            unnest(string_split(lower(text), ' ')) AS tok
     FROM documents
@@ -70,7 +70,13 @@ pred AS (
                                     ORDER BY score DESC, c) AS rn
           FROM scores)
     WHERE rn = 1
-)
+)"""
+
+
+@register(
+    "text_nb_langid",
+    oracle=f"""
+WITH {NB_PRED_CTES}
 SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
 FROM pred GROUP BY true_lang, pred_lang
 ORDER BY true_lang, pred_lang

@@ -248,6 +248,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # snapshot and file-inventory tables
             "curation_repetition_schedule",  # cross of the one-row
             # budget-share constant onto the <= #sources-row schedule
+            "eval_macro_f1",  # inherits text_nb_langid's smoothing-grid
+            # crosses (vocab x |classes| + the one-row vocab size)
         ), f"unexpected BNLJ in {name}"
 
 

@@ -486,6 +486,7 @@ NEW_IN_R11 = {
 NEW_IN_R11_POST_WINDOW: set[str] = {
     "lakehouse_scan_prune",
     "curation_repetition_schedule",
+    "eval_macro_f1",
 }
 
 GREEN = (

@@ -242,6 +242,52 @@ def test_repetition_schedule_budget_algebra(spark, sf_oracle):
     )
 
 
+def test_macro_f1_matches_sklearn_conventions(spark, sf_oracle):
+    """Per-class/macro/micro metrics recompute exactly from the
+    confusion matrix the classifier query itself reports, and on a
+    planted separable corpus the same plan scores F1 = 1 everywhere."""
+    rows = all_specs()["eval_macro_f1"].builder(spark, sf_oracle).collect()
+    by = {r["label"]: r for r in rows}
+    classes = [k for k in by if not k.startswith("__")]
+    conf = {
+        (r["true_lang"], r["pred_lang"]): r["n"]
+        for r in all_specs()["text_nb_langid"].builder(spark, sf_oracle).collect()
+    }
+    import numpy as np
+
+    for c in classes:
+        tp = conf.get((c, c), 0)
+        fp = sum(n for (t, p), n in conf.items() if p == c and t != c)
+        fn = sum(n for (t, p), n in conf.items() if t == c and p != c)
+        assert by[c]["tp"] == tp and by[c]["fp"] == fp and by[c]["fn"] == fn
+        prec = round(tp / max(tp + fp, 1), 6)
+        rec = round(tp / (tp + fn), 6)
+        assert abs(by[c]["precision"] - prec) < 1e-9
+        assert abs(by[c]["recall"] - rec) < 1e-9
+        f1 = 0.0 if prec + rec == 0 else round(2 * prec * rec / (prec + rec), 6)
+        assert abs(by[c]["f1"] - f1) < 1e-9
+    assert abs(
+        by["__macro__"]["f1"] - round(float(np.mean([by[c]["f1"] for c in classes])), 6)
+    ) < 1e-6
+    total = sum(by[c]["support"] for c in classes)
+    acc = round(sum(conf.get((c, c), 0) for c in classes) / total, 6)
+    assert abs(by["__micro__"]["f1"] - acc) < 1e-9
+
+    # planted two-language corpus with disjoint vocab: perfect diagonal
+    from target_iceberg_spark.plans.text_nb_classifier import nb_confusion
+
+    planted = spark.createDataFrame(
+        [(i, "aa", "foo bar baz foo") for i in range(10)]
+        + [(100 + i, "bb", "qux quux corge qux") for i in range(10)],
+        "doc_id bigint, lang string, text string",
+    )
+    planted_conf = {
+        (r["true_lang"], r["pred_lang"]): r["n"]
+        for r in nb_confusion(planted).collect()
+    }
+    assert planted_conf == {("aa", "aa"): 10, ("bb", "bb"): 10}
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
