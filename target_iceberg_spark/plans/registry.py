@@ -307,6 +307,7 @@ def _load_all() -> None:
         lakehouse_prune,
         curation_repeat,
         eval_f1,
+        text_lm_contrast,
     )
 
 

@@ -216,6 +216,8 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # total (the continuation denominator N1+(..))
             "text_kn_perplexity",  # inherits text_kneser_ney's shared
             # scoring stage and its one-row type-total cross
+            "text_lm_contrast",  # same inherited one-row type-total
+            # cross plus the one-row unigram-total cross
             "text_nb_langid",  # cross of the <= |classes|-row class
             # list onto the vocab (the smoothing grid) + the one-row
             # vocab size — same class as emb_centroid_classify

@@ -487,6 +487,7 @@ NEW_IN_R11_POST_WINDOW: set[str] = {
     "lakehouse_scan_prune",
     "curation_repetition_schedule",
     "eval_macro_f1",
+    "text_lm_contrast",
 }
 
 GREEN = (

@@ -288,6 +288,55 @@ def test_macro_f1_matches_sklearn_conventions(spark, sf_oracle):
     assert planted_conf == {("aa", "aa"): 10, ("bb", "bb"): 10}
 
 
+def test_lm_contrast_detects_planted_independence(spark):
+    """The gain signal separates STRUCTURE from INDEPENDENCE: a corpus
+    of strict two-word collocations scores high context gain; a corpus
+    whose bigram distribution factorizes (de Bruijn-style uniform
+    pair coverage -> conditional == marginal) scores ~zero/negative
+    gain and flags every doc context-free. Runs the registered oracle
+    SQL on two planted corpora (corpus-wide models, so each corpus is
+    evaluated against itself)."""
+    import duckdb
+
+    from target_iceberg_spark.plans.registry import _REGISTRY, _load_all
+
+    _load_all()
+    sql = _REGISTRY["text_lm_contrast"].oracle
+
+    def run(docs):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({d}, 'en', '{src}', '{txt}', {len(txt)})"
+                for d, src, txt in docs
+            )
+            + ") t(doc_id, lang, source, text, n_chars)"
+        )
+        return con.execute(sql).fetchall()[0]
+
+    structured = run(
+        [(i, "s", "alpha beta alpha beta alpha beta") for i in range(8)]
+    )
+    # every 'alpha' is followed by 'beta': conditional ~1, marginal 0.5
+    assert structured[2] > 0.3 and structured[4] == 0.0
+    salad = run([(i, "b", "p p q q p p q q p p q q") for i in range(8)])
+    # uniform pair coverage: conditional == marginal, so the gain sits
+    # at ~0 (only KN-discount edge effects remain; whether the <= 0.0
+    # flag fires on exactly-0 corpora depends on that edge sign, which
+    # is why the flag is a THRESHOLD constant, not a structural claim)
+    assert abs(salad[2]) < 0.05
+    assert structured[2] > salad[2] + 0.3
+
+
+def test_lm_contrast_source_shares(spark, sf_oracle):
+    rows = all_specs()["text_lm_contrast"].builder(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["context_free_share"] <= 1.0
+        assert r["n_context_free"] <= r["n_docs"]
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
