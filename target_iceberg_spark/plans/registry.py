@@ -308,6 +308,7 @@ def _load_all() -> None:
         curation_repeat,
         eval_f1,
         text_lm_contrast,
+        curation_split_decontam,
     )
 
 

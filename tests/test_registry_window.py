@@ -488,6 +488,7 @@ NEW_IN_R11_POST_WINDOW: set[str] = {
     "curation_repetition_schedule",
     "eval_macro_f1",
     "text_lm_contrast",
+    "curation_split_decontam",
 }
 
 GREEN = (

@@ -337,6 +337,53 @@ def test_lm_contrast_source_shares(spark, sf_oracle):
         assert r["n_context_free"] <= r["n_docs"]
 
 
+def test_split_decontam_flags_planted_leak(spark, sf_oracle):
+    """Invariants on the fixture (rates in [0,1], splits sum sanely)
+    plus a planted leak: duplicating a test doc's text into a train
+    doc must flag exactly that test doc."""
+    rows = (
+        all_specs()["curation_split_decontam"].builder(spark, sf_oracle).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["contamination_rate"] <= 1.0
+        assert r["n_test_contaminated"] <= r["n_test"]
+
+    # planted: find ids landing in train / test under the md5 rule
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    train_id = next(i for i in range(1000) if bucket(i) < 90)
+    test_ids = [i for i in range(1000) if bucket(i) >= 95][:2]
+    leak = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    clean = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    docs = spark.createDataFrame(
+        [
+            (train_id, "en", "s", leak, len(leak)),
+            (test_ids[0], "en", "s", leak, len(leak)),  # leaked
+            (test_ids[1], "en", "s", clean, len(clean)),  # clean
+        ],
+        "doc_id bigint, lang string, source string, text string, n_chars bigint",
+    )
+    import target_iceberg_spark.plans.curation_split_decontam as mod
+    from target_iceberg_spark.sources import tables
+
+    orig = tables.load_table
+    try:
+        tables_patch = lambda spark, sf_dir, name: docs  # noqa: E731
+        mod.load_table = tables_patch
+        out = mod.curation_split_decontam(spark, "unused").collect()
+    finally:
+        mod.load_table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_train"] == 1 and r["n_test"] == 2
+    assert r["n_test_contaminated"] == 1
+    assert abs(r["contamination_rate"] - 0.5) < 1e-9
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
