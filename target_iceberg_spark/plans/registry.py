@@ -309,6 +309,8 @@ def _load_all() -> None:
         eval_f1,
         text_lm_contrast,
         curation_split_decontam,
+        similarity_filtered,
+        curation_anneal,
     )
 
 

@@ -252,6 +252,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # budget-share constant onto the <= #sources-row schedule
             "eval_macro_f1",  # inherits text_nb_langid's smoothing-grid
             # crosses (vocab x |classes| + the one-row vocab size)
+            "sim_filtered_topk",  # broadcast one-row probe cross, same
+            # class as sim_cosine_topk
+            "curation_mix_anneal",  # cross of the one-row normalizer
+            # totals onto the <= #sources-row mix table
         ), f"unexpected BNLJ in {name}"
 
 

@@ -489,6 +489,8 @@ NEW_IN_R11_POST_WINDOW: set[str] = {
     "eval_macro_f1",
     "text_lm_contrast",
     "curation_split_decontam",
+    "sim_filtered_topk",
+    "curation_mix_anneal",
 }
 
 GREEN = (

@@ -384,6 +384,62 @@ def test_split_decontam_flags_planted_leak(spark, sf_oracle):
     assert abs(r["contamination_rate"] - 0.5) < 1e-9
 
 
+def test_filtered_topk_pre_vs_post_semantics(spark, sf_oracle):
+    """Pre-filter always returns the full k within the segment;
+    post-filter is exactly the label-matching subset of the global arm
+    (never longer, usually shorter — the recall hole); the pre-filter
+    arm's scores dominate the post-filter arm's tail."""
+    from target_iceberg_spark.plans.similarity_filtered import FILTER_K
+
+    rows = all_specs()["sim_filtered_topk"].builder(spark, sf_oracle).collect()
+    arms = {}
+    for r in rows:
+        arms.setdefault(r["arm"], []).append(r)
+    assert len(arms["a_global"]) == FILTER_K
+    assert len(arms["b_prefilter"]) == FILTER_K
+    post = {r["vec_id"] for r in arms["c_postfilter"]}
+    pre = {r["vec_id"] for r in arms["b_prefilter"]}
+    glob = {r["vec_id"] for r in arms["a_global"]}
+    assert post == glob & pre or post <= glob  # subset of global...
+    assert post <= pre  # ...and every post hit is a pre hit
+    assert len(post) < FILTER_K  # the hole exists on this fixture
+    # all labels in filtered arms equal the probe's label
+    labels = {r["label"] for r in arms["b_prefilter"]}
+    assert len(labels) == 1
+    assert all(r["label"] in labels for r in arms["c_postfilter"])
+
+
+def test_filtered_topk_prefilter_pushdown(spark, sf_oracle):
+    """The pre-filter predicate must reach the scan (PushedFilters on
+    label) — the efficiency claim of pre-filtering."""
+    df = all_specs()["sim_filtered_topk"].builder(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+
+
+def test_mix_anneal_share_algebra(spark, sf_oracle):
+    """Both phases' shares sum to 1; the boost ratio is share_anneal /
+    share_stable; blended spend sums to the one-epoch budget; and the
+    anneal phase strictly upweights the highest-quality source
+    relative to the lowest."""
+    rows = all_specs()["curation_mix_anneal"].builder(spark, sf_oracle).collect()
+    assert rows
+    assert abs(sum(r["share_stable"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_anneal"] for r in rows) - 1.0) < 1e-3
+    total = sum(r["tokens"] for r in rows)
+    assert abs(sum(r["blended_tokens"] for r in rows) - total) < total * 1e-3
+    for r in rows:
+        if r["share_stable"] > 0:
+            assert abs(
+                r["anneal_boost"] - round(r["share_anneal"] / r["share_stable"], 4)
+            ) < 2e-3
+    best = max(rows, key=lambda r: r["quality"])
+    worst = min(rows, key=lambda r: r["quality"])
+    assert best["anneal_boost"] > worst["anneal_boost"]
+    assert best["anneal_boost"] > 1.0 > worst["anneal_boost"]
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
