@@ -184,10 +184,14 @@ def agg_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters under the class imbalance quality filters actually face.
     Self-validates: AP_signal >> AP_null ~ prevalence.
 
-    Scale shape: CHEAPER than the exact ROC pass — rows collapse to one
-    per DISTINCT (scorer, score) via a combinable aggregate first, so
-    the cumulative windows (partitioned by scorer) run over the
-    score-cardinality table, not the corpus; integer cumsums stay exact
+    Scale shape: rows collapse to one per DISTINCT (scorer, score) via
+    a combinable aggregate first — but a CONTINUOUS scorer's distinct-
+    score table is still corpus-sized, so the cumulative sums use the
+    distributed exact-prefix-sum recipe (agg_decile_lift's): range-
+    repartition on (scorer, score desc), within-partition cumsums (a
+    partitioned window), per-partition totals cumulated over
+    <= #partitions x #scorers rows and broadcast back as offsets. No
+    per-scorer single-task window anywhere; integer cumsums stay exact
     and the only doubles are the final per-group products, rounded at
     6. The finish is a 2-row groupBy."""
     docs = load_table(spark, sf_dir, "documents")
@@ -210,19 +214,50 @@ def agg_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("tp"),
     )
-    w_cum = (
-        Window.partitionBy("scorer")
+    # pin the range partitioning: offsets and local cumsums must see
+    # the SAME assignment (re-executed lineage may resample bounds)
+    parts = (
+        by_score.repartitionByRange(32, F.col("scorer"), F.col("s").desc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid", "scorer")
         .orderBy(F.desc("s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("scorer")
-    cum = by_score.select(
+    local = parts.select(
         "scorer",
+        "_pid",
         "n",
         "tp",
-        F.sum("n").over(w_cum).alias("cum_n"),
-        F.sum("tp").over(w_cum).alias("cum_tp"),
-        F.sum("tp").over(w_all).alias("n_pos"),
+        F.sum("n").over(w_local).alias("_ln"),
+        F.sum("tp").over(w_local).alias("_ltp"),
+    )
+    ptotals = parts.groupBy("scorer", "_pid").agg(
+        F.sum("n").alias("_pn"), F.sum("tp").alias("_ptp")
+    )
+    w_off = Window.partitionBy("scorer").orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = ptotals.select(
+        "scorer",
+        "_pid",
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_offn"),
+        F.coalesce(F.sum("_ptp").over(w_off), F.lit(0)).alias("_offtp"),
+    )
+    npos = parts.groupBy("scorer").agg(F.sum("tp").alias("n_pos"))
+    cum = (
+        local.join(F.broadcast(offsets), ["scorer", "_pid"])
+        .join(F.broadcast(npos), "scorer")
+        .select(
+            "scorer",
+            "n",
+            "tp",
+            (F.col("_ln") + F.col("_offn")).alias("cum_n"),
+            (F.col("_ltp") + F.col("_offtp")).alias("cum_tp"),
+            "n_pos",
+        )
     )
     return (
         cum.groupBy("scorer")
