@@ -1,18 +1,32 @@
-"""ROC-AUC via the rank-sum identity (SURVEY.md §2B ML-evaluation
-tier, round 10).
+"""ROC-AUC and PR-AUC via grouped rank identities (SURVEY.md §2B
+ML-evaluation tier, rounds 10-11).
 
 A pipeline that trains quality classifiers (text_nb_langid,
-text_quality_logistic) needs to EVALUATE them at corpus scale. AUC is
+text_quality_trained) needs to EVALUATE them at corpus scale. AUC is
 the standard threshold-free metric, and the rank-sum identity
 AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) (Hanley & McNeil
-1982; the Mann-Whitney U equivalence, public) computes it in ONE rank
-pass — no threshold sweep, no per-point trapezoid join.
+1982; the Mann-Whitney U equivalence, public) needs only RANKS — and
+with mid-rank ties, every row in a tied score group shares one
+midrank, so the whole statistic collapses onto the DISTINCT-score
+table:
+
+    midrank(g) = n_total - cum_n(g) + (n(g) + 1) / 2
+    R_pos      = sum over groups of tp(g) * midrank(g)
+
+(cum_n = cumulative count from the TOP score down to and including g).
+No per-row rank window exists anywhere: both metrics run off one
+combinable per-(scorer, score) aggregate plus distributed cumulative
+sums — the exact-prefix-sum recipe agg_decile_lift established
+(range-repartition on the sort key, within-partition cumsums,
+per-partition offsets over <= partitions x scorers rows), because a
+CONTINUOUS scorer's distinct-score table is itself corpus-sized and a
+per-scorer window would serialize it into one task.
 
 Two scorers are evaluated against the length label in the same plan —
 a signal scorer (token count: near-perfect by construction, tokens
 track chars) and a null scorer (stopword share: uninformative for
-length) — so the output self-validates: AUC_signal >> AUC_null ~ 0.5.
-Mid-rank tie handling makes the statistic exact under ties.
+length) — so the outputs self-validate: AUC_signal >> AUC_null ~ 0.5
+and AP_signal >> AP_null ~ prevalence.
 """
 
 from __future__ import annotations
@@ -29,6 +43,87 @@ AUC_STOPWORDS = ("the", "a", "of", "and", "to")
 
 def _stops_sql() -> str:
     return ", ".join(f"'{w}'" for w in AUC_STOPWORDS)
+
+
+def _scored_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, scorer, s): both scorers' per-doc scores, stacked."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in AUC_STOPWORDS])
+    scored = docs.select(
+        F.when(F.col("n_chars") >= AUC_LABEL_CHARS, 1).otherwise(0).alias("y"),
+        F.size(toks).cast("double").alias("s_signal"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.size(toks).cast("double")
+        ).alias("s_null"),
+    )
+    return scored.select(
+        "y", F.lit("signal").alias("scorer"), F.col("s_signal").alias("s")
+    ).unionAll(
+        scored.select("y", F.lit("null").alias("scorer"), F.col("s_null").alias("s"))
+    )
+
+
+def _cum_by_score(long: DataFrame) -> DataFrame:
+    """One row per distinct (scorer, s) with group counts and EXACT
+    top-down cumulative counts, computed without any per-scorer
+    single-task window: range-repartition on (scorer, s desc) with
+    pinned assignment, within-partition cumsums, per-partition totals
+    cumulated over <= partitions x scorers rows, broadcast back as
+    offsets. Columns: scorer, n, tp, cum_n, cum_tp, n_pos, n_total."""
+    by_score = long.groupBy("scorer", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("tp"),
+    )
+    # pin the range partitioning: offsets and local cumsums must see
+    # the SAME assignment (re-executed lineage may resample bounds)
+    parts = (
+        by_score.repartitionByRange(32, F.col("scorer"), F.col("s").desc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid", "scorer")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.select(
+        "scorer",
+        "_pid",
+        "n",
+        "tp",
+        F.sum("n").over(w_local).alias("_ln"),
+        F.sum("tp").over(w_local).alias("_ltp"),
+    )
+    ptotals = parts.groupBy("scorer", "_pid").agg(
+        F.sum("n").alias("_pn"), F.sum("tp").alias("_ptp")
+    )
+    w_off = Window.partitionBy("scorer").orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = ptotals.select(
+        "scorer",
+        "_pid",
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_offn"),
+        F.coalesce(F.sum("_ptp").over(w_off), F.lit(0)).alias("_offtp"),
+    )
+    totals = parts.groupBy("scorer").agg(
+        F.sum("tp").alias("n_pos"), F.sum("n").alias("n_total")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["scorer", "_pid"])
+        .join(F.broadcast(totals), "scorer")
+        .select(
+            "scorer",
+            "n",
+            "tp",
+            (F.col("_ln") + F.col("_offn")).alias("cum_n"),
+            (F.col("_ltp") + F.col("_offtp")).alias("cum_tp"),
+            "n_pos",
+            "n_total",
+        )
+    )
 
 
 @register(
@@ -73,56 +168,37 @@ ORDER BY scorer
 )
 def agg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUC of two document scorers against the length label via the
-    rank-sum identity with mid-rank ties: rank all scores once per
-    scorer, average ranks within tied score groups, and AUC falls out
-    of the positive-class rank sum — no threshold sweep.
+    rank-sum identity with mid-rank ties — computed WITHOUT ranking
+    rows: every tied group shares midrank n_total - cum_n + (n+1)/2,
+    so R_pos is a sum of tp * midrank over the distinct-score table
+    (the oracle states the per-row window form; the values are
+    identical by the tie-group algebra).
 
-    Scale shape: scores compute map-side (codegen array ops, no
-    explode); the rank is ONE window per scorer partition — at 100 TB
-    the global per-scorer sort is the price of an EXACT AUC, and the
-    documented swap is binned AUC (histogram the scores, trapezoid
-    over the bounded bins — same shape as profile_equidepth_histogram)
-    when an approximation suffices. The final reduce is a 2-row
-    groupBy of sufficient sums."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    stop_arr = F.array(*[F.lit(w) for w in AUC_STOPWORDS])
-    scored = docs.select(
-        F.when(F.col("n_chars") >= AUC_LABEL_CHARS, 1).otherwise(0).alias("y"),
-        F.size(toks).cast("double").alias("s_signal"),
-        (
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-            / F.size(toks).cast("double")
-        ).alias("s_null"),
-    )
-    long = scored.select("y", F.lit("signal").alias("scorer"), F.col("s_signal").alias("s")).unionAll(
-        scored.select("y", F.lit("null").alias("scorer"), F.col("s_null").alias("s"))
-    )
-    rk = long.select(
-        "scorer",
-        "y",
-        "s",
-        F.row_number()
-        .over(Window.partitionBy("scorer").orderBy("s"))
-        .cast("double")
-        .alias("r"),
-    )
-    ranked = rk.select(
-        "scorer",
-        "y",
-        F.avg("r").over(Window.partitionBy("scorer", "s")).alias("midrank"),
+    Scale shape: one combinable per-(scorer, score) aggregate, the
+    shared distributed cumulative stage (no single-task window — see
+    _cum_by_score), and a 2-row final reduce. The round-10 docstring
+    called the per-scorer sort 'the price of an EXACT AUC'; the
+    grouped identity shows there is no such price."""
+    cum = _cum_by_score(_scored_long(spark, sf_dir))
+    midrank = (
+        F.col("n_total").cast("double")
+        - F.col("cum_n")
+        + (F.col("n") + F.lit(1)) / 2.0
     )
     return (
-        ranked.groupBy("scorer")
+        cum.groupBy("scorer")
         .agg(
-            F.sum("y").cast("bigint").alias("n_pos"),
-            F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+            F.max("n_pos").cast("bigint").alias("n_pos"),
+            (F.max("n_total") - F.max("n_pos")).cast("bigint").alias("n_neg"),
             F.round(
                 (
-                    F.sum(F.when(F.col("y") == 1, F.col("midrank")).otherwise(0.0))
-                    - F.sum("y") * (F.sum("y") + 1) / 2.0
+                    F.sum(F.col("tp") * midrank)
+                    - F.max("n_pos") * (F.max("n_pos") + 1) / 2.0
                 )
-                / (F.sum("y") * F.sum(1 - F.col("y")).cast("double")),
+                / (
+                    F.max("n_pos")
+                    * (F.max("n_total") - F.max("n_pos")).cast("double")
+                ),
                 6,
             ).alias("auc"),
         )
@@ -184,81 +260,12 @@ def agg_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters under the class imbalance quality filters actually face.
     Self-validates: AP_signal >> AP_null ~ prevalence.
 
-    Scale shape: rows collapse to one per DISTINCT (scorer, score) via
-    a combinable aggregate first — but a CONTINUOUS scorer's distinct-
-    score table is still corpus-sized, so the cumulative sums use the
-    distributed exact-prefix-sum recipe (agg_decile_lift's): range-
-    repartition on (scorer, score desc), within-partition cumsums (a
-    partitioned window), per-partition totals cumulated over
-    <= #partitions x #scorers rows and broadcast back as offsets. No
-    per-scorer single-task window anywhere; integer cumsums stay exact
-    and the only doubles are the final per-group products, rounded at
-    6. The finish is a 2-row groupBy."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    stop_arr = F.array(*[F.lit(w) for w in AUC_STOPWORDS])
-    scored = docs.select(
-        F.when(F.col("n_chars") >= AUC_LABEL_CHARS, 1).otherwise(0).alias("y"),
-        F.size(toks).cast("double").alias("s_signal"),
-        (
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-            / F.size(toks).cast("double")
-        ).alias("s_null"),
-    )
-    long = scored.select(
-        "y", F.lit("signal").alias("scorer"), F.col("s_signal").alias("s")
-    ).unionAll(
-        scored.select("y", F.lit("null").alias("scorer"), F.col("s_null").alias("s"))
-    )
-    by_score = long.groupBy("scorer", "s").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("y").cast("bigint").alias("tp"),
-    )
-    # pin the range partitioning: offsets and local cumsums must see
-    # the SAME assignment (re-executed lineage may resample bounds)
-    parts = (
-        by_score.repartitionByRange(32, F.col("scorer"), F.col("s").desc())
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_local = (
-        Window.partitionBy("_pid", "scorer")
-        .orderBy(F.desc("s"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = parts.select(
-        "scorer",
-        "_pid",
-        "n",
-        "tp",
-        F.sum("n").over(w_local).alias("_ln"),
-        F.sum("tp").over(w_local).alias("_ltp"),
-    )
-    ptotals = parts.groupBy("scorer", "_pid").agg(
-        F.sum("n").alias("_pn"), F.sum("tp").alias("_ptp")
-    )
-    w_off = Window.partitionBy("scorer").orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = ptotals.select(
-        "scorer",
-        "_pid",
-        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_offn"),
-        F.coalesce(F.sum("_ptp").over(w_off), F.lit(0)).alias("_offtp"),
-    )
-    npos = parts.groupBy("scorer").agg(F.sum("tp").alias("n_pos"))
-    cum = (
-        local.join(F.broadcast(offsets), ["scorer", "_pid"])
-        .join(F.broadcast(npos), "scorer")
-        .select(
-            "scorer",
-            "n",
-            "tp",
-            (F.col("_ln") + F.col("_offn")).alias("cum_n"),
-            (F.col("_ltp") + F.col("_offtp")).alias("cum_tp"),
-            "n_pos",
-        )
-    )
+    Scale shape: shares _cum_by_score's distributed cumulative stage
+    with agg_auc_roc (no per-scorer single-task window even for
+    continuous scorers); integer cumsums stay exact and the only
+    doubles are the final per-group products, rounded at 6. The
+    finish is a 2-row groupBy."""
+    cum = _cum_by_score(_scored_long(spark, sf_dir))
     return (
         cum.groupBy("scorer")
         .agg(

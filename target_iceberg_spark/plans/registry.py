@@ -329,6 +329,7 @@ _HOIST: tuple[str, ...] = (
     "graph_pagerank",  # ADVICE r10: single-division teleport/n restored
     "agg_holm_bonferroni",  # r11: crit ladder createDataFrame -> VALUES
     "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
+    "agg_auc_roc",  # r11: per-row rank windows -> grouped midrank identity
     "text_quality_trained",
     "text_kn_perplexity",
     "agg_pr_auc",
@@ -348,7 +349,6 @@ _HOIST: tuple[str, ...] = (
     "q10_returned_items", "q3_shipping_priority",
     "q5_local_supplier_volume", "scan_json_props", "scan_parquet",
     "set_union_except", "sim_cosine_topk", "sim_cosine_topk_batch",
-    "sort_limit",
 )
 
 

@@ -14,9 +14,9 @@ ROUND-12 NOTE — do these IN ORDER before registering any new query:
      round-12 work changes outputs, then brand-new queries.
   3. Spare window slots go to EVIDENCE FRESHNESS: hoist the queries
      whose newest driver row is oldest (after the round-11 refresh
-     that is the remaining 4 round-1 entries `win_distribution`
-     `win_range_frame` `subquery_scalar` `udtf_tokens`, then the ~45
-     round-2 entries) so no entry's
+     that is the remaining 5 round-1 entries `win_distribution`
+     `win_range_frame` `subquery_scalar` `udtf_tokens` `sort_limit`,
+     then the ~45 round-2 entries) so no entry's
      newest driver row ages past ~6 rounds.
   4. Round-12's own new queries fill whatever window slots remain
      after the hoist (evict refresh entries from the END of the hoist
@@ -460,6 +460,7 @@ NEW_IN_R11 = {
     "graph_pagerank",  # ADVICE r10: single-division teleport/n restored
     "agg_holm_bonferroni",  # r11: crit ladder createDataFrame -> VALUES
     "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
+    "agg_auc_roc",  # r11: per-row rank windows -> grouped midrank identity
     # -- (b) new in round 11 (appended as each lands) ------------------
     "text_quality_trained",
     "text_kn_perplexity",
@@ -477,7 +478,6 @@ NEW_IN_R11 = {
     "q10_returned_items", "q3_shipping_priority",
     "q5_local_supplier_volume", "scan_json_props", "scan_parquet",
     "set_union_except", "sim_cosine_topk", "sim_cosine_topk_batch",
-    "sort_limit",
 }
 
 # Registered AFTER the round-11 window filled: no driver row yet BY
