@@ -12,7 +12,7 @@ training, no driver-side linear algebra.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -67,12 +67,15 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: posexplode -> ONE combinable (label, dim) mean for
     centroids (labels x 64 rows — broadcast-side small), an equi-join
     back on (label, dim) feeding ONE combinable per-vector squared-
-    distance sum, then per-label moment windows over the distance
-    frame (one row per vector) and TakeOrderedAndProject for the
-    global top-k. Nothing is all-pairs and no vector list ever
-    collects. Centroids and distances are rounded before downstream
-    stages, and the rank key is the ROUNDED z with vec_id tie-break,
-    so the cut is engine-deterministic."""
+    distance sum, then per-label distance moments via a combinable
+    groupBy broadcast back onto the distance frame (NOT a
+    label-partitioned window: with ~10 labels a whole-frame window
+    serializes corpus/|labels| rows into single tasks — r11 rewrite,
+    identical values), and TakeOrderedAndProject for the global
+    top-k. Nothing is all-pairs and no vector list ever collects.
+    Centroids and distances are rounded before downstream stages, and
+    the rank key is the ROUNDED z with vec_id tie-break, so the cut
+    is engine-deterministic."""
     emb = load_table(spark, sf_dir, "embeddings")
     expl = emb.select(
         "vec_id",
@@ -89,13 +92,11 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d")
         )
     )
-    by_label = Window.partitionBy("label")
-    scored = dist.select(
-        "vec_id",
-        "label",
-        "d",
-        F.avg("d").over(by_label).alias("mean_d"),
-        F.stddev_samp("d").over(by_label).alias("sd_d"),
+    moments = dist.groupBy("label").agg(
+        F.avg("d").alias("mean_d"), F.stddev_samp("d").alias("sd_d")
+    )
+    scored = dist.join(F.broadcast(moments), "label").select(
+        "vec_id", "label", "d", "mean_d", "sd_d"
     )
     z = F.round((F.col("d") - F.col("mean_d")) / F.col("sd_d"), 4)
     return (

@@ -483,7 +483,13 @@ NEW_IN_R11 = {
 # Registered AFTER the round-11 window filled: no driver row yet BY
 # DESIGN — covered by local property/parity tests and first in line
 # for the round-12 hoist.
+# Round-11 plan-only rewrites of previously-green queries with
+# IDENTICAL output (local parity re-verified; the checker window is
+# full, so their fresh driver rows queue with the post-window set for
+# the round-12 hoist).
 NEW_IN_R11_POST_WINDOW: set[str] = {
+    "emb_outliers",  # r11: label-partitioned moment window -> groupBy
+    # + broadcast join (identical values, no corpus/|labels| task)
     "lakehouse_scan_prune",
     "curation_repetition_schedule",
     "eval_macro_f1",
