@@ -311,6 +311,7 @@ def _load_all() -> None:
         curation_split_decontam,
         similarity_filtered,
         curation_anneal,
+        analytics_holt,
     )
 
 

@@ -497,6 +497,7 @@ NEW_IN_R11_POST_WINDOW: set[str] = {
     "curation_split_decontam",
     "sim_filtered_topk",
     "curation_mix_anneal",
+    "events_holt_trend",
 }
 
 GREEN = (

@@ -440,6 +440,49 @@ def test_mix_anneal_share_algebra(spark, sf_oracle):
     assert best["anneal_boost"] > 1.0 > worst["anneal_boost"]
 
 
+def test_holt_trend_matches_python_recurrence(spark, sf_oracle):
+    """The recursive-CTE smoother reproduces a plain-Python Holt
+    recurrence with identical per-step rounding, for every type."""
+    import duckdb
+
+    from target_iceberg_spark.plans.analytics_holt import (
+        HOLT_ALPHA,
+        HOLT_BURN,
+        HOLT_GAMMA,
+    )
+
+    rows = {
+        r["event_type"]: r
+        for r in all_specs()["events_holt_trend"].builder(spark, sf_oracle).collect()
+    }
+    series = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   ROUND(AVG(value), 6) AS x
+            FROM '{sf_oracle}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    by_type: dict[str, list[float]] = {}
+    for et, _day, x in series:
+        by_type.setdefault(et, []).append(x)
+    for et, xs in by_type.items():
+        l, b = round(HOLT_ALPHA * xs[1] + (1 - HOLT_ALPHA) * (xs[0] + (xs[1] - xs[0])), 6), round(xs[1] - xs[0], 6)
+        errs, naive = [], []
+        for d in range(2, len(xs)):  # producing state at day index d+1
+            nx, px = xs[d], xs[d - 1]
+            e = round(abs(nx - (l + b)), 6)
+            ln = round(HOLT_ALPHA * nx + (1 - HOLT_ALPHA) * (l + b), 6)
+            b = round(HOLT_GAMMA * (ln - l) + (1 - HOLT_GAMMA) * b, 6)
+            l = ln
+            if d + 1 > HOLT_BURN:
+                errs.append(e)
+                naive.append(round(abs(nx - px), 6))
+        r = rows[et]
+        assert r["n_scored"] == len(errs)
+        assert abs(r["mae_holt"] - round(sum(errs) / len(errs), 4)) < 1e-3
+        assert abs(r["mae_naive"] - round(sum(naive) / len(naive), 4)) < 1e-3
+        assert abs(r["final_level"] - round(l, 4)) < 1e-3
+        assert abs(r["final_trend"] - round(b, 4)) < 1e-3
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
