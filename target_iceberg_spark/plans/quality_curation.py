@@ -152,30 +152,50 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice from dominating a mixture, dual of curation_domain_mix's
     proportional sampler.
 
-    Scale shape: one codegen token count per row, then a running sum
-    window PARTITIONED BY source — parallel across sources, O(docs-
-    per-source log) within one, which is the honest cost of an exact
-    greedy cutoff. At 100 TB you shard giant sources first (salt the
-    partition key, budget per shard) — same plan, finer key; the
-    whole-corpus variant of this query is exactly the banned
-    unpartitioned-window shape, which is why it does not exist here."""
+    Scale shape (r11 rewrite): the greedy longest-first cutoff never
+    depends on doc IDENTITY within an equal-length tie group, so the
+    exact pack is computable from the per-(source, length) HISTOGRAM —
+    one combinable groupBy, a cumulative window over the length-
+    bounded histogram (distinct doc lengths per source, not docs), and
+    per-group integer arithmetic: a length-L group with prior
+    cumulative P contributes m = clamp(floor((B - P) / L), 0, count)
+    docs. The oracle keeps the doc-level window form; the values are
+    identical by the tie-group argument. No task ever sees
+    corpus/|sources| rows — the earlier per-source doc window did."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
-        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    hist = scored.groupBy("source", "n_tok").agg(
+        F.count(F.lit(1)).alias("c")
     )
     w = (
         Window.partitionBy("source")
-        .orderBy(F.desc("n_tok"), "doc_id")
+        .orderBy(F.desc("n_tok"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cum = hist.withColumn(
+        "prev_tok",
+        F.sum(F.col("n_tok") * F.col("c")).over(w) - F.col("n_tok") * F.col("c"),
+    )
+    m = F.greatest(
+        F.lit(0),
+        F.least(
+            F.col("c"),
+            F.floor(
+                (F.lit(TOKEN_BUDGET_PER_SOURCE) - F.col("prev_tok"))
+                / F.col("n_tok")
+            ),
+        ),
+    )
     return (
-        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
-        .where(F.col("cum_tok") <= TOKEN_BUDGET_PER_SOURCE)
+        cum.select("source", "n_tok", m.alias("m"))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("tokens_packed"),
+            F.sum("m").alias("n_docs"),
+            F.sum(F.col("m") * F.col("n_tok")).alias("tokens_packed"),
         )
+        .where(F.col("n_docs") > 0)
         .orderBy("source")
     )
 

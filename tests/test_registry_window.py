@@ -490,6 +490,9 @@ NEW_IN_R11 = {
 NEW_IN_R11_POST_WINDOW: set[str] = {
     "emb_outliers",  # r11: label-partitioned moment window -> groupBy
     # + broadcast join (identical values, no corpus/|labels| task)
+    "curation_token_budget",  # r11: per-source doc-level cumsum window
+    # -> per-(source, length) histogram pack (identical values by the
+    # tie-group argument; no corpus/|sources| task)
     "lakehouse_scan_prune",
     "curation_repetition_schedule",
     "eval_macro_f1",
