@@ -395,24 +395,56 @@ ORDER BY source, pack_id
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: docs are binned into
     fixed-token-budget packs by their running-token offset within each
-    source shard (deterministic doc_id order). The distributed recipe:
-    packing is sequential by nature, so it runs per shard — one window
-    shuffle on source — and a doc straddling a boundary spills into the
-    pack its START offset falls in (best-effort fill, documented
-    overflow). Output is the per-pack manifest a downstream tokenizer
-    consumes."""
+    source shard (deterministic doc_id order); a doc straddling a
+    boundary spills into the pack its START offset falls in
+    (best-effort fill, documented overflow). Output is the per-pack
+    manifest a downstream tokenizer consumes.
+
+    Scale shape (r11 rewrite): the running offset is a per-source
+    prefix sum over EVERY doc, so a source-partitioned window would
+    serialize corpus/|sources| rows into one task; instead the offsets
+    compute with the distributed exact-prefix-sum recipe
+    (agg_decile_lift's): range-repartition on (source, doc_id) with
+    pinned assignment, within-partition cumsums, per-partition totals
+    cumulated over <= partitions x sources rows and broadcast back.
+    Identical values; no single task sees more than a range slice."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
+    parts = (
+        d.repartitionByRange(32, "source", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin assignment: offsets and local cumsums
+        # must see the same partition bounds on re-execution
+    )
+    w_local = (
+        Window.partitionBy("_pid", "source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    local = parts.withColumn("_lcum", F.sum("n_tokens").over(w_local))
+    offsets = (
+        parts.groupBy("source", "_pid")
+        .agg(F.sum("n_tokens").alias("_pt"))
+        .select(
+            "source",
+            "_pid",
+            F.coalesce(
+                F.sum("_pt").over(
+                    Window.partitionBy("source")
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
+    )
+    c = local.join(F.broadcast(offsets), ["source", "_pid"]).withColumn(
+        "cum", F.col("_lcum") + F.col("_off")
+    )
     return (
         c.groupBy(
             "source",

@@ -493,6 +493,8 @@ NEW_IN_R11_POST_WINDOW: set[str] = {
     "curation_token_budget",  # r11: per-source doc-level cumsum window
     # -> per-(source, length) histogram pack (identical values by the
     # tie-group argument; no corpus/|sources| task)
+    "curation_pack_sequences",  # r11: per-source offset window ->
+    # distributed exact prefix sums (identical values)
     "lakehouse_scan_prune",
     "curation_repetition_schedule",
     "eval_macro_f1",
