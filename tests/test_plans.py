@@ -688,6 +688,20 @@ def test_whitelisted_unpartitioned_windows_are_structurally_bounded(
     )
 
 
+@pytest.mark.parametrize(
+    "name", ["sample_stratified", "sample_fixed_k", "profile_topk_values"]
+)
+def test_group_topk_plans_window_group_limit(spark, sf_oracle, name):
+    """rank-filtered per-group top-k must keep Spark's WindowGroupLimit
+    (per input partition top-k BEFORE the shuffle) — the optimization
+    only fires for rank filters at or under
+    spark.sql.optimizer.windowGroupLimitThreshold (1000), so a
+    constant bump past it would silently reintroduce the full
+    per-group sort this test exists to prevent."""
+    plan = plan_of(spark, sf_oracle, name)
+    assert "WindowGroupLimit" in plan, name
+
+
 def test_join_bucketed_has_no_exchange_on_either_side(spark, sf_oracle):
     """The bucketed-layout fact-fact join must consume the files' own
     partitioning: SMJ with zero Exchange on the join keys (the
