@@ -312,6 +312,7 @@ def _load_all() -> None:
         similarity_filtered,
         curation_anneal,
         analytics_holt,
+        events_shapley,
     )
 
 

@@ -256,6 +256,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # class as sim_cosine_topk
             "curation_mix_anneal",  # cross of the one-row normalizer
             # totals onto the <= #sources-row mix table
+            "events_shapley_attribution",  # literal-bounded coalition
+            # algebra: 2^k-subset x mask containment join, the
+            # coalition-pair join, and the one-row bounds/total crosses
         ), f"unexpected BNLJ in {name}"
 
 

@@ -503,6 +503,7 @@ NEW_IN_R11_POST_WINDOW: set[str] = {
     "sim_filtered_topk",
     "curation_mix_anneal",
     "events_holt_trend",
+    "events_shapley_attribution",
 }
 
 GREEN = (

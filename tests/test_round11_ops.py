@@ -483,6 +483,64 @@ def test_holt_trend_matches_python_recurrence(spark, sf_oracle):
         assert abs(r["final_trend"] - round(b, 4)) < 1e-3
 
 
+def test_shapley_attribution_axioms_and_python_reproduction(spark, sf_oracle):
+    """Shapley axioms hold: efficiency (sum phi = v(full) - v(empty),
+    emitted gap = 0), and the values match a direct Python Shapley
+    computation over the same characteristic function."""
+    from itertools import combinations
+    from math import factorial
+
+    from target_iceberg_spark.plans.events_shapley import SHAPLEY_CHANNELS
+
+    rows = (
+        all_specs()["events_shapley_attribution"]
+        .builder(spark, sf_oracle)
+        .collect()
+    )
+    assert len(rows) == len(SHAPLEY_CHANNELS)
+    for r in rows:
+        assert r["efficiency_gap"] == 0.0
+    # characteristic function from duckdb
+    import duckdb
+
+    masks = duckdb.connect().execute(
+        f"""WITH fp AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+              FROM '{sf_oracle}/events.parquet' GROUP BY user_id)
+            SELECT e.user_id,
+                   BIT_OR(CASE e.event_type WHEN 'click' THEN 1
+                          WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+                          WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+                   MAX(CASE WHEN fp.p_ts IS NOT NULL THEN 1 ELSE 0 END)
+            FROM '{sf_oracle}/events.parquet' e
+            JOIN fp ON fp.user_id = e.user_id
+            WHERE fp.p_ts IS NULL OR e.ts < fp.p_ts
+            GROUP BY e.user_id"""
+    ).fetchall()
+
+    def v(S: int) -> float:
+        n = sum(1 for _, m, _c in masks if m & S == m)
+        c = sum(_c for _, m, _c in masks if m & S == m)
+        return round(c / n, 6) if n else 0.0
+
+    k = len(SHAPLEY_CHANNELS)
+    got = {r["channel"]: r["shapley"] for r in rows}
+    bits = dict(SHAPLEY_CHANNELS)
+    for name, b in SHAPLEY_CHANNELS:
+        others = [x for _, x in SHAPLEY_CHANNELS if x != b]
+        phi = 0.0
+        for size in range(k):
+            w = factorial(size) * factorial(k - size - 1) / factorial(k)
+            for combo in combinations(others, size):
+                S = 0
+                for x in combo:
+                    S |= x
+                phi += w * (v(S | b) - v(S))
+        assert abs(got[name] - round(phi, 6)) < 5e-6, name
+    assert bits  # silence unused warnings
+
+
 def test_quality_trained_plan_shape(spark, sf_oracle):
     """Each IRLS step must broadcast the 1-row beta (no corpus-sized
     shuffle): the plan has only broadcast joins and aggregates — no
