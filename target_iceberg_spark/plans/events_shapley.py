@@ -15,7 +15,10 @@ cardinality (4 here), a design constant, so the 2^k = 16 coalition
 table is a plan literal at any corpus size. The characteristic
 function v(S) = conversion rate among users whose pre-conversion
 touched-set is contained in S, the standard "sub-coalition exposure"
-estimator.
+estimator; conversion is TIME-BOXED (first purchase within
+{SHAPLEY_WINDOW_DAYS} days of the user's first activity — the
+attribution-lookback convention), because the fixture's raw ever-
+purchased rate is ~100% and would collapse v to an indicator.
 
 Scale shape: two corpus-sized combinable stages (per-user first
 purchase, per-user touched bitmask via BIT_OR) joined once on
@@ -37,6 +40,7 @@ from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
 SHAPLEY_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+SHAPLEY_WINDOW_DAYS = 3  # conversion lookback from first activity
 _K = len(SHAPLEY_CHANNELS)
 _FULL = (1 << _K) - 1
 # |S|!(k-|S|-1)!/k! for |S| = 0..k-1, as repr'd literals so both
@@ -67,16 +71,19 @@ def _weight_case_sql(var: str) -> str:
     "events_shapley_attribution",
     oracle=f"""
 WITH fp AS (
-    SELECT user_id,
+    SELECT user_id, MIN(ts) AS first_ts,
            MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
     FROM events GROUP BY user_id
 ),
 touched AS (
     SELECT e.user_id,
-           BIT_OR({_chan_case_sql()}) AS mask,
-           MAX(CASE WHEN fp.p_ts IS NOT NULL THEN 1 ELSE 0 END) AS conv
+           BIT_OR(CASE WHEN fp.p_ts IS NULL OR e.ts < fp.p_ts
+                       THEN {_chan_case_sql()} ELSE 0 END) AS mask,
+           MAX(CASE WHEN fp.p_ts IS NOT NULL
+                     AND fp.p_ts <= fp.first_ts
+                         + INTERVAL {SHAPLEY_WINDOW_DAYS} DAY
+                    THEN 1 ELSE 0 END) AS conv
     FROM events e JOIN fp ON fp.user_id = e.user_id
-    WHERE fp.p_ts IS NULL OR e.ts < fp.p_ts
     GROUP BY e.user_id
 ),
 m AS (
@@ -118,7 +125,9 @@ ORDER BY p.channel
 def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shapley conversion credit for the {_K} non-purchase
     channels: v(S) = conversion rate of users whose pre-first-purchase
-    touched-set fits inside coalition S, phi = factorial-weighted
+    touched-set fits inside coalition S (conversion = first purchase
+    within {SHAPLEY_WINDOW_DAYS} days of first activity — the lookback
+    convention), phi = factorial-weighted
     marginal contributions over all 2^{_K} coalitions. The
     efficiency_gap column pins sum(phi) = v(full) - v(empty) to 0
     within rounding — the Shapley axiom the estimator must satisfy.
@@ -127,22 +136,25 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     every later stage is literal-bounded (16-row coalition table)."""
     ev = load_table(spark, sf_dir, "events")
     fp = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
             "p_ts"
-        )
+        ),
     )
     chan_bit = F.lit(0)
     for name, bit in SHAPLEY_CHANNELS:
         chan_bit = F.when(F.col("event_type") == name, bit).otherwise(chan_bit)
+    pre = F.col("p_ts").isNull() | (F.col("ts") < F.col("p_ts"))
+    fast = F.col("p_ts").isNotNull() & (
+        F.col("p_ts")
+        <= F.col("first_ts") + F.expr(f"INTERVAL {SHAPLEY_WINDOW_DAYS} DAYS")
+    )
     touched = (
         ev.join(fp, "user_id")
-        .where(F.col("p_ts").isNull() | (F.col("ts") < F.col("p_ts")))
         .groupBy("user_id")
         .agg(
-            F.bit_or(chan_bit).alias("mask"),
-            F.max(
-                F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
-            ).alias("conv"),
+            F.bit_or(F.when(pre, chan_bit).otherwise(F.lit(0))).alias("mask"),
+            F.max(F.when(fast, 1).otherwise(0)).alias("conv"),
         )
     )
     m = touched.groupBy("mask").agg(

@@ -503,19 +503,23 @@ def test_shapley_attribution_axioms_and_python_reproduction(spark, sf_oracle):
     # characteristic function from duckdb
     import duckdb
 
+    from target_iceberg_spark.plans.events_shapley import SHAPLEY_WINDOW_DAYS
+
     masks = duckdb.connect().execute(
         f"""WITH fp AS (
-              SELECT user_id,
+              SELECT user_id, MIN(ts) AS first_ts,
                      MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
               FROM '{sf_oracle}/events.parquet' GROUP BY user_id)
             SELECT e.user_id,
-                   BIT_OR(CASE e.event_type WHEN 'click' THEN 1
+                   BIT_OR(CASE WHEN fp.p_ts IS NULL OR e.ts < fp.p_ts THEN
+                          CASE e.event_type WHEN 'click' THEN 1
                           WHEN 'error' THEN 2 WHEN 'signup' THEN 4
-                          WHEN 'view' THEN 8 ELSE 0 END) AS mask,
-                   MAX(CASE WHEN fp.p_ts IS NOT NULL THEN 1 ELSE 0 END)
+                          WHEN 'view' THEN 8 ELSE 0 END ELSE 0 END) AS mask,
+                   MAX(CASE WHEN fp.p_ts IS NOT NULL AND fp.p_ts <=
+                            fp.first_ts + INTERVAL {SHAPLEY_WINDOW_DAYS} DAY
+                       THEN 1 ELSE 0 END)
             FROM '{sf_oracle}/events.parquet' e
             JOIN fp ON fp.user_id = e.user_id
-            WHERE fp.p_ts IS NULL OR e.ts < fp.p_ts
             GROUP BY e.user_id"""
     ).fetchall()
 
