@@ -10,14 +10,17 @@ ROUND-12 NOTE — do these IN ORDER before registering any new query:
      from NEW_IN_R11 into a new ROUND11_GREEN set; any FAIL stays
      hoisted).
   2. Rebuild registry._HOIST for round 12: any r11 FAILs first, then
-     NEW_IN_R11_POST_WINDOW (first driver check), then whatever
-     round-12 work changes outputs, then brand-new queries.
+     the 12-entry NEW_IN_R11_POST_WINDOW set (9 new queries + the 3
+     plan-only rewrites emb_outliers / curation_token_budget /
+     curation_pack_sequences — all owed their first/fresh driver
+     check), then whatever round-12 work changes outputs, then
+     brand-new round-12 queries.
   3. Spare window slots go to EVIDENCE FRESHNESS: hoist the queries
-     whose newest driver row is oldest (after the round-11 refresh
-     that is the remaining 5 round-1 entries `win_distribution`
-     `win_range_frame` `subquery_scalar` `udtf_tokens` `sort_limit`,
-     then the ~45 round-2 entries) so no entry's
-     newest driver row ages past ~6 rounds.
+     whose newest driver row is oldest (the remaining 5 round-1
+     entries `win_distribution` `win_range_frame` `subquery_scalar`
+     `udtf_tokens` `sort_limit`, then the ~45 round-2 entries —
+     ~33 of them fit in round 12, the rest queue for round 13) so no
+     entry's newest driver row ages past ~6 rounds.
   4. Round-12's own new queries fill whatever window slots remain
      after the hoist (evict refresh entries from the END of the hoist
      if a new query needs the slot); overflow goes straight into a
