@@ -148,3 +148,70 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# agg_quantile_sketch_audit — GK rank-error contract at LOW accuracy
+# --------------------------------------------------------------------
+
+GK_LOW_ACC = 50  # deliberately coarse: rank error bound = n / 50 (2%)
+GK_TARGET_Q = 0.5
+
+
+@register(
+    "agg_quantile_sketch_audit",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, {GK_TARGET_Q!r}), 6) AS exact_median,
+       TRUE AS sketch_within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg", "approx", "sketch", "audit"),
+)
+def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-sketch twin of the HLL/CMS/KMV/Bloom error audits:
+    run percentile_approx at a DELIBERATELY coarse accuracy
+    ({GK_LOW_ACC} -> rank error <= n/{GK_LOW_ACC}, the Greenwald-
+    Khanna contract Spark documents for approx quantiles) and verify
+    the estimate's EXACT rank interval intersects the target band —
+    emitted as a boolean the oracle asserts TRUE, beside the SQL-exact
+    group count and exact median. The estimate itself stays OUT of the
+    output: GK merge order varies with partitioning, so the value is
+    not cross-run stable, but the bound holds under every merge order
+    — exactly what an audit row may pin.
+
+    Scale shape: two combinable passes (sketch per group; conditional
+    rank counts for the broadcast-joined estimates). At 100 TB the
+    coarse sketch is the production setting and this query is the
+    acceptance test that licenses it."""
+    ev = load_table(spark, sf_dir, "events")
+    est = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", GK_TARGET_Q, GK_LOW_ACC).alias("est")
+    )
+    eps = 1.0 / GK_LOW_ACC
+    return (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.expr(f"percentile(value, {GK_TARGET_Q!r})"), 6).alias(
+                "exact_median"
+            ),
+            (
+                (
+                    F.sum(F.when(F.col("value") < F.col("est"), 1).otherwise(0))
+                    <= (F.lit(GK_TARGET_Q) + eps) * F.count(F.lit(1))
+                )
+                & (
+                    F.sum(
+                        F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
+                    )
+                    >= (F.lit(GK_TARGET_Q) - eps) * F.count(F.lit(1))
+                )
+            ).alias("sketch_within_bound"),
+        )
+        .orderBy("event_type")
+    )

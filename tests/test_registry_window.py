@@ -10,7 +10,7 @@ ROUND-12 NOTE — do these IN ORDER before registering any new query:
      from NEW_IN_R11 into a new ROUND11_GREEN set; any FAIL stays
      hoisted).
   2. Rebuild registry._HOIST for round 12: any r11 FAILs first, then
-     the 12-entry NEW_IN_R11_POST_WINDOW set (9 new queries + the 3
+     the 13-entry NEW_IN_R11_POST_WINDOW set (10 new queries + the 3
      plan-only rewrites emb_outliers / curation_token_budget /
      curation_pack_sequences — all owed their first/fresh driver
      check), then whatever round-12 work changes outputs, then
@@ -507,6 +507,7 @@ NEW_IN_R11_POST_WINDOW: set[str] = {
     "curation_mix_anneal",
     "events_holt_trend",
     "events_shapley_attribution",
+    "agg_quantile_sketch_audit",
 }
 
 GREEN = (
