@@ -317,40 +317,49 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries with NO current external driver evidence. Round 9 closed
-# 50/50 green with an empty post-window set, so round 10 starts with
-# a fully free window: the hoist leads with round-10 work that
-# changes a previously-green query's output, then brand-new round-10
-# queries appended as each lands; overflow past 50 goes to
-# NEW_IN_R10_POST_WINDOW. Everything with a prior driver-green row
-# (CORRECTNESS_r01–r09) rotates behind. The evidence ledger lives in
-# tests/test_registry_window.py.
+# queries with NO current external driver evidence. Round 11 closed
+# 50/50 green, so round 12 starts with a fully free window: the hoist
+# leads with the 13-entry round-11 post-window set (10 new queries +
+# 3 plan-only rewrites, each owed its first/fresh driver row), then
+# round-12 work that changes a previously-green query's output, then
+# brand-new round-12 queries appended as each lands; overflow past 50
+# goes to NEW_IN_R12_POST_WINDOW. Everything with a prior driver-green
+# row (CORRECTNESS_r01–r11) rotates behind. The evidence ledger lives
+# in tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-11 plan/output changes (driver evidence owed) ----------
-    "graph_ppr",  # ADVICE r10: explicit PPR_TELEPORT literal
-    "graph_pagerank",  # ADVICE r10: single-division teleport/n restored
-    "agg_holm_bonferroni",  # r11: crit ladder createDataFrame -> VALUES
-    "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
-    "agg_auc_roc",  # r11: per-row rank windows -> grouped midrank identity
-    "text_quality_trained",
-    "text_kn_perplexity",
-    "agg_pr_auc",
-    "lakehouse_snapshot_gc",
-    # -- new in round 11 (appended as each lands) ---------------------
+    # -- round-11 post-window set: first driver evidence owed ---------
+    "emb_outliers",  # r11 plan-only rewrite (moment window -> groupBy)
+    "curation_token_budget",  # r11 plan-only rewrite (histogram pack)
+    "curation_pack_sequences",  # r11 plan-only rewrite (prefix sums)
+    "lakehouse_scan_prune",
+    "curation_repetition_schedule",
+    "eval_macro_f1",  # + r12 trim: df-top-K scoring vocabulary
+    "text_lm_contrast",
+    "curation_split_decontam",
+    "sim_filtered_topk",
+    "curation_mix_anneal",
+    "events_holt_trend",  # + r12 ADVICE fix: per-type oracle final state
+    "events_shapley_attribution",
+    "agg_quantile_sketch_audit",
+    # -- new in round 12 (appended as each lands; evicts freshness
+    #    entries from the END of the block below) ---------------------
     # -- evidence-freshness rotation (already green; newest driver row
-    #    = r01 — re-checked this round per VERDICT r10 task 2; evict
-    #    from the END of this block if a new query needs the slot) ----
-    "agg_cube", "agg_distinct", "agg_group", "agg_percentile",
-    "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",
-    "dedup_clusters", "dedup_embedding", "dedup_exact", "dedup_keyed",
-    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash", "fn_array",
-    "fn_conditional", "fn_date", "fn_explode", "fn_json", "fn_math",
-    "fn_string", "fn_timestamp", "join_anti", "join_asof",
-    "join_broadcast", "join_full_outer", "join_left_outer", "join_range",
-    "join_semi", "join_sortmerge", "multimodal_meta", "project_filter",
-    "q10_returned_items", "q3_shipping_priority",
-    "q5_local_supplier_volume", "scan_json_props", "scan_parquet",
-    "set_union_except", "sim_cosine_topk", "sim_cosine_topk_batch",
+    #    = r01/r02 — re-checked this round per VERDICT r11 task 2;
+    #    evict from the END of this block if a new query needs the
+    #    slot; the 12 remaining r02 entries queue for round 13) -------
+    "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
+    "win_range_frame",
+    "agg_approx_quantile", "agg_collect", "agg_filter_clause",
+    "agg_grouping_sets", "agg_histogram", "agg_mode",
+    "curation_domain_mix", "curation_pipeline", "dedup_editdist",
+    "events_anomaly", "events_funnel", "events_retention",
+    "fn_array_setops", "fn_regexp", "join_salted",
+    "multimodal_framesample", "q18_large_orders", "rollup_hypertable",
+    "sample_stratified", "sim_ann_rp", "stream_dedup_first",
+    "stream_join_interval", "stream_session", "stream_sliding",
+    "stream_tumbling", "subquery_exists", "subquery_in",
+    "subquery_not_in", "text_decontaminate", "text_fingerprint",
+    "text_langid", "text_ngram_topk",
 )
 
 

@@ -5,26 +5,25 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-12 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r11 into this ledger (every green row moves
-     from NEW_IN_R11 into a new ROUND11_GREEN set; any FAIL stays
+ROUND-13 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r12 into this ledger (every green row moves
+     from NEW_IN_R12 into a new ROUND12_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 12: any r11 FAILs first, then
-     the 13-entry NEW_IN_R11_POST_WINDOW set (10 new queries + the 3
-     plan-only rewrites emb_outliers / curation_token_budget /
-     curation_pack_sequences — all owed their first/fresh driver
-     check), then whatever round-12 work changes outputs, then
-     brand-new round-12 queries.
+  2. Rebuild registry._HOIST for round 13: any r12 FAILs first, then
+     whatever is in NEW_IN_R12_POST_WINDOW, then round-13 work that
+     changes outputs, then brand-new round-13 queries.
   3. Spare window slots go to EVIDENCE FRESHNESS: hoist the queries
-     whose newest driver row is oldest (the remaining 5 round-1
-     entries `win_distribution` `win_range_frame` `subquery_scalar`
-     `udtf_tokens` `sort_limit`, then the ~45 round-2 entries —
-     ~33 of them fit in round 12, the rest queue for round 13) so no
-     entry's newest driver row ages past ~6 rounds.
-  4. Round-12's own new queries fill whatever window slots remain
+     whose newest driver row is oldest — after round 12 that is the
+     14 remaining round-2 entries (`text_quality` `text_repetition`
+     `text_tfidf` `text_tokens` `text_tokens_regex` `udf_grouped_agg`
+     `udf_scalar` `win_count_distinct` `win_first_last` `win_lag`
+     `win_rank` `win_running_sum` plus whichever round-12 tail
+     entries were evicted for new queries), then the round-3 rows —
+     so no entry's newest driver row ages past ~6 rounds.
+  4. Round-13's own new queries fill whatever window slots remain
      after the hoist (evict refresh entries from the END of the hoist
      if a new query needs the slot); overflow goes straight into a
-     NEW_IN_R12_POST_WINDOW set rather than competing for the window,
+     NEW_IN_R13_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -449,27 +448,13 @@ ROUND10_GREEN = {
     "sim_ann_ivfpq",
 }
 
-# Round-11 hoist == registry._HOIST at every commit. Composition
-# (per the round-11 procedure above): no r10 FAILs, empty r10
-# post-window set, so the hoist is
-#   (a) round-11 plan/output changes owing a fresh driver row,
-#   (b) new round-11 queries appended as each lands,
-#   (c) EVIDENCE-FRESHNESS rotation — the 44 oldest driver-green rows
-#       (all from CORRECTNESS_r01) re-checked this round; they are
-#       already green, the slots are simply spare (VERDICT r10 task 2).
-NEW_IN_R11 = {
-    # -- (a) round-11 plan/output changes (driver evidence owed) ------
-    "graph_ppr",  # ADVICE r10: explicit PPR_TELEPORT literal
-    "graph_pagerank",  # ADVICE r10: single-division teleport/n restored
-    "agg_holm_bonferroni",  # r11: crit ladder createDataFrame -> VALUES
-    "agg_benjamini_hochberg",  # r11: same LocalRelation conversion
-    "agg_auc_roc",  # r11: per-row rank windows -> grouped midrank identity
-    # -- (b) new in round 11 (appended as each lands) ------------------
-    "text_quality_trained",
-    "text_kn_perplexity",
-    "agg_pr_auc",
-    "lakehouse_snapshot_gc",
-    # -- (c) evidence-freshness rotation: newest driver row = r01 -----
+# Driver rows from round 11 (CORRECTNESS_r11.json: 50/50 hash-green —
+# the 9 round-11 plan/output changes plus 41 evidence-freshness
+# rotations of the oldest r01 rows).
+ROUND11_GREEN = {
+    "graph_ppr", "graph_pagerank", "agg_holm_bonferroni",
+    "agg_benjamini_hochberg", "agg_auc_roc", "text_quality_trained",
+    "text_kn_perplexity", "agg_pr_auc", "lakehouse_snapshot_gc",
     "agg_cube", "agg_distinct", "agg_group", "agg_percentile",
     "agg_pivot", "agg_rollup", "agg_salted", "agg_stats",
     "dedup_clusters", "dedup_embedding", "dedup_exact", "dedup_keyed",
@@ -483,37 +468,50 @@ NEW_IN_R11 = {
     "set_union_except", "sim_cosine_topk", "sim_cosine_topk_batch",
 }
 
-# Registered AFTER the round-11 window filled: no driver row yet BY
-# DESIGN — covered by local property/parity tests and first in line
-# for the round-12 hoist.
-# Round-11 plan-only rewrites of previously-green queries with
-# IDENTICAL output (local parity re-verified; the checker window is
-# full, so their fresh driver rows queue with the post-window set for
-# the round-12 hoist).
-NEW_IN_R11_POST_WINDOW: set[str] = {
-    "emb_outliers",  # r11: label-partitioned moment window -> groupBy
-    # + broadcast join (identical values, no corpus/|labels| task)
-    "curation_token_budget",  # r11: per-source doc-level cumsum window
-    # -> per-(source, length) histogram pack (identical values by the
-    # tie-group argument; no corpus/|sources| task)
-    "curation_pack_sequences",  # r11: per-source offset window ->
-    # distributed exact prefix sums (identical values)
-    "lakehouse_scan_prune",
-    "curation_repetition_schedule",
-    "eval_macro_f1",
-    "text_lm_contrast",
-    "curation_split_decontam",
-    "sim_filtered_topk",
-    "curation_mix_anneal",
-    "events_holt_trend",
-    "events_shapley_attribution",
-    "agg_quantile_sketch_audit",
+# Round-12 hoist == registry._HOIST at every commit. Composition
+# (per the round-12 procedure, commit d09beee): no r11 FAILs, so the
+# hoist is
+#   (a) the 13-entry round-11 post-window set — 10 new queries + the
+#       3 plan-only rewrites (emb_outliers, curation_token_budget,
+#       curation_pack_sequences), each owed its first/fresh driver row,
+#   (b) new round-12 queries appended as each lands,
+#   (c) EVIDENCE-FRESHNESS rotation — the 5 remaining round-1 rows
+#       plus the oldest round-2 rows (VERDICT r11 task 2); already
+#       green, the slots are simply spare; evicted from the END as
+#       round-12 queries land.
+NEW_IN_R12 = {
+    # -- (a) round-11 post-window set: first driver evidence owed -----
+    "emb_outliers", "curation_token_budget", "curation_pack_sequences",
+    "lakehouse_scan_prune", "curation_repetition_schedule",
+    "eval_macro_f1", "text_lm_contrast", "curation_split_decontam",
+    "sim_filtered_topk", "curation_mix_anneal", "events_holt_trend",
+    "events_shapley_attribution", "agg_quantile_sketch_audit",
+    # -- (b) new in round 12 (appended as each lands) ------------------
+    # -- (c) evidence-freshness rotation: newest driver row = r01/r02 --
+    "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
+    "win_range_frame",
+    "agg_approx_quantile", "agg_collect", "agg_filter_clause",
+    "agg_grouping_sets", "agg_histogram", "agg_mode",
+    "curation_domain_mix", "curation_pipeline", "dedup_editdist",
+    "events_anomaly", "events_funnel", "events_retention",
+    "fn_array_setops", "fn_regexp", "join_salted",
+    "multimodal_framesample", "q18_large_orders", "rollup_hypertable",
+    "sample_stratified", "sim_ann_rp", "stream_dedup_first",
+    "stream_join_interval", "stream_session", "stream_sliding",
+    "stream_tumbling", "subquery_exists", "subquery_in",
+    "subquery_not_in", "text_decontaminate", "text_fingerprint",
+    "text_langid", "text_ngram_topk",
 }
+
+# Registered AFTER the round-12 window filled: no driver row yet BY
+# DESIGN — covered by local property/parity tests and first in line
+# for the round-13 hoist.
+NEW_IN_R12_POST_WINDOW: set[str] = set()
 
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
     | ROUND5_GREEN | ROUND6_GREEN | ROUND7_GREEN | ROUND8_GREEN
-    | ROUND9_GREEN | ROUND10_GREEN
+    | ROUND9_GREEN | ROUND10_GREEN | ROUND11_GREEN
 )
 
 
@@ -523,7 +521,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R11_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R12_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -532,9 +530,9 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert set(NEW_IN_R11) == set(_HOIST)
+    assert set(NEW_IN_R12) == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = set(NEW_IN_R11) - set(names)
+    missing = set(NEW_IN_R12) - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
 
 
@@ -550,5 +548,5 @@ def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - set(NEW_IN_R11) - NEW_IN_R11_POST_WINDOW
+    unaccounted = names - GREEN - set(NEW_IN_R12) - NEW_IN_R12_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
