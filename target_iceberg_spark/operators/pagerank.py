@@ -49,6 +49,7 @@ def pagerank(
     damping: float = 0.85,
     teleport: float = 0.15,
     restart: DataFrame | None = None,
+    strict_restart: bool = False,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of the weighted power
     method over ``edges``; ranks are full-precision doubles (callers
@@ -62,11 +63,15 @@ def pagerank(
 
     CAVEAT: the node domain is derived from ``edges``, so restart
     entries for nodes with no edges at all (isolated seeds) are
-    silently DROPPED by the left join below — the effective teleport
+    DROPPED by the left join below — the effective teleport
     distribution then sums to less than 1. Callers whose seeds come
     from the same edge table (the registered graph_ppr query) are
-    unaffected; callers with external seed sets must pre-filter to the
-    edge-derived node domain (asserted in tests/test_round10_ops.py)."""
+    unaffected; callers with EXTERNAL seed sets should pass
+    ``strict_restart=True``, which anti-joins the restart set against
+    the edge-derived node domain and raises ``ValueError`` on any
+    missing seed — lost teleport mass then fails fast instead of
+    producing quietly deflated ranks (ADVICE r11). The check is one
+    seed-sized anti-join count, never corpus-sized."""
     # Normalize once: every edge carries its source's out-weight share.
     # Reused by all rounds — checkpointed so each round's plan starts
     # from a materialized table instead of re-deriving the groupBy.
@@ -96,6 +101,15 @@ def pagerank(
         base = nodes.select("node", F.lit(1.0 / n).alias("r"))
         tele = F.lit(teleport / n)
     else:
+        if strict_restart:
+            missing = restart.join(nodes, "node", "left_anti").count()
+            if missing:
+                raise ValueError(
+                    f"{missing} restart node(s) are outside the "
+                    f"edge-derived node domain; their teleport mass "
+                    f"would be silently dropped (pass seeds from the "
+                    f"edge table, or pre-filter to its node domain)"
+                )
         # Personalized teleport: nodes outside the restart set get 0.
         # Here teleport * r IS exact — r values are caller-supplied
         # literals (0.0 / 1.0-style), matching an oracle's

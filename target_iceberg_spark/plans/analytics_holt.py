@@ -84,10 +84,8 @@ SELECT event_type,
            AS n_scored,
        ROUND(AVG(e_holt) FILTER (WHERE d > {HOLT_BURN}), 4) AS mae_holt,
        ROUND(AVG(e_naive) FILTER (WHERE d > {HOLT_BURN}), 4) AS mae_naive,
-       ROUND(MAX(CASE WHEN d = (SELECT MAX(d) FROM holt) THEN l END), 4)
-           AS final_level,
-       ROUND(MAX(CASE WHEN d = (SELECT MAX(d) FROM holt) THEN b END), 4)
-           AS final_trend
+       ROUND(arg_max(l, d), 4) AS final_level,
+       ROUND(arg_max(b, d), 4) AS final_trend
 FROM holt
 GROUP BY event_type
 ORDER BY event_type
@@ -125,6 +123,10 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for et in sorted(series):
         xs = series[et]
+        if len(xs) < 2:
+            # The oracle's recursive base case needs days 1 and 2, so
+            # single-day types are absent from its output too.
+            continue
         level = round(
             HOLT_ALPHA * xs[1] + (1 - HOLT_ALPHA) * (xs[0] + (xs[1] - xs[0])),
             6,
@@ -149,8 +151,9 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 et,
                 len(errs),
-                round(sum(errs) / len(errs), 4),
-                round(sum(naive) / len(naive), 4),
+                # AVG over zero post-burn-in rows is NULL in the oracle.
+                round(sum(errs) / len(errs), 4) if errs else None,
+                round(sum(naive) / len(naive), 4) if naive else None,
                 round(level, 4),
                 round(trend, 4),
             )

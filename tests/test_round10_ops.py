@@ -810,6 +810,18 @@ def test_ppr_restart_mass_on_isolated_seed_is_dropped(spark):
     # With z's mass gone the system conserves only the surviving 0.5.
     assert abs(sum(got.values()) - 0.5) < 1e-12
 
+    # ADVICE r11: strict_restart turns the silent drop into a fail-fast.
+    import pytest
+
+    with pytest.raises(ValueError, match="outside the edge-derived"):
+        pagerank(edges, iterations=2, restart=restart, strict_restart=True)
+    # ...and stays silent when every seed is in the node domain.
+    ok = spark.createDataFrame([("a", 1.0)], "node string, r double")
+    strict_rows = pagerank(
+        edges, iterations=2, restart=ok, strict_restart=True
+    ).collect()
+    assert {r["node"] for r in strict_rows} == {"a", "b"}
+
 
 def test_dp_counts_mechanism_algebra(spark, sf_oracle):
     """The Laplace inverse-CDF reproduces in pure Python from the same

@@ -584,3 +584,67 @@ def test_quality_trained_plan_shape(spark, sf_oracle):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row beta broadcasts
+
+
+def test_holt_trend_ragged_series_and_per_type_final_state(spark, tmp_path):
+    """ADVICE r11: oracle final state must be PER TYPE, not pinned to
+    the global max day, and the plan must not crash on series shorter
+    than the burn-in. Fixture: three types with 1 / 2 / 9 daily rows —
+    the 1-day type is absent (no recursive base case), the 2-day type
+    scores nothing (NULL MAEs, init-only final state), and the 9-day
+    type's final state comes from ITS OWN last day even though the
+    global max day is longer elsewhere."""
+    import datetime
+
+    import duckdb
+
+    rows = []
+    eid = 0
+    for et, ndays in (("solo", 1), ("pair", 2), ("long", 9)):
+        for d in range(ndays):
+            for k in range(2):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        datetime.datetime(2024, 1, 1 + d, 6 + k),
+                        eid % 7,
+                        et,
+                        float((d + 1) * 10 + k + (3 if et == "long" else 0)),
+                        "{}",
+                    )
+                )
+    fixture = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path / "sf_ragged")
+    fixture.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    spec = all_specs()["events_holt_trend"]
+    got = {r["event_type"]: r for r in spec.builder(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    want = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
+
+    assert set(got) == set(want) == {"pair", "long"}  # "solo" dropped
+    for et in got:
+        g, w = got[et], want[et]
+        assert g["n_scored"] == w[1]
+        for gi, wi in zip(
+            (g["mae_holt"], g["mae_naive"], g["final_level"], g["final_trend"]),
+            w[2:],
+        ):
+            assert (gi is None) == (wi is None)
+            if gi is not None:
+                assert abs(gi - wi) < 1e-9, (et, gi, wi)
+    assert got["pair"]["n_scored"] == 0
+    assert got["pair"]["mae_holt"] is None
+    # per-type final state: "pair" ends at its own day 2 (init state),
+    # "long" at day 9 — under the old global-max pin "pair" would be NULL
+    assert got["pair"]["final_level"] is not None
+    assert got["long"]["n_scored"] == 9 - 2 - (5 - 2)
