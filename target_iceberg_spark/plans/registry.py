@@ -341,6 +341,9 @@ _HOIST: tuple[str, ...] = (
     "events_holt_trend",  # + r12 ADVICE fix: per-type oracle final state
     "events_shapley_attribution",
     "agg_quantile_sketch_audit",
+    # -- round-12 plan/output changes (driver evidence owed) ----------
+    "text_nb_langid",  # r12: per-(doc,tok) count pre-agg + conf
+    # localCheckpoint (kills the orderBy-sampling double execution)
     # -- new in round 12 (appended as each lands; evicts freshness
     #    entries from the END of the block below) ---------------------
     # -- evidence-freshness rotation (already green; newest driver row
@@ -359,7 +362,7 @@ _HOIST: tuple[str, ...] = (
     "stream_join_interval", "stream_session", "stream_sliding",
     "stream_tumbling", "subquery_exists", "subquery_in",
     "subquery_not_in", "text_decontaminate", "text_fingerprint",
-    "text_langid", "text_ngram_topk",
+    "text_langid",
 )
 
 

@@ -28,6 +28,14 @@ from target_iceberg_spark.sources.tables import load_table
 # Shared train->score->argmax CTEs ending at `pred (doc_id, true_lang,
 # pred_lang)`. Reused verbatim by eval_macro_f1's oracle so the
 # classifier and its evaluation score with literally the same SQL.
+#
+# Round 12: token instances are pre-aggregated to per-(doc, tok)
+# COUNTS before the grid join, and scores sum cnt * logp — identical
+# algebra, but the expensive (doc, class) aggregate consumes
+# |doc x unique-tok| x |classes| rows instead of
+# |token instances| x |classes| (the per-doc duplication factor, ~8x
+# on this fixture). cw/vocab also derive from the counted table, so
+# the corpus-sized explode feeds exactly ONE combinable groupBy.
 NB_PRED_CTES = """toks AS (
     SELECT doc_id, lang,
            unnest(string_split(lower(text), ' ')) AS tok
@@ -39,11 +47,15 @@ cls AS (
                AS log_prior
     FROM documents GROUP BY lang
 ),
-cw AS (
-    SELECT tok, lang AS c, CAST(COUNT(*) AS BIGINT) AS cwc
-    FROM toks GROUP BY tok, lang
+dtok AS (
+    SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY doc_id, lang, tok
 ),
-vocab AS (SELECT DISTINCT tok FROM toks),
+cw AS (
+    SELECT tok, lang AS c, CAST(SUM(cnt) AS BIGINT) AS cwc
+    FROM dtok GROUP BY tok, lang
+),
+vocab AS (SELECT DISTINCT tok FROM cw),
 v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
 tc AS (SELECT c, SUM(cwc) AS t_c FROM cw GROUP BY c),
 grid AS (
@@ -57,8 +69,8 @@ grid AS (
 ),
 scores AS (
     SELECT t.doc_id, t.lang AS true_lang, g.c,
-           ROUND(SUM(g.logp) + ANY_VALUE(cl.log_prior), 6) AS score
-    FROM toks t
+           ROUND(SUM(t.cnt * g.logp) + ANY_VALUE(cl.log_prior), 6) AS score
+    FROM dtok t
     JOIN grid g ON g.tok = t.tok
     JOIN cls cl ON cl.c = g.c
     GROUP BY t.doc_id, t.lang, g.c
@@ -97,10 +109,10 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned in tests on a planted two-language corpus where the same
     plan must score a perfect diagonal.
 
-    Scale shape: training is TWO combinable aggregates ((tok, class)
-    counts and class totals); the scoring grid is vocabulary x
-    classes — Zipf-bounded, never corpus-bounded; the per-doc score
-    join shuffles token occurrences against that bounded grid, and
+    Scale shape: the corpus-sized explode feeds exactly ONE combinable
+    groupBy (per-(doc, tok) counts); train tables and the score join
+    all run over that deduplicated table, the scoring grid is
+    vocabulary x classes — Zipf-bounded, never corpus-bounded — and
     the argmax is a (doc)-partitioned window over |classes| rows.
     Scores round to 6 before the argmax so a cross-engine sum-order
     ulp cannot flip a prediction (ties then break on class name)."""
@@ -114,6 +126,11 @@ def nb_confusion(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("tok")
     )
+    # The ONE corpus-sized aggregate: per-(doc, tok) counts. Everything
+    # downstream works on this ~8x smaller table (round 12).
+    dtok = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
     cls_counts = docs.groupBy(F.col("lang").alias("c")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
@@ -121,10 +138,10 @@ def nb_confusion(docs: DataFrame) -> DataFrame:
     cls = cls_counts.crossJoin(F.broadcast(tot)).select(
         "c", F.log(F.col("n_docs") / F.col("nd")).alias("log_prior")
     )
-    cw = toks.groupBy("tok", F.col("lang").alias("c")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cwc")
+    cw = dtok.groupBy("tok", F.col("lang").alias("c")).agg(
+        F.sum("cnt").cast("bigint").alias("cwc")
     )
-    vocab = toks.select("tok").distinct()
+    vocab = cw.select("tok").distinct()
     v = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
     tc = cw.groupBy("c").agg(F.sum("cwc").alias("t_c"))
     grid = (
@@ -141,11 +158,13 @@ def nb_confusion(docs: DataFrame) -> DataFrame:
         )
     )
     scores = (
-        toks.join(grid, "tok")
+        dtok.join(grid, "tok")
         .join(F.broadcast(cls.select("c", "log_prior")), "c")
         .groupBy(F.col("doc_id"), F.col("lang").alias("true_lang"), F.col("c"))
         .agg(
-            F.round(F.sum("logp") + F.any_value("log_prior"), 6).alias("score")
+            F.round(
+                F.sum(F.col("cnt") * F.col("logp")) + F.any_value("log_prior"), 6
+            ).alias("score")
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
@@ -154,8 +173,13 @@ def nb_confusion(docs: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("true_lang", F.col("c").alias("pred_lang"))
     )
-    return (
-        pred.groupBy("true_lang", "pred_lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .orderBy("true_lang", "pred_lang")
+    conf = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # Cut lineage before the final sort: a global orderBy's range
+    # partitioner SAMPLES its child, which would execute the whole
+    # corpus-sized prediction pipeline a second time. Checkpointing
+    # the |classes|^2-row matrix makes the sort (and eval_macro_f1's
+    # three metric branches) re-read ~25 materialized rows instead
+    # (measured: 2x warm time without this, at every scale).
+    return conf.localCheckpoint().orderBy("true_lang", "pred_lang")

@@ -486,6 +486,9 @@ NEW_IN_R12 = {
     "eval_macro_f1", "text_lm_contrast", "curation_split_decontam",
     "sim_filtered_topk", "curation_mix_anneal", "events_holt_trend",
     "events_shapley_attribution", "agg_quantile_sketch_audit",
+    # -- round-12 plan/output changes (driver evidence owed) ----------
+    "text_nb_langid",  # r12: per-(doc,tok) count pre-agg + conf
+    # localCheckpoint (kills the orderBy-sampling double execution)
     # -- (b) new in round 12 (appended as each lands) ------------------
     # -- (c) evidence-freshness rotation: newest driver row = r01/r02 --
     "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
@@ -500,7 +503,7 @@ NEW_IN_R12 = {
     "stream_join_interval", "stream_session", "stream_sliding",
     "stream_tumbling", "subquery_exists", "subquery_in",
     "subquery_not_in", "text_decontaminate", "text_fingerprint",
-    "text_langid", "text_ngram_topk",
+    "text_langid",
 }
 
 # Registered AFTER the round-12 window filled: no driver row yet BY
