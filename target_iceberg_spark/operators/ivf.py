@@ -36,6 +36,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.functions.vectors import cosine
 
 
@@ -219,7 +220,12 @@ def build_or_load_ivf(
                 shutil.rmtree(stage, ignore_errors=True)
         if source is not None:
             _prune_stale_indexes(index_path, os.path.abspath(source))
-    rows = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    rows = bounded_collect(
+        spark.read.parquet(os.path.join(index_path, "centroids")),
+        cap=65_536,
+        why="persisted IVF centroid table (k clusters)",
+        structural=False,
+    )
     centroids = np.vstack(
         [np.asarray(r["centroid"]) for r in sorted(rows, key=lambda r: r["cluster"])]
     )

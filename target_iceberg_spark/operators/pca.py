@@ -40,6 +40,8 @@ from typing import TYPE_CHECKING
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from target_iceberg_spark.bounded import bounded_collect
+
 if TYPE_CHECKING:  # pragma: no cover
     import numpy as np
 
@@ -80,7 +82,13 @@ def fit_pca(
     Arrow batch."""
     import numpy as np
 
-    rows = gram_partials(emb, vec_col).collect()
+    rows = bounded_collect(
+        gram_partials(emb, vec_col),
+        cap=100_000,
+        why="one (d^2+d+1)-double moment row per Arrow batch "
+        "(partition-partials class, corpus-size independent per batch)",
+        structural=False,
+    )
     if not rows:
         raise ValueError("fit_pca: empty input")
     d = len(rows[0]["s"])

@@ -33,6 +33,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from target_iceberg_spark.bounded import bounded_collect
+
 PQ_TRAIN_SAMPLE_ROWS = 20_000
 
 
@@ -63,7 +65,13 @@ def fit_pq_codebooks(
         sample = emb.select(vec_col).sample(fraction=frac, seed=seed)
     else:
         sample = emb.select(vec_col)
-    frac_rows = sample.collect()
+    frac_rows = bounded_collect(
+        sample,
+        cap=2 * PQ_TRAIN_SAMPLE_ROWS,
+        why="seeded Bernoulli training sample targeting "
+        "PQ_TRAIN_SAMPLE_ROWS (or the whole sub-threshold corpus)",
+        structural=False,
+    )
     if not frac_rows:
         raise ValueError("cannot fit PQ codebooks on an empty corpus")
     x = np.asarray([r[0] for r in frac_rows], dtype=np.float64)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -117,8 +118,11 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     series: dict[str, list[float]] = {}
-    for row in daily.orderBy("event_type", "d").collect():  # bounded:
-        # 30 days x |event types| rows at any corpus size
+    for row in bounded_collect(
+        daily.orderBy("event_type", "d"),
+        cap=10_000,
+        why="calendar-bounded daily aggregate: <= ~31 days x |event types|",
+    ):
         series.setdefault(row["event_type"], []).append(row["x"])
     out = []
     for et in sorted(series):

@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -110,10 +111,16 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
-    rows = counts.collect()  # bounded: k x k, k = |event types|
+    rows = bounded_collect(
+        counts, cap=10_000, why="k x k transition counts, k = |event types|"
+    )
     states = sorted(
         r["event_type"]
-        for r in ev.select("event_type").distinct().collect()  # bounded: k
+        for r in bounded_collect(
+            ev.select("event_type").distinct(),
+            cap=1_000,
+            why="distinct event types (k)",
+        )
     )
     idx = {s: i for i, s in enumerate(states)}
     k = len(states)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.plans.joins_bloom import (
     BLOOM_K,
     _bit_positions,
@@ -156,15 +157,16 @@ def _history_words(spark, sf_dir: str, hist) -> tuple[int, list]:
     if fp not in _HIST_MEMO:
         ndv = hist.agg(F.approx_count_distinct("k")).first()[0]
         m = sized_m(ndv)
-        rows = (
+        rows = bounded_collect(
             hist.select(F.explode(F.array(*_bit_positions("k", m))).alias("p"))
             .groupBy((F.col("p") / 32).cast("int").alias("w"))
             .agg(
                 F.expr(
                     "bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))"
                 ).alias("bits")
-            )
-            .collect()
+            ),
+            cap=m // 32,
+            why="one aggregated row per 32-bit filter word",
         )
         words = [0] * (m // 32)
         for r in rows:

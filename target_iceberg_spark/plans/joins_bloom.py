@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -76,7 +77,7 @@ def _filter_words(spark, sf_dir: str, seg) -> tuple[int, list]:
     if fp not in _WORDS_MEMO:
         ndv = seg.agg(F.approx_count_distinct("c_custkey")).first()[0]
         m = sized_m(ndv)
-        rows = (
+        rows = bounded_collect(
             seg.select(
                 F.explode(F.array(*_bit_positions("c_custkey", m))).alias("p")
             )
@@ -85,8 +86,9 @@ def _filter_words(spark, sf_dir: str, seg) -> tuple[int, list]:
                 F.expr(
                     "bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))"
                 ).alias("bits")
-            )
-            .collect()
+            ),
+            cap=m // 32,
+            why="one aggregated row per 32-bit filter word",
         )
         words = [0] * (m // 32)
         for r in rows:

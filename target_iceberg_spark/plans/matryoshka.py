@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.functions.vectors import cosine, cosine_sql
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K
@@ -65,7 +66,12 @@ def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     are TakeOrderedAndProject; the agreement flag is a left join
     against a k-row id set. Nothing shuffles the embedding column."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probe_row = emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]
+    probe_row = bounded_collect(
+        emb.where(F.col("vec_id") == PROBE_VEC_ID),
+        cap=1,
+        why="unique vec_id == PROBE_VEC_ID literal",
+        structural=False,
+    )[0]
     p = [float(x) for x in probe_row["embedding"]]
     p_full = F.array(*[F.lit(v) for v in p])
     p_pref = F.array(*[F.lit(v) for v in p[:PREFIX_DIMS]])

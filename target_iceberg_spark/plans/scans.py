@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -412,7 +413,12 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
 
         os.makedirs(tmp, exist_ok=True)
-        rows = df.where(F.col("doc_id") < 200).select("doc_id", "text").collect()
+        rows = bounded_collect(
+            df.where(F.col("doc_id") < 200).select("doc_id", "text"),
+            cap=200,
+            why="unique doc_id < 200 literal (fixture write)",
+            structural=False,
+        )
         for r in rows:  # bounded fixture write (<= 200 tiny files)
             with open(os.path.join(tmp, f"doc_{r['doc_id']}.txt"), "wb") as fh:
                 fh.write(r["text"].encode("utf-8"))
@@ -493,9 +499,12 @@ def _derived_nation_malformed_csv(spark: SparkSession, sf_dir: str) -> str:
     def write(df: DataFrame, tmp: str) -> None:
         import os
 
-        rows = df.select("n_nationkey", "n_name", "n_regionkey").orderBy(
-            "n_nationkey"
-        ).collect()  # 25-row dim — bounded fixture write
+        rows = bounded_collect(
+            df.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey"),
+            cap=32,
+            why="nation is a fixed 25-row dimension at every SF",
+            structural=False,
+        )
         os.makedirs(tmp, exist_ok=True)
         lines = ["n_nationkey,n_name,n_regionkey"]
         for i, r in enumerate(rows):

@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.plans.scans import _derived_source
 
@@ -40,7 +41,12 @@ def _derived_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
         import os
 
         rows = sorted(
-            df.select("n_nationkey", "n_name", "n_regionkey").collect(),
+            bounded_collect(
+                df.select("n_nationkey", "n_name", "n_regionkey"),
+                cap=32,
+                why="nation is a fixed 25-row dimension at every SF",
+                structural=False,
+            ),
             key=lambda r: r["n_nationkey"],
         )  # bounded: 25-row dimension
         os.makedirs(tmp, exist_ok=True)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -60,7 +61,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_vec = [
         float(x)
-        for x in emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"]
+        for x in bounded_collect(
+            emb.where(F.col("vec_id") == PROBE_VEC_ID),
+            cap=1,
+            why="unique vec_id == PROBE_VEC_ID literal",
+            structural=False,
+        )[0]["embedding"]
     ]
     return ivf_search(
         index.postings.where(F.col("vec_id") != PROBE_VEC_ID),
@@ -316,7 +322,12 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "pq_codes"
     )
     probe = np.asarray(
-        emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"],
+        bounded_collect(
+            emb.where(F.col("vec_id") == PROBE_VEC_ID),
+            cap=1,
+            why="unique vec_id == PROBE_VEC_ID literal",
+            structural=False,
+        )[0]["embedding"],
         dtype=np.float64,
     )
     shortlist = (
@@ -601,7 +612,12 @@ def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     p = [
         float(x)
-        for x in emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"]
+        for x in bounded_collect(
+            emb.where(F.col("vec_id") == PROBE_VEC_ID),
+            cap=1,
+            why="unique vec_id == PROBE_VEC_ID literal",
+            structural=False,
+        )[0]["embedding"]
     ]
     p2 = [v + (0.1 if i == 0 else 0.0) for i, v in enumerate(p)]
     norm = math.sqrt(sum(v * v for v in p))

@@ -21,6 +21,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.functions.vectors import cosine_sql
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -69,7 +70,12 @@ def sim_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     probe_rows = sorted(
-        emb.where(F.col("vec_id") < GEMM_PROBES).collect(),
+        bounded_collect(
+            emb.where(F.col("vec_id") < GEMM_PROBES),
+            cap=GEMM_PROBES,
+            why="unique vec_id < GEMM_PROBES literal",
+            structural=False,
+        ),
         key=lambda r: r["vec_id"],
     )
     probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)

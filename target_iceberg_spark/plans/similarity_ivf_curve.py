@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.functions.vectors import cosine
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -81,7 +82,12 @@ def _ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
         source=source,
     )
-    probes = emb.where(F.col("vec_id") < IVC_PROBES).collect()  # bounded
+    probes = bounded_collect(
+        emb.where(F.col("vec_id") < IVC_PROBES),
+        cap=IVC_PROBES,
+        why="unique vec_id < IVC_PROBES literal",
+        structural=False,
+    )
     n_clusters = len(index.centroids)
     ranks = []
     for r in probes:

@@ -44,6 +44,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.functions.vectors import l2_dist
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K
@@ -89,7 +90,12 @@ def ivfpq_search(
     )
     books = fit_pq_codebooks(emb, m=IVFPQ_M, k=IVFPQ_K, seed=42)
     probe = np.asarray(
-        emb.where(F.col("vec_id") == probe_vec_id).collect()[0][
+        bounded_collect(
+            emb.where(F.col("vec_id") == probe_vec_id),
+            cap=1,
+            why="unique vec_id == probe literal",
+            structural=False,
+        )[0][
             "embedding"
         ],
         dtype=np.float64,

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.functions.vectors import cosine
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.plans.similarity import PROBE_VEC_ID, TOP_K
@@ -119,16 +120,22 @@ def emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = [
         float(x)
-        for x in emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["embedding"]
+        for x in bounded_collect(
+            emb.where(F.col("vec_id") == PROBE_VEC_ID),
+            cap=1,
+            why="unique vec_id == PROBE_VEC_ID literal",
+            structural=False,
+        )[0]["embedding"]
     ]
     p_lit = F.array(*[F.lit(v) for v in probe])
-    cands = (
+    cands = bounded_collect(
         emb.where(F.col("vec_id") != PROBE_VEC_ID)
         .select("vec_id", "embedding", cosine("embedding", p_lit).alias("rel"))
         .orderBy(F.desc("rel"), "vec_id")
-        .limit(MMR_CANDIDATES)
-        .collect()
-    )  # bounded: C x d, corpus-size independent
+        .limit(MMR_CANDIDATES),
+        cap=MMR_CANDIDATES,
+        why="explicit limit(MMR_CANDIDATES): C x d, corpus-size independent",
+    )
     cvecs = {
         r["vec_id"]: [float(x) for x in r["embedding"]] for r in cands
     }

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.functions.vectors import cosine, cosine_sql
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.plans.similarity import PROBE_VEC_ID
@@ -99,9 +100,12 @@ def sim_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     probe_vec = [
         float(x)
-        for x in emb.where(F.col("vec_id") == PROBE_VEC_ID).collect()[0][
-            "embedding"
-        ]
+        for x in bounded_collect(
+            emb.where(F.col("vec_id") == PROBE_VEC_ID),
+            cap=1,
+            why="unique vec_id == PROBE_VEC_ID literal",
+            structural=False,
+        )[0]["embedding"]
     ]
     p_lit = F.array(*[F.lit(v) for v in probe_vec])
     scored0 = emb.where(F.col("vec_id") != PROBE_VEC_ID).select(
@@ -109,12 +113,13 @@ def sim_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.round(cosine("embedding", p_lit), 6).alias("cos_orig"),
     )
-    fb = (
+    fb = bounded_collect(
         scored0.orderBy(F.desc("cos_orig"), "vec_id")
         .limit(PRF_FEEDBACK_K)
-        .select("embedding")
-        .collect()
-    )  # bounded: PRF_FEEDBACK_K x d doubles
+        .select("embedding"),
+        cap=PRF_FEEDBACK_K,
+        why="explicit limit(PRF_FEEDBACK_K) x d doubles",
+    )
     d = len(probe_vec)
     centroid = [
         sum(float(r["embedding"][i]) for r in fb) / len(fb) for i in range(d)

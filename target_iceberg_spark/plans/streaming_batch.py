@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -193,7 +194,15 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this tiny driver-side collect is the query's diagnostic output,
     # not a data path
     out = spark.read.parquet(out_dir)
-    rows, schema = out.collect(), out.schema
+    rows, schema = (
+        bounded_collect(
+            out,
+            cap=64,
+            why="finalized windows of the 3-file literal fixture",
+            structural=False,
+        ),
+        out.schema,
+    )
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("win_start")
 

@@ -36,6 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import DataType, DateType, StructType, TimestampType
 
+from target_iceberg_spark.bounded import bounded_collect
 from target_iceberg_spark.schema import json_schema_to_struct_type
 from target_iceberg_spark.writer import StreamWriter
 
@@ -326,9 +327,11 @@ def demux_singer_file(
     if schemas is None:
         # key-order-agnostic: parse the type field, don't prefix-match the
         # serialization (taps order JSON keys however they like)
-        schema_rows = (
-            text.where(F.get_json_object("value", "$.type") == "SCHEMA")
-            .collect()
+        schema_rows = bounded_collect(
+            text.where(F.get_json_object("value", "$.type") == "SCHEMA"),
+            cap=10_000,
+            why="one SCHEMA message per Singer stream (streams, not rows)",
+            structural=False,
         )
         schemas = {}
         for row in schema_rows:

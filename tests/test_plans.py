@@ -623,7 +623,8 @@ def _subtree_is_bounded(node) -> bool:
     if name in _COLLAPSING or name in _BOUNDED_LEAVES:
         return True
     if name == "Range":
-        return node.numElements().longValue() <= 100_000
+        n = node.numElements()  # BigInt or plain int depending on py4j
+        return (n.longValue() if hasattr(n, "longValue") else int(n)) <= 100_000
     children = node.children()
     if children.size() == 0:
         return False  # parquet relation, LogicalRDD, stream source, ...
