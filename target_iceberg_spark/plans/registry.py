@@ -314,6 +314,10 @@ def _load_all() -> None:
         analytics_holt,
         events_shapley,
     )
+    # Round-12 additions.
+    from target_iceberg_spark.plans import (  # noqa: F401
+        curation_reweight,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -346,6 +350,7 @@ _HOIST: tuple[str, ...] = (
     # localCheckpoint (kills the orderBy-sampling double execution)
     # -- new in round 12 (appended as each lands; evicts freshness
     #    entries from the END of the block below) ---------------------
+    "curation_domain_reweight",  # DoReMi EG mixture reweighting
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01/r02 — re-checked this round per VERDICT r11 task 2;
     #    evict from the END of this block if a new query needs the
@@ -362,7 +367,6 @@ _HOIST: tuple[str, ...] = (
     "stream_join_interval", "stream_session", "stream_sliding",
     "stream_tumbling", "subquery_exists", "subquery_in",
     "subquery_not_in", "text_decontaminate", "text_fingerprint",
-    "text_langid",
 )
 
 

@@ -256,6 +256,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # class as sim_cosine_topk
             "curation_mix_anneal",  # cross of the one-row normalizer
             # totals onto the <= #sources-row mix table
+            "curation_domain_reweight",  # per-EG-step cross of the
+            # one-row normalizer onto the checkpointed |sources|-row
+            # table, same class as curation_mix_anneal
             "events_shapley_attribution",  # literal-bounded coalition
             # algebra: 2^k-subset x mask containment join, the
             # coalition-pair join, and the one-row bounds/total crosses

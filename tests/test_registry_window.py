@@ -490,6 +490,7 @@ NEW_IN_R12 = {
     "text_nb_langid",  # r12: per-(doc,tok) count pre-agg + conf
     # localCheckpoint (kills the orderBy-sampling double execution)
     # -- (b) new in round 12 (appended as each lands) ------------------
+    "curation_domain_reweight",  # DoReMi EG mixture reweighting
     # -- (c) evidence-freshness rotation: newest driver row = r01/r02 --
     "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
     "win_range_frame",
@@ -503,7 +504,6 @@ NEW_IN_R12 = {
     "stream_join_interval", "stream_session", "stream_sliding",
     "stream_tumbling", "subquery_exists", "subquery_in",
     "subquery_not_in", "text_decontaminate", "text_fingerprint",
-    "text_langid",
 }
 
 # Registered AFTER the round-12 window filled: no driver row yet BY
