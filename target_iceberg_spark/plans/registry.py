@@ -317,6 +317,7 @@ def _load_all() -> None:
     # Round-12 additions.
     from target_iceberg_spark.plans import (  # noqa: F401
         curation_reweight,
+        lakehouse_evolution,
     )
 
 
@@ -351,6 +352,7 @@ _HOIST: tuple[str, ...] = (
     # -- new in round 12 (appended as each lands; evicts freshness
     #    entries from the END of the block below) ---------------------
     "curation_domain_reweight",  # DoReMi EG mixture reweighting
+    "lakehouse_partition_evolution",  # day->month spec-change planner
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01/r02 — re-checked this round per VERDICT r11 task 2;
     #    evict from the END of this block if a new query needs the
@@ -366,7 +368,7 @@ _HOIST: tuple[str, ...] = (
     "sample_stratified", "sim_ann_rp", "stream_dedup_first",
     "stream_join_interval", "stream_session", "stream_sliding",
     "stream_tumbling", "subquery_exists", "subquery_in",
-    "subquery_not_in", "text_decontaminate", "text_fingerprint",
+    "subquery_not_in", "text_decontaminate",
 )
 
 

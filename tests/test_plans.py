@@ -248,6 +248,10 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "lakehouse_snapshot_gc",  # crosses of the one-row
             # newest/oldest-kept policy bounds onto the metadata-sized
             # snapshot and file-inventory tables
+            "lakehouse_partition_evolution",  # crosses of one-row
+            # per-arm/per-spec aggregates over the checkpointed
+            # calendar-bounded day inventory, same class as
+            # lakehouse_snapshot_gc's policy-bound crosses
             "curation_repetition_schedule",  # cross of the one-row
             # budget-share constant onto the <= #sources-row schedule
             "eval_macro_f1",  # inherits text_nb_langid's smoothing-grid

@@ -491,6 +491,7 @@ NEW_IN_R12 = {
     # localCheckpoint (kills the orderBy-sampling double execution)
     # -- (b) new in round 12 (appended as each lands) ------------------
     "curation_domain_reweight",  # DoReMi EG mixture reweighting
+    "lakehouse_partition_evolution",  # day->month spec-change planner
     # -- (c) evidence-freshness rotation: newest driver row = r01/r02 --
     "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
     "win_range_frame",
@@ -503,7 +504,7 @@ NEW_IN_R12 = {
     "sample_stratified", "sim_ann_rp", "stream_dedup_first",
     "stream_join_interval", "stream_session", "stream_sliding",
     "stream_tumbling", "subquery_exists", "subquery_in",
-    "subquery_not_in", "text_decontaminate", "text_fingerprint",
+    "subquery_not_in", "text_decontaminate",
 }
 
 # Registered AFTER the round-12 window filled: no driver row yet BY

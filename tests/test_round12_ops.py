@@ -82,3 +82,42 @@ def test_domain_reweight_matches_python_eg_unroll(spark, sf_oracle):
         w = round((1 - DR_EPS) * a + DR_EPS / k, 6)
         assert abs(r["weight"] - w) < 1e-9
         assert abs(r["boost"] - round(w / r["share"], 4)) < 1e-9
+
+
+def test_partition_evolution_planner_invariants(spark, sf_oracle):
+    """Day pruning is exact for date predicates (amp_day = 1), the
+    month spec only ever reads MORE rows but FEWER files, a
+    month-aligned predicate is amplification-free under both specs,
+    and the budget columns tie back to the corpus."""
+    import duckdb
+
+    from target_iceberg_spark.plans.lakehouse_evolution import EVO_ROW_BYTES
+
+    rows = {
+        r["arm"]: r
+        for r in all_specs()["lakehouse_partition_evolution"]
+        .builder(spark, sf_oracle)
+        .collect()
+    }
+    assert set(rows) == {"1_week", "2_month", "3_quarter"}
+    n_orders = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{sf_oracle}/orders.parquet'"
+    ).fetchone()[0]
+    for r in rows.values():
+        assert r["amp_day"] == 1.0  # day files contain only matching rows
+        assert r["rows_read_day"] == r["rows_match"]
+        assert r["amp_month"] >= r["amp_day"]
+        assert r["files_read_month"] <= r["files_read_day"]
+        assert r["files_saved"] >= 0
+        assert r["files_month_spec"] < r["files_day_spec"]
+        assert r["rewrite_bytes"] == n_orders * EVO_ROW_BYTES
+    # sub-month predicate pays the amplification the planner exists to
+    # expose; a month-aligned predicate is free under both specs
+    assert rows["1_week"]["amp_month"] > 1.0
+    assert rows["2_month"]["amp_month"] == 1.0
+    # wider predicates match at least as many rows
+    assert (
+        rows["3_quarter"]["rows_match"]
+        >= rows["2_month"]["rows_match"]
+        >= rows["1_week"]["rows_match"]
+    )
