@@ -42,7 +42,11 @@ bar — is documented per run instead of discovered across rounds.
 
 Per-query cold/min/per-sweep timings go to BENCH_DETAIL.json next to
 this script (kept in-repo for round-over-round diffing), NOT to
-stdout. `queries_warm` (the per-query min) remains the headline
+stdout. When the sweep-to-sweep spread exceeds 10% (round-12 hygiene),
+the top-10 movers are automatically re-timed ISOLATED in a fresh JVM
+(`--only` subprocess) and the isolated warms land in the detail file's
+`isolated_movers` annex, so verdict diffs can separate plan
+regressions (reproduce isolated) from session noise (don't). `queries_warm` (the per-query min) remains the headline
 per-query column; pre-round-8 artifacts' `queries_warm` was a median
 of immediate re-runs — comparable in the no-contention case, upward-
 biased otherwise.
@@ -154,6 +158,53 @@ def main() -> None:
     )
     failed = sorted(failed_set)
 
+    # --- spread hygiene (round-12): a sweep-to-sweep spread above ~10%
+    # means a sustained contention window dominated one sweep, so
+    # like-for-like round diffs of the in-session numbers would be
+    # noise. Auto-apply the round-4 protocol: re-run the top-10 movers
+    # (largest sweep1/sweep2 delta) ISOLATED in a fresh JVM via
+    # `--only`, and record the isolated warms as an annex in the
+    # detail artifact. `--only` runs never recurse.
+    movers_annex = None
+    spread_gate = float(os.environ.get("SPARK_GRAFT_SPREAD_PCT", "10.0"))
+    if only is None and spread_pct > spread_gate and not failed_set:
+        deltas = sorted(
+            (
+                (round(abs(sweeps[0][n] - sweeps[1][n]), 3), n)
+                for n in sweeps[0]
+                if n in sweeps[1]
+            ),
+            reverse=True,
+        )
+        movers = [n for _, n in deltas[:10]]
+        print(
+            f"bench: spread {spread_pct}% > 10% — isolated --only re-run "
+            f"of top movers: {','.join(movers)}",
+            file=sys.stderr,
+        )
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only",
+                 ",".join(movers)],
+                check=True,
+                cwd=here,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                timeout=1800,
+            )
+            with open(os.path.join(here, "BENCH_DETAIL_only.json")) as fh:
+                iso = json.load(fh)
+            movers_annex = {
+                "movers": movers,
+                "in_session_sweep_delta": {n: d for d, n in deltas[:10]},
+                "isolated_warm": iso["queries_warm"],
+            }
+        except Exception as exc:  # the annex must never kill the bench
+            movers_annex = {"movers": movers, "error": str(exc)}
+
     # Per-query detail goes to a side file (and stderr) — NOT the stdout
     # JSON line, which bounded tail-capture harnesses would truncate.
     # Isolated --only runs write a SEPARATE file so a spot-check never
@@ -172,6 +223,8 @@ def main() -> None:
         "queries_warm_sweep1": sweeps[0],
         "queries_warm_sweep2": sweeps[1],
     }
+    if movers_annex is not None:
+        detail["isolated_movers"] = movers_annex
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(f"bench: per-query detail written to {detail_path}", file=sys.stderr)
