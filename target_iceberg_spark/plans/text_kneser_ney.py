@@ -115,7 +115,14 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, nll) — one row per bigram occurrence, scored
     against the corpus-fit KN model. The Spark twin of KN_SCORED_CTES;
-    shared by the fit report above and text_kn_perplexity's filter."""
+    shared by the fit report above and text_kn_perplexity's filter.
+
+    Round-12 note: localCheckpoint-ing c12 (the bigram-type model,
+    four consumers) was measured and REJECTED — the materialization
+    boundary hides stats/AQE broadcast opportunities from the scoring
+    joins and cost ~2x warm at sf0.1, more than the recomputed explode
+    saves; the opposite outcome from eval_macro_f1's confusion-matrix
+    checkpoint, whose downstream is only tiny aggregates."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", tokens("text").alias("toks"))
     bg = t.select(
