@@ -318,6 +318,9 @@ def _load_all() -> None:
     from target_iceberg_spark.plans import (  # noqa: F401
         curation_reweight,
         lakehouse_evolution,
+        curation_rho,
+        cdc_ivm,
+        lakehouse_wap,
     )
 
 
@@ -353,10 +356,13 @@ _HOIST: tuple[str, ...] = (
     #    entries from the END of the block below) ---------------------
     "curation_domain_reweight",  # DoReMi EG mixture reweighting
     "lakehouse_partition_evolution",  # day->month spec-change planner
+    "curation_rho_loss",  # RHO-LOSS reducible-holdout-loss selection
+    "cdc_incremental_agg",  # IVM delta maintenance + recompute audit
+    "lakehouse_wap_audit",  # write-audit-publish gate
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01/r02 — re-checked this round per VERDICT r11 task 2;
     #    evict from the END of this block if a new query needs the
-    #    slot; the 12 remaining r02 entries queue for round 13) -------
+    #    slot; the 15 remaining r02 entries queue for round 13) -------
     "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
     "win_range_frame",
     "agg_approx_quantile", "agg_collect", "agg_filter_clause",
@@ -367,8 +373,7 @@ _HOIST: tuple[str, ...] = (
     "multimodal_framesample", "q18_large_orders", "rollup_hypertable",
     "sample_stratified", "sim_ann_rp", "stream_dedup_first",
     "stream_join_interval", "stream_session", "stream_sliding",
-    "stream_tumbling", "subquery_exists", "subquery_in",
-    "subquery_not_in", "text_decontaminate",
+    "stream_tumbling", "subquery_exists",
 )
 
 

@@ -266,6 +266,12 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             "events_shapley_attribution",  # literal-bounded coalition
             # algebra: 2^k-subset x mask containment join, the
             # coalition-pair join, and the one-row bounds/total crosses
+            "curation_rho_loss",  # cross of the one-row two-model
+            # token totals (n_h/n_p/|V|) onto the scoring join, same
+            # class as text_bm25's one-row corpus stats
+            "cdc_incremental_agg",  # crosses of the three one-row
+            # audit aggregates (delta fan-out, surviving totals,
+            # retired-group count), same class as profile_fk_integrity
         ), f"unexpected BNLJ in {name}"
 
 

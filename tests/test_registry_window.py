@@ -493,6 +493,9 @@ NEW_IN_R12 = {
     # -- (b) new in round 12 (appended as each lands) ------------------
     "curation_domain_reweight",  # DoReMi EG mixture reweighting
     "lakehouse_partition_evolution",  # day->month spec-change planner
+    "curation_rho_loss",  # RHO-LOSS reducible-holdout-loss selection
+    "cdc_incremental_agg",  # IVM delta maintenance + recompute audit
+    "lakehouse_wap_audit",  # write-audit-publish gate
     # -- (c) evidence-freshness rotation: newest driver row = r01/r02 --
     "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
     "win_range_frame",
@@ -504,8 +507,7 @@ NEW_IN_R12 = {
     "multimodal_framesample", "q18_large_orders", "rollup_hypertable",
     "sample_stratified", "sim_ann_rp", "stream_dedup_first",
     "stream_join_interval", "stream_session", "stream_sliding",
-    "stream_tumbling", "subquery_exists", "subquery_in",
-    "subquery_not_in", "text_decontaminate",
+    "stream_tumbling", "subquery_exists",
 }
 
 # Registered AFTER the round-12 window filled: no driver row yet BY

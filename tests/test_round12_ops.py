@@ -121,3 +121,182 @@ def test_partition_evolution_planner_invariants(spark, sf_oracle):
         >= rows["2_month"]["rows_match"]
         >= rows["1_week"]["rows_match"]
     )
+
+
+# ---------------------------------------------------------------------------
+# round-12 batch 2: RHO-LOSS selection, IVM audit, WAP gate
+# ---------------------------------------------------------------------------
+
+import datetime
+import hashlib
+
+
+def _md5_holdout(doc_id: int) -> bool:
+    from target_iceberg_spark.plans.curation_rho import RHO_HOLDOUT_HEX
+
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[0] in RHO_HOLDOUT_HEX
+
+
+def test_rho_loss_ranks_learnable_above_common_and_noise(spark, tmp_path):
+    """The RHO-LOSS axioms on a planted corpus: docs whose tokens are
+    frequent in the holdout but rare in the pool (learnable, not yet
+    learnt) take the top ranks; pool-memorized common docs sit near
+    zero; gibberish (hard under BOTH models, harder under the holdout
+    that never saw it) goes NEGATIVE — the noise-rejection property
+    that plain loss-based selection lacks."""
+    ids = list(range(4000))
+    holdout_ids = [i for i in ids if _md5_holdout(i)]
+    pool_ids = [i for i in ids if not _md5_holdout(i)]
+    assert len(holdout_ids) >= 20 and len(pool_ids) >= 30
+
+    learn = "alpha beta gamma delta epsilon zeta"
+    common = "the cat sat on the mat and the dog ran"
+    rows = []
+    # holdout teaches `learn` heavily and knows `common`
+    for i in holdout_ids[:16]:
+        rows.append((i, learn))
+    for i in holdout_ids[16:24]:
+        rows.append((i, common))
+    # pool: 2 learnable docs, 8 common docs, 3 gibberish docs
+    learn_pool = pool_ids[:2]
+    for i in learn_pool:
+        rows.append((i, learn))
+    for i in pool_ids[2:10]:
+        rows.append((i, common))
+    noise_pool = pool_ids[10:13]
+    for i in noise_pool:
+        rows.append((i, f"qq{i}x vv{i}y ww{i}z kk{i}w rr{i}v"))
+
+    sf_dir = str(tmp_path / "sf_rho")
+    spark.createDataFrame(
+        [(i, text, "en", "s", len(text)) for i, text in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = all_specs()["curation_rho_loss"].builder(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # only pool docs are scored
+    assert set(by_id) <= set(pool_ids)
+    ranked = sorted(out, key=lambda r: (-r["rho"], r["doc_id"]))
+    top_ids = {r["doc_id"] for r in ranked[: len(learn_pool)]}
+    assert top_ids == set(learn_pool)
+    for i in learn_pool:
+        assert by_id[i]["rho"] > 0
+    for i in noise_pool:
+        assert by_id[i]["rho"] < 0  # noise rejected, not selected
+        assert by_id[i]["ce_pool"] > 0
+
+
+def test_rho_loss_top_k_limit(spark, sf_oracle):
+    from target_iceberg_spark.plans.curation_rho import RHO_TOP_K
+
+    out = all_specs()["curation_rho_loss"].builder(spark, sf_oracle)
+    rows = out.collect()
+    assert len(rows) <= RHO_TOP_K
+    assert out.columns == [
+        "doc_id", "source", "n_toks", "ce_pool", "ce_holdout", "rho",
+    ]
+
+
+def _write_orders(spark, tmp_path, rows, name):
+    sf_dir = str(tmp_path / name)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    return sf_dir
+
+
+def test_ivm_audit_matches_recompute_and_retires_groups(spark, tmp_path):
+    """Planted changelog: cust 1's only order is deleted (group must
+    retire), cust 2's order is repriced (+10% reflected in cents),
+    cust 3 gets a replayed insert, cust 4 is untouched — the
+    incrementally-maintained MV must equal the recompute exactly."""
+    d = datetime.datetime(2024, 1, 15)
+    rows = [
+        (97, 1, "O", 100.0, d, "1-URGENT"),   # %97 == 0 -> deleted
+        (89, 2, "O", 200.0, d, "1-URGENT"),   # %89 == 0 -> repriced
+        (83, 3, "O", 300.0, d, "1-URGENT"),   # %83 == 0 -> re-inserted
+        (1, 4, "O", 50.0, d, "1-URGENT"),
+        (2, 4, "O", 60.0, d, "1-URGENT"),
+    ]
+    sf_dir = _write_orders(spark, tmp_path, rows, "sf_ivm")
+    out = all_specs()["cdc_incremental_agg"].builder(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_mismatch"] == 0
+    assert r["groups_retired"] == 1          # cust 1 count hit zero
+    assert r["groups_with_delta"] == 3       # custs 1, 2, 3
+    assert r["n_groups"] == 3                # custs 2, 3, 4 survive
+    assert r["rows_after"] == 5              # 1 (c2) + 2 (c3) + 2 (c4)
+    # cents: c2 220.00, c3 300 + 300, c4 50 + 60
+    assert r["cents_after"] == 22000 + 60000 + 11000
+
+
+def test_ivm_audit_green_on_corpus(spark, sf_oracle):
+    r = all_specs()["cdc_incremental_agg"].builder(spark, sf_oracle).collect()[0]
+    assert r["n_mismatch"] == 0
+    assert r["groups_with_delta"] > 0
+    assert r["rows_after"] > 0
+
+
+def test_wap_audit_catches_planted_violations(spark, tmp_path):
+    """A staged month with a replayed key, an intra-batch duplicate,
+    a novel status and a negative total must fail exactly those
+    checks and block the publish verdict."""
+    pub_rows = []
+    k = 0
+    for month in (1, 2, 3, 4):
+        for _ in range(10):
+            k += 1
+            pub_rows.append(
+                (k, k, "O", 100.0, datetime.datetime(2024, month, 5), "1-URGENT")
+            )
+    staged = [
+        # 8 clean rows (drift ratio 11/10 within [0.5, 2])
+        (1000 + i, 500 + i, "O", 100.0, datetime.datetime(2024, 5, 5), "1-URGENT")
+        for i in range(8)
+    ] + [
+        (1, 999, "O", 100.0, datetime.datetime(2024, 5, 6), "1-URGENT"),  # replay
+        (2000, 998, "X", 100.0, datetime.datetime(2024, 5, 7), "1-URGENT"),  # novel
+        (2000, 997, "O", -5.0, datetime.datetime(2024, 5, 8), "1-URGENT"),  # dup+neg
+    ]
+    sf_dir = _write_orders(spark, tmp_path, pub_rows + staged, "sf_wap")
+    out = {
+        r["check_name"]: r
+        for r in all_specs()["lakehouse_wap_audit"].builder(spark, sf_dir).collect()
+    }
+    assert set(out) == {
+        "row_count_drift", "invalid_values", "duplicate_keys",
+        "status_novelty", "publish",
+    }
+    assert out["row_count_drift"]["ok"] is True
+    assert out["row_count_drift"]["observed"] == 1.1  # 11 staged / 10 mean
+    assert out["invalid_values"]["observed"] == 1.0
+    assert out["invalid_values"]["ok"] is False
+    # 1 replayed key + 2 rows sharing key 2000
+    assert out["duplicate_keys"]["observed"] == 3.0
+    assert out["duplicate_keys"]["ok"] is False
+    assert out["status_novelty"]["observed"] == 1.0
+    assert out["status_novelty"]["ok"] is False
+    assert out["publish"]["observed"] == 3.0
+    assert out["publish"]["ok"] is False
+
+
+def test_wap_audit_passes_clean_batch(spark, tmp_path):
+    pub_rows = []
+    k = 0
+    for month in (1, 2, 3, 4, 5):
+        for _ in range(10):
+            k += 1
+            pub_rows.append(
+                (k, k, "O", 100.0, datetime.datetime(2024, month, 5), "1-URGENT")
+            )
+    sf_dir = _write_orders(spark, tmp_path, pub_rows, "sf_wap_clean")
+    out = {
+        r["check_name"]: r
+        for r in all_specs()["lakehouse_wap_audit"].builder(spark, sf_dir).collect()
+    }
+    assert all(r["ok"] for r in out.values())
+    assert out["publish"]["observed"] == 0.0
