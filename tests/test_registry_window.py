@@ -14,13 +14,15 @@ ROUND-13 NOTE — do these IN ORDER before registering any new query:
      changes outputs, then brand-new round-13 queries.
   3. Spare window slots go to EVIDENCE FRESHNESS: hoist the queries
      whose newest driver row is oldest — after round 12 that is the
-     15 remaining round-2 entries (`text_fingerprint` `text_langid`
-     `text_ngram_topk` — evicted from the round-12 tail for the new
-     queries — plus `text_quality` `text_repetition` `text_tfidf`
-     `text_tokens` `text_tokens_regex` `udf_grouped_agg` `udf_scalar`
-     `win_count_distinct` `win_first_last` `win_lag` `win_rank`
-     `win_running_sum`), then the round-3 rows — so no entry's newest
-     driver row ages past ~6 rounds.
+     18 remaining round-2 entries (`text_fingerprint` `text_langid`
+     `text_ngram_topk` `subquery_in` `subquery_not_in`
+     `text_decontaminate` — evicted from the round-12 tail for the
+     five new round-12 queries — plus `text_quality`
+     `text_repetition` `text_tfidf` `text_tokens` `text_tokens_regex`
+     `udf_grouped_agg` `udf_scalar` `win_count_distinct`
+     `win_first_last` `win_lag` `win_rank` `win_running_sum`), then
+     the round-3 rows — so no entry's newest driver row ages past ~6
+     rounds.
   4. Round-13's own new queries fill whatever window slots remain
      after the hoist (evict refresh entries from the END of the hoist
      if a new query needs the slot); overflow goes straight into a
