@@ -26,3 +26,23 @@ def hex_int(hex_col: Column | str, start: int = 1, width: int = 8) -> Column:
 def hex_int_sql(hex_expr: str, start: int = 1, width: int = 8) -> str:
     """DuckDB mirror of :func:`hex_int` (already BIGINT-typed)."""
     return f"CAST(concat('0x', substr({hex_expr}, {start}, {width})) AS BIGINT)"
+
+
+# Deterministic md5-prefix row split: first hex char of
+# md5(CAST(col AS STRING)) landing in MD5_QUARTER_HEX selects an
+# engine-portable, partitioning-stable 25% of rows. Used as the
+# approx-distinct audit sample (plans/relational_extra.py) and the
+# RHO-LOSS holdout split (plans/curation_rho.py) — keep both sides
+# here so the hex set cannot silently diverge from an oracle.
+MD5_QUARTER_HEX = ("0", "1", "2", "3")
+
+
+def md5_quarter(col: Column | str, hex_set: tuple[str, ...] = MD5_QUARTER_HEX) -> Column:
+    """Boolean: row is in the deterministic md5-prefix quarter."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, 1).isin(*hex_set)
+
+
+def md5_quarter_sql(expr: str, hex_set: tuple[str, ...] = MD5_QUARTER_HEX) -> str:
+    """DuckDB mirror of :func:`md5_quarter`."""
+    return f"substr(md5(CAST({expr} AS VARCHAR)), 1, 1) IN {hex_set!r}"

@@ -22,7 +22,13 @@ v2 — the audit emits one exact-integer summary row, so any algebra
 drift is a hash failure, not a silent skew.
 
 Money is summed in BIGINT cents (the agg_decimal_ledger discipline)
-so every comparison is exact, never float-noise.
+so every comparison is exact, never float-noise. Cents use the
+portable FLOOR(x + 0.5) form, NOT ROUND: the repriced total lands
+exactly on a half-cent for some inputs (e.g. 292701.85 * 1.1 =
+321972.035) and Spark's HALF_UP-on-decimal-repr rounds UP where
+DuckDB's std::round on the binary double (321972.03499999...) rounds
+DOWN — floor of the identical IEEE product is bit-stable on both
+engines (the events_rfm discipline).
 
 Scale shape: the incremental path touches only changelog-sized and
 MV-sized data — one combinable groupBy over the changelog (three
@@ -42,8 +48,8 @@ from pyspark.sql import DataFrame, SparkSession
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
-_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
-_NEW_CENTS = "CAST(ROUND(ROUND(o_totalprice * 1.1, 2) * 100) AS BIGINT)"
+_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+_NEW_CENTS = "CAST(FLOOR(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)"
 
 
 @register(
@@ -130,10 +136,8 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification recompute is one combinable groupBy; the summary is
     broadcast-joined 1-row aggregates."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    new_cents = F.round(F.round(F.col("o_totalprice") * 1.1, 2) * 100).cast(
-        "bigint"
-    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    new_cents = F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5).cast("bigint")
     base = orders.select("o_orderkey", "o_custkey", cents.alias("cents"))
     mv0 = base.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("c"),

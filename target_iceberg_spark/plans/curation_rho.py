@@ -38,14 +38,21 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.functions.hashing import (
+    MD5_QUARTER_HEX,
+    md5_quarter,
+    md5_quarter_sql,
+)
 from target_iceberg_spark.functions.textfns import tokens
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
 RHO_ALPHA = 0.1  # add-alpha smoothing over the shared vocabulary
 RHO_TOP_K = 150  # selection budget
-# holdout split: first md5 hex digit of the doc id in 0..3 (25%)
-RHO_HOLDOUT_HEX = ("0", "1", "2", "3")
+# holdout split: the shared deterministic md5-prefix quarter
+# (functions/hashing.py — same split family as the approx-distinct
+# audit sample in plans/relational_extra.py)
+RHO_HOLDOUT_HEX = MD5_QUARTER_HEX
 
 
 @register(
@@ -54,8 +61,7 @@ RHO_HOLDOUT_HEX = ("0", "1", "2", "3")
 WITH t AS (
     SELECT doc_id, source,
            unnest(string_split(lower(text), ' ')) AS tok,
-           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-               IN {RHO_HOLDOUT_HEX!r} AS is_h
+           {md5_quarter_sql("doc_id")} AS is_h
     FROM documents
 ),
 tc AS (
@@ -101,9 +107,7 @@ def curation_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     and orderBy+limit (TakeOrderedAndProject — per-partition top-k
     then a {RHO_TOP_K}-row driver merge, never a full sort)."""
     docs = load_table(spark, sf_dir, "documents")
-    is_h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
-        *RHO_HOLDOUT_HEX
-    )
+    is_h = md5_quarter(F.col("doc_id"))
     t = docs.select(
         "doc_id", "source", F.explode(tokens("text")).alias("tok"), is_h.alias("is_h")
     )

@@ -11,9 +11,16 @@ publish branch. profile_expectations is the static single-table
 contract; this is the CROSS-SNAPSHOT gate — every check compares the
 staged batch to the published history:
 
-    row_count_drift  staged rows vs trailing-3-month mean (volume
-                     regression / double-load detector)
-    invalid_values   non-positive totals or null keys in the batch
+    row_count_drift  staged rows vs trailing-3-CALENDAR-month mean
+                     (volume regression / double-load detector; a
+                     published month with NO rows counts as zero and
+                     drags the baseline down — an outage month must
+                     move the baseline, not silently shift the
+                     window to older months)
+    invalid_values   null or non-positive totals, null keys (both
+                     null arms explicit: NULL <= 0 is NULL, so a
+                     bare comparison would silently pass corrupt
+                     rows)
     duplicate_keys   staged keys already published + intra-batch dups
                      (replay / at-least-once duplication detector)
     status_novelty   staged status values never seen published
@@ -60,10 +67,9 @@ mx AS (SELECT MAX(midx) AS mx FROM o),
 staged AS (SELECT o.* FROM o CROSS JOIN mx WHERE o.midx = mx.mx),
 pub AS (SELECT o.* FROM o CROSS JOIN mx WHERE o.midx < mx.mx),
 trail AS (
-    SELECT AVG(n) AS avg3
-    FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n
-          FROM pub GROUP BY midx
-          ORDER BY midx DESC LIMIT {WAP_TRAIL_MONTHS})
+    SELECT COUNT(*) / CAST({WAP_TRAIL_MONTHS} AS DOUBLE) AS avg3
+    FROM pub CROSS JOIN mx
+    WHERE pub.midx >= mx.mx - {WAP_TRAIL_MONTHS}
 ),
 c_drift AS (
     SELECT 'row_count_drift' AS check_name,
@@ -76,10 +82,12 @@ c_drift AS (
 ),
 c_invalid AS (
     SELECT 'invalid_values' AS check_name,
-           CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_custkey IS NULL
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                           OR o_custkey IS NULL OR o_orderkey IS NULL
                          THEN 1 ELSE 0 END) AS DOUBLE) AS observed,
            0.0 AS bound,
-           SUM(CASE WHEN o_totalprice <= 0 OR o_custkey IS NULL
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                      OR o_custkey IS NULL OR o_orderkey IS NULL
                     THEN 1 ELSE 0 END) = 0 AS ok
     FROM staged
 ),
@@ -151,12 +159,10 @@ def lakehouse_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = o.crossJoin(F.broadcast(mx)).where(F.col("midx") == F.col("mx"))
     pub = o.crossJoin(F.broadcast(mx)).where(F.col("midx") < F.col("mx"))
 
-    trail = (
-        pub.groupBy("midx")
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-        .orderBy(F.desc("midx"))
-        .limit(WAP_TRAIL_MONTHS)
-        .agg(F.avg("n").alias("avg3"))
+    trail = pub.where(
+        F.col("midx") >= F.col("mx") - WAP_TRAIL_MONTHS
+    ).agg(
+        (F.count(F.lit(1)) / F.lit(float(WAP_TRAIL_MONTHS))).alias("avg3")
     )
     staged_n = staged.agg(F.count(F.lit(1)).cast("double").alias("sn"))
     ratio = F.col("sn") / F.col("avg3")
@@ -170,8 +176,13 @@ def lakehouse_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     invalid = F.sum(
-        F.when((F.col("o_totalprice") <= 0) | F.col("o_custkey").isNull(), 1)
-        .otherwise(0)
+        F.when(
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") <= 0)
+            | F.col("o_custkey").isNull()
+            | F.col("o_orderkey").isNull(),
+            1,
+        ).otherwise(0)
     )
     c_invalid = staged.agg(
         F.lit("invalid_values").alias("check_name"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from target_iceberg_spark.functions.hashing import MD5_QUARTER_HEX, md5_quarter
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -188,16 +189,14 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPROX_RTOL = 0.15  # 3x the rsd=0.05 contract — the hash-pinned bound
-APPROX_SAMPLE_HEX = ("0", "1", "2", "3")  # md5 1st hex char -> 1/4
+APPROX_SAMPLE_HEX = MD5_QUARTER_HEX  # md5 1st hex char -> 1/4
 
 
 def _md5_quarter(col):
-    """Deterministic 1/4 event sample: first hex char of
-    md5(cast(event_id as string)) ∈ {APPROX_SAMPLE_HEX} — identical
-    on both engines, stable across partitionings and rounds."""
-    return F.substring(F.md5(col.cast("string")), 1, 1).isin(
-        *APPROX_SAMPLE_HEX
-    )
+    """Deterministic 1/4 event sample — the shared md5-prefix quarter
+    (functions/hashing.py): identical on both engines, stable across
+    partitionings and rounds."""
+    return md5_quarter(col)
 
 
 @register(

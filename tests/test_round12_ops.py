@@ -254,13 +254,14 @@ def test_wap_audit_catches_planted_violations(spark, tmp_path):
                 (k, k, "O", 100.0, datetime.datetime(2024, month, 5), "1-URGENT")
             )
     staged = [
-        # 8 clean rows (drift ratio 11/10 within [0.5, 2])
+        # 8 clean rows (drift ratio 12/10 within [0.5, 2])
         (1000 + i, 500 + i, "O", 100.0, datetime.datetime(2024, 5, 5), "1-URGENT")
         for i in range(8)
     ] + [
         (1, 999, "O", 100.0, datetime.datetime(2024, 5, 6), "1-URGENT"),  # replay
         (2000, 998, "X", 100.0, datetime.datetime(2024, 5, 7), "1-URGENT"),  # novel
         (2000, 997, "O", -5.0, datetime.datetime(2024, 5, 8), "1-URGENT"),  # dup+neg
+        (2001, 996, "O", None, datetime.datetime(2024, 5, 9), "1-URGENT"),  # null
     ]
     sf_dir = _write_orders(spark, tmp_path, pub_rows + staged, "sf_wap")
     out = {
@@ -272,8 +273,10 @@ def test_wap_audit_catches_planted_violations(spark, tmp_path):
         "status_novelty", "publish",
     }
     assert out["row_count_drift"]["ok"] is True
-    assert out["row_count_drift"]["observed"] == 1.1  # 11 staged / 10 mean
-    assert out["invalid_values"]["observed"] == 1.0
+    assert out["row_count_drift"]["observed"] == 1.2  # 12 staged / 10 mean
+    # the negative total AND the NULL total (NULL <= 0 would silently
+    # pass a bare comparison — both null arms are explicit)
+    assert out["invalid_values"]["observed"] == 2.0
     assert out["invalid_values"]["ok"] is False
     # 1 replayed key + 2 rows sharing key 2000
     assert out["duplicate_keys"]["observed"] == 3.0
@@ -300,3 +303,27 @@ def test_wap_audit_passes_clean_batch(spark, tmp_path):
     }
     assert all(r["ok"] for r in out.values())
     assert out["publish"]["observed"] == 0.0
+
+
+def test_wap_drift_baseline_counts_missing_month_as_zero(spark, tmp_path):
+    """An outage month inside the trailing window must DRAG the
+    baseline down (gap = zero rows), not silently shift the window to
+    older months: months {2,3,4} are the window for a month-5 batch,
+    month 3 published nothing, so baseline = (10 + 0 + 10) / 3 and a
+    21-row batch is a >2x drift violation."""
+    rows = []
+    k = 0
+    for month, n in ((1, 10), (2, 10), (4, 10), (5, 21)):
+        for _ in range(n):
+            k += 1
+            rows.append(
+                (k, k, "O", 100.0, datetime.datetime(2024, month, 5), "1-URGENT")
+            )
+    sf_dir = _write_orders(spark, tmp_path, rows, "sf_wap_gap")
+    out = {
+        r["check_name"]: r
+        for r in all_specs()["lakehouse_wap_audit"].builder(spark, sf_dir).collect()
+    }
+    assert out["row_count_drift"]["observed"] == 3.15  # 21 / (20/3)
+    assert out["row_count_drift"]["ok"] is False
+    assert out["publish"]["ok"] is False
