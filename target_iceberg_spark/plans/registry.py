@@ -13,6 +13,12 @@ Conventions for oracle-stable results:
     collapses it).
   - Integer SUMs are CAST to BIGINT in the oracle (DuckDB widens to
     HUGEINT, Spark to LONG).
+  - Money converts to BIGINT cents via FLOOR(x * 100 + 0.5), never
+    ROUND: a product can land exactly on a half-cent (292701.85 * 1.1)
+    where Spark's HALF_UP-on-decimal-repr rounds up but DuckDB's
+    std::round on the binary double rounds down; FLOOR of the
+    identical IEEE product is bit-stable on both engines
+    (plans/cdc_ivm.py, plans/corpus_stats.py::events_rfm).
   - Timestamps are either kept as-is (both engines surface naive µs) or
     cast to DATE; never tz-aware.
   - Transcendental fns (ln, pow) are rounded — libm vs JVM differ in
