@@ -38,6 +38,27 @@ from target_iceberg_spark.bounded import bounded_collect
 PQ_TRAIN_SAMPLE_ROWS = 20_000
 
 
+# Session-scoped codebook memo: the fit is DETERMINISTIC for a fixed
+# (corpus, m, k, seed), so caching by key changes nothing but skips
+# the count + sample-collect + Lloyd jobs on re-invocation — the
+# in-process analogue of the IVF index's on-disk cache
+# (operators/ivf.py::build_or_load_ivf). Keyed by the caller-supplied
+# corpus identity (a source path), never by DataFrame object.
+_CODEBOOK_MEMO: dict[tuple, np.ndarray] = {}
+_COUNT_MEMO: dict[str, int] = {}
+
+
+def corpus_count(emb: DataFrame, cache_key: str | None = None) -> int:
+    """emb.count() with the same session-scoped memo discipline —
+    the knob-sizing count is pure corpus metadata."""
+    if cache_key is not None and cache_key in _COUNT_MEMO:
+        return _COUNT_MEMO[cache_key]
+    n = emb.count()
+    if cache_key is not None:
+        _COUNT_MEMO[cache_key] = n
+    return n
+
+
 def fit_pq_codebooks(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -45,6 +66,7 @@ def fit_pq_codebooks(
     k: int = 16,
     seed: int = 42,
     iters: int = 10,
+    cache_key: str | None = None,
 ) -> np.ndarray:
     """Fit M independent K-centroid sub-codebooks on a bounded
     deterministic sample; returns ndarray [M, K, d/M].
@@ -55,6 +77,9 @@ def fit_pq_codebooks(
     order), so the fit is a driver-side constant cost exactly like the
     IVF quantizer fit; at 100 TB you fit once on a sample and reuse the
     codebooks for every encode/search."""
+    memo_key = (cache_key, vec_col, m, k, seed, iters) if cache_key else None
+    if memo_key is not None and memo_key in _CODEBOOK_MEMO:
+        return _CODEBOOK_MEMO[memo_key]
     total = emb.count()
     if total > PQ_TRAIN_SAMPLE_ROWS:
         # no trailing limit(): a limit over the sample would re-introduce
@@ -97,6 +122,8 @@ def fit_pq_codebooks(
                 if len(pts):
                     centers[c] = pts.mean(axis=0)
         books[j] = centers
+    if memo_key is not None:
+        _CODEBOOK_MEMO[memo_key] = books
     return books
 
 
@@ -170,3 +197,40 @@ def adc_distance_expr(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+# --- corpus-sized knobs (round 12) -----------------------------------
+# Fixed (K=16, C=100) holds the 0.8 recall floor only on the tiny
+# driver fixtures: at sf0.1 (2000 vectors) the 4-bit-per-subspace
+# codebook's quantization error puts true top-10 neighbors outside a
+# 100-row ADC shortlist and recall@10 drops below the floor (found by
+# the full sf0.1 oracle-parity sweep of sim_ann_quality). The fix is
+# the same NDV-derived-sizing discipline as similarity_mutual.rknn_bits
+# and joins_bloom.sized_m: resolution follows corpus size, with floors
+# that keep the driver-checked small-SF instantiation bit-identical.
+
+PQ_MIN_K = 16  # the sf0.001/sf0.01 instantiation (<= 512 vectors)
+PQ_MAX_K = 256  # one-byte codes — the production PQ ceiling
+PQ_MAX_SHORTLIST = 2000  # exact re-rank stays a bounded join
+
+
+def pq_codebook_k(n_vectors: int) -> int:
+    """Sub-codebook size that grows with corpus density: one centroid
+    per ~32 vectors, power-of-two, floored at the small-fixture K and
+    capped at 256 (one-byte codes — beyond that the production lever
+    is IVF composition, operators/ivf.py + plans/similarity_ivfpq.py,
+    not a wider flat codebook)."""
+    import math
+
+    raw = 2 ** math.ceil(math.log2(max(n_vectors, 1) / 32)) if n_vectors > 32 else PQ_MIN_K
+    return max(PQ_MIN_K, min(PQ_MAX_K, raw))
+
+
+def pq_shortlist(n_vectors: int, floor: int = 100) -> int:
+    """ADC shortlist depth: for FIXED codebook resolution the number
+    of competitors inside quantization-error distance of the true
+    top-k boundary grows with N, so C follows N/10 — floored at the
+    driver-fixture C and capped at {PQ_MAX_SHORTLIST} rows (the exact
+    re-rank must stay a bounded broadcast join; past the cap the
+    recall lever is pq_codebook_k's finer codes and IVFADC routing)."""
+    return max(floor, min(PQ_MAX_SHORTLIST, -(-n_vectors // 10)))

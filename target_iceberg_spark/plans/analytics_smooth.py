@@ -304,7 +304,9 @@ MEDIAN_WINDOW_H = 7  # trailing rolling-median width (hours)
     oracle=f"""
 WITH hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS h,
-           ROUND(AVG(value), 6) AS x
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                           AS DOUBLE) / (1000000.0 * COUNT(*))
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS x
     FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
 contrib AS (
@@ -346,12 +348,23 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (calendar-hour windows, gaps excluded, ragged leading windows
     reported with their true n_win) are identical by construction."""
     ev = load_table(spark, sf_dir, "events")
-    # the hourly series rounds to 6 BEFORE the median: an even window
-    # interpolates (avg of the two middle values), and ulp-level AVG
-    # noise between engines would otherwise flip the 4th decimal
+    # the hourly series is an EXACT-integer average (1e-6-unit floors
+    # summed as bigint, one double division) rounded via the portable
+    # FLOOR form (functions/rounding.py): plain ROUND(AVG,6) flipped
+    # 3 of 3600 sf0.1 rows — sum-order ulp plus the engines' differing
+    # ROUND tie rules on exact-half rationals (sf0.1 parity sweep)
+    from target_iceberg_spark.functions.rounding import portable_round
+
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    ).agg(
+        portable_round(
+            F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
+            .cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1))),
+            6,
+        ).alias("x")
+    )
     contrib = hourly.select(
         "event_type",
         "x",

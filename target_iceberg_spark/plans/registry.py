@@ -358,6 +358,10 @@ _HOIST: tuple[str, ...] = (
     # -- round-12 plan/output changes (driver evidence owed) ----------
     "text_nb_langid",  # r12: per-(doc,tok) count pre-agg + conf
     # localCheckpoint (kills the orderBy-sampling double execution)
+    "join_salted",  # r12: exact-int dim average + portable FLOOR
+    # rounding (sf0.1 parity sweep caught ROUND half-digit flips)
+    "win_rolling_median",  # r12: same exact-int + portable-round fix
+    "agg_tost_equivalence",  # r12: exact cent sufficient statistics
     # -- new in round 12 (appended as each lands; evicts freshness
     #    entries from the END of the block below) ---------------------
     "curation_domain_reweight",  # DoReMi EG mixture reweighting
@@ -375,11 +379,10 @@ _HOIST: tuple[str, ...] = (
     "agg_grouping_sets", "agg_histogram", "agg_mode",
     "curation_domain_mix", "curation_pipeline", "dedup_editdist",
     "events_anomaly", "events_funnel", "events_retention",
-    "fn_array_setops", "fn_regexp", "join_salted",
+    "fn_array_setops", "fn_regexp",
     "multimodal_framesample", "q18_large_orders", "rollup_hypertable",
     "sample_stratified", "sim_ann_rp", "stream_dedup_first",
     "stream_join_interval", "stream_session", "stream_sliding",
-    "stream_tumbling", "subquery_exists",
 )
 
 

@@ -300,24 +300,38 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     table makes each candidate's asymmetric distance M codegen table
     lookups over its codes — the CORPUS SCAN never reads a float
     vector, which is what lets a 100 TB search working set fit in
-    memory. The ADC top-C shortlist (C=50) then joins back to the
-    vector table for an exact euclidean re-rank of just C rows, washing
-    out quantization error in the final top-k. Codebook fit is seeded
-    k-means on a bounded sample (driver-side constant cost, like the
-    IVF quantizer); encode is one vectorized Arrow pass. Rows-only
-    check (seeded centroids aren't SQL-reproducible); recall vs brute
-    force is unit-tested (tests/test_operators.py)."""
+    memory. The ADC top-C shortlist then joins back to the vector
+    table for an exact euclidean re-rank of just C rows, washing out
+    quantization error in the final top-k. Codebook size K and
+    shortlist depth C are CORPUS-SIZED (operators/pq.py::pq_codebook_k
+    / pq_shortlist — floors keep the small-fixture instantiation
+    K=16/C=100 identical): fixed knobs held the 0.8 recall floor only
+    on the tiny fixtures and failed it at sf0.1's 2000 vectors.
+    Codebook fit is seeded k-means on a bounded sample (driver-side
+    constant cost, like the IVF quantizer); encode is one vectorized
+    Arrow pass. Rows-only check (seeded centroids aren't
+    SQL-reproducible); recall vs brute force is unit-tested
+    (tests/test_operators.py)."""
     import numpy as np
 
     from target_iceberg_spark.functions.vectors import l2_dist
+    import os
+
     from target_iceberg_spark.operators.pq import (
         adc_distance_expr,
+        corpus_count,
         encode_pq,
         fit_pq_codebooks,
+        pq_codebook_k,
+        pq_shortlist,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = fit_pq_codebooks(emb, m=8, k=16, seed=42)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    n_vectors = corpus_count(emb, cache_key=src)  # sizes the PQ knobs
+    books = fit_pq_codebooks(
+        emb, m=8, k=pq_codebook_k(n_vectors), seed=42, cache_key=src
+    )
     coded = encode_pq(emb.select("vec_id", "embedding"), books).select(
         "vec_id", "pq_codes"
     )
@@ -334,7 +348,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         coded.where(F.col("vec_id") != PROBE_VEC_ID)
         .select("vec_id", adc_distance_expr(probe, books).alias("adc"))
         .orderBy("adc", "vec_id")
-        .limit(PQ_SHORTLIST)
+        .limit(pq_shortlist(n_vectors, floor=PQ_SHORTLIST))
     )
     # probe as a plan literal — already collected above, no second scan
     p = F.array(*[F.lit(float(v)) for v in probe])

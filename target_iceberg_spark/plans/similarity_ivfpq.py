@@ -53,9 +53,13 @@ from target_iceberg_spark.sources.tables import load_table
 IVFPQ_NPROBE = 8  # of k=16 coarse clusters (uniform synthetic corpus
 # needs an aggressive probe fraction for honest recall — same argument
 # as sim_ann_ivf's nprobe=8; clustered production data sits at 1/16+)
-IVFPQ_SHORTLIST = 100  # ADC candidates exactly re-ranked (C >> top-k)
+IVFPQ_SHORTLIST = 100  # shortlist FLOOR — corpus-sized above it
 IVFPQ_M = 8  # PQ subspaces -> 8 one-byte codes per vector
-IVFPQ_K = 16  # sub-centroids per subspace
+IVFPQ_K = 16  # sub-centroid FLOOR — corpus-sized above it (round 12:
+# fixed K/C held the recall floor only on the tiny fixtures; the sf1
+# audit run caught ivfpq under 0.8 at 20k vectors. Both knobs now
+# follow operators/pq.py::pq_codebook_k / pq_shortlist, identical
+# small-SF instantiation)
 
 
 def ivfpq_search(
@@ -63,7 +67,7 @@ def ivfpq_search(
     sf_dir: str,
     probe_vec_id: int = PROBE_VEC_ID,
     nprobe: int = IVFPQ_NPROBE,
-    shortlist: int = IVFPQ_SHORTLIST,
+    shortlist: int | None = None,
     top_k: int = TOP_K,
 ) -> DataFrame:
     """One IVFADC search against the cached coarse index + seeded PQ
@@ -74,12 +78,18 @@ def ivfpq_search(
     )
     from target_iceberg_spark.operators.pq import (
         adc_distance_expr,
+        corpus_count,
         encode_pq,
         fit_pq_codebooks,
+        pq_codebook_k,
+        pq_shortlist,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     source = os.path.join(sf_dir, "embeddings.parquet")
+    n_vectors = corpus_count(emb, cache_key=source)  # sizes the PQ knobs
+    if shortlist is None:
+        shortlist = pq_shortlist(n_vectors, floor=IVFPQ_SHORTLIST)
     index = build_or_load_ivf(
         spark,
         emb,
@@ -88,7 +98,13 @@ def ivfpq_search(
         seed=42,
         source=source,
     )
-    books = fit_pq_codebooks(emb, m=IVFPQ_M, k=IVFPQ_K, seed=42)
+    books = fit_pq_codebooks(
+        emb,
+        m=IVFPQ_M,
+        k=max(IVFPQ_K, pq_codebook_k(n_vectors)),
+        seed=42,
+        cache_key=source,
+    )
     probe = np.asarray(
         bounded_collect(
             emb.where(F.col("vec_id") == probe_vec_id),

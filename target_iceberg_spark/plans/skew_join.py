@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.functions.rounding import portable_round
 from target_iceberg_spark.operators.skew import salted_join
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
@@ -24,7 +25,10 @@ from target_iceberg_spark.sources.tables import load_table
 WITH dim AS (
     SELECT user_id,
            COUNT(*) AS user_n_events,
-           ROUND(AVG(value), 4) AS user_avg_value
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                           AS DOUBLE) / (10000.0 * COUNT(*))
+                      * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+               AS user_avg_value
     FROM events GROUP BY user_id
 )
 SELECT e.event_id, e.user_id, d.user_n_events, d.user_avg_value
@@ -36,11 +40,24 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enrich each event with its user's aggregate profile through a
     salted join: the per-user dim is replicated over 8 salt buckets and
     each fact row routes to one replica via a deterministic hash of its
-    event_id — a hot user's rows land on 8 reducers instead of 1."""
+    event_id — a hot user's rows land on 8 reducers instead of 1.
+
+    The dim's avg runs over exact 1e-4-unit integers (FLOOR(x*1e4+0.5)
+    then ONE double division of exact ints) and rounds via the
+    portable FLOOR form (functions/rounding.py): at sf0.1 the plain
+    AVG+ROUND flipped the 4th decimal on 56 of 100k users (sum-order
+    ulp) and the exact average STILL flipped 64 (rationals landing
+    exactly on the ROUND half-digit, where the engines' tie rules
+    differ) — both found by the round-12 sf0.1 parity sweep."""
     ev = load_table(spark, sf_dir, "events")
     dim = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("user_n_events"),
-        F.round(F.avg("value"), 4).alias("user_avg_value"),
+        portable_round(
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("bigint"))
+            .cast("double")
+            / (F.lit(10000.0) * F.count(F.lit(1))),
+            4,
+        ).alias("user_avg_value"),
     )
     return salted_join(
         ev.select("event_id", "user_id"), dim, "user_id", "event_id", buckets=8

@@ -25,13 +25,25 @@ TOST_Z = 1.644854  # one-sided 5% normal critical value
     "agg_tost_equivalence",
     oracle=f"""
 WITH per_user AS (
-    SELECT user_id, event_type, user_id % 2 AS arm, SUM(value) AS y
+    SELECT user_id, event_type, user_id % 2 AS arm,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y4
     FROM events GROUP BY user_id, event_type
 ),
 mom AS (
     SELECT event_type, arm,
-           CAST(COUNT(*) AS BIGINT) AS n, AVG(y) AS m, var_samp(y) AS v
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y4) AS BIGINT) AS s1,
+           CAST(SUM(y4 * y4) AS BIGINT) AS s2
     FROM per_user GROUP BY event_type, arm
+),
+momd AS (
+    SELECT event_type, arm, n,
+           CAST(s1 AS DOUBLE) / (100.0 * n) AS m,
+           (CAST(s2 AS DOUBLE) / 10000.0
+            - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0)
+              / n) / (n - 1) AS v
+    FROM mom
 ),
 wide AS (
     SELECT a.event_type,
@@ -40,12 +52,14 @@ wide AS (
            sqrt(a.v / a.n + b.v / b.n) AS se,
            {TOST_MARGIN_REL} * (a.m * a.n + b.m * b.n) / (a.n + b.n)
                AS margin
-    FROM mom a JOIN mom b ON a.event_type = b.event_type
+    FROM momd a JOIN momd b ON a.event_type = b.event_type
     WHERE a.arm = 0 AND b.arm = 1
 )
 SELECT event_type, n_a, n_b,
-       ROUND(m_b - m_a, 4) AS diff,
-       ROUND(margin, 4) AS margin,
+       CAST(FLOOR((m_b - m_a) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+           AS diff,
+       CAST(FLOOR(margin * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+           AS margin,
        ROUND((m_b - m_a + margin) / se, 4) AS t_lower,
        ROUND((margin - (m_b - m_a)) / se, 4) AS t_upper,
        ((m_b - m_a + margin) / se > {TOST_Z}
@@ -66,17 +80,42 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one combinable per-(user, type) sum, one tiny moment
     aggregate per (type, arm), a 2-row-per-type self-join, scalar
-    arithmetic — the agg_ab_test plan with the hypotheses flipped."""
+    arithmetic — the agg_ab_test plan with the hypotheses flipped.
+
+    Round-12 exactness: the per-user metric sums EXACT cents
+    (FLOOR(x*100+0.5) as BIGINT) and the moments are explicit integer
+    sufficient statistics (n, Σy, Σy²) turned into mean/variance by
+    ONE shared double expression per side — plain AVG/var_samp over
+    doubles flipped `margin`'s 4th decimal at sf0.1 where the engines'
+    sum orders differ in the last ulp (sf0.1 parity sweep). Σy² of
+    cents stays far under 2^63 here; a corpus where it wouldn't uses
+    DECIMAL sums (the agg_decimal_ledger form)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id", "event_type").agg(
-        F.sum("value").alias("y")
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("y4")
     ).select(
-        "event_type", (F.col("user_id") % 2).alias("arm"), "y"
+        "event_type", (F.col("user_id") % 2).alias("arm"), "y4"
     )
     mom = per_user.groupBy("event_type", "arm").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("y").alias("m"),
-        F.var_samp("y").alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y4").cast("bigint").alias("s1"),
+        F.sum(F.col("y4") * F.col("y4")).cast("bigint").alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    mom = mom.select(
+        "event_type",
+        "arm",
+        "n",
+        (s1d / (F.lit(100.0) * F.col("n"))).alias("m"),
+        (
+            (
+                F.col("s2").cast("double") / F.lit(10000.0)
+                - (s1d / F.lit(100.0)) * (s1d / F.lit(100.0)) / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("v"),
     )
     a = mom.where(F.col("arm") == 0).select(
         "event_type",
@@ -98,12 +137,14 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = F.col("m_b") - F.col("m_a")
     t_lo = (diff + margin) / se
     t_hi = (margin - diff) / se
+    from target_iceberg_spark.functions.rounding import portable_round
+
     return w.select(
         "event_type",
         "n_a",
         "n_b",
-        F.round(diff, 4).alias("diff"),
-        F.round(margin, 4).alias("margin"),
+        portable_round(diff, 4).alias("diff"),
+        portable_round(margin, 4).alias("margin"),
         F.round(t_lo, 4).alias("t_lower"),
         F.round(t_hi, 4).alias("t_upper"),
         ((t_lo > TOST_Z) & (t_hi > TOST_Z)).alias("equivalent"),

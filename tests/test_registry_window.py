@@ -14,15 +14,16 @@ ROUND-13 NOTE — do these IN ORDER before registering any new query:
      changes outputs, then brand-new round-13 queries.
   3. Spare window slots go to EVIDENCE FRESHNESS: hoist the queries
      whose newest driver row is oldest — after round 12 that is the
-     18 remaining round-2 entries (`text_fingerprint` `text_langid`
+     20 remaining round-2 entries (`text_fingerprint` `text_langid`
      `text_ngram_topk` `subquery_in` `subquery_not_in`
-     `text_decontaminate` — evicted from the round-12 tail for the
-     five new round-12 queries — plus `text_quality`
-     `text_repetition` `text_tfidf` `text_tokens` `text_tokens_regex`
-     `udf_grouped_agg` `udf_scalar` `win_count_distinct`
-     `win_first_last` `win_lag` `win_rank` `win_running_sum`), then
-     the round-3 rows — so no entry's newest driver row ages past ~6
-     rounds.
+     `text_decontaminate` `stream_tumbling` `subquery_exists` —
+     evicted from the round-12 tail for the five new round-12
+     queries and the three sf0.1-parity portable-rounding re-checks —
+     plus `text_quality` `text_repetition` `text_tfidf` `text_tokens`
+     `text_tokens_regex` `udf_grouped_agg` `udf_scalar`
+     `win_count_distinct` `win_first_last` `win_lag` `win_rank`
+     `win_running_sum`), then the round-3 rows — so no entry's newest
+     driver row ages past ~6 rounds.
   4. Round-13's own new queries fill whatever window slots remain
      after the hoist (evict refresh entries from the END of the hoist
      if a new query needs the slot); overflow goes straight into a
@@ -492,6 +493,9 @@ NEW_IN_R12 = {
     # -- round-12 plan/output changes (driver evidence owed) ----------
     "text_nb_langid",  # r12: per-(doc,tok) count pre-agg + conf
     # localCheckpoint (kills the orderBy-sampling double execution)
+    "join_salted",  # r12: exact-int dim average + portable FLOOR round
+    "win_rolling_median",  # r12: same exact-int + portable-round fix
+    "agg_tost_equivalence",  # r12: exact cent sufficient statistics
     # -- (b) new in round 12 (appended as each lands) ------------------
     "curation_domain_reweight",  # DoReMi EG mixture reweighting
     "lakehouse_partition_evolution",  # day->month spec-change planner
@@ -505,11 +509,10 @@ NEW_IN_R12 = {
     "agg_grouping_sets", "agg_histogram", "agg_mode",
     "curation_domain_mix", "curation_pipeline", "dedup_editdist",
     "events_anomaly", "events_funnel", "events_retention",
-    "fn_array_setops", "fn_regexp", "join_salted",
+    "fn_array_setops", "fn_regexp",
     "multimodal_framesample", "q18_large_orders", "rollup_hypertable",
     "sample_stratified", "sim_ann_rp", "stream_dedup_first",
     "stream_join_interval", "stream_session", "stream_sliding",
-    "stream_tumbling", "subquery_exists",
 }
 
 # Registered AFTER the round-12 window filled: no driver row yet BY
