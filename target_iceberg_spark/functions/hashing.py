@@ -44,5 +44,9 @@ def md5_quarter(col: Column | str, hex_set: tuple[str, ...] = MD5_QUARTER_HEX) -
 
 
 def md5_quarter_sql(expr: str, hex_set: tuple[str, ...] = MD5_QUARTER_HEX) -> str:
-    """DuckDB mirror of :func:`md5_quarter`."""
-    return f"substr(md5(CAST({expr} AS VARCHAR)), 1, 1) IN {hex_set!r}"
+    """DuckDB mirror of :func:`md5_quarter`.
+
+    The IN list is built element-wise (not via Python tuple repr, whose
+    1-element form ``('0',)`` is invalid SQL)."""
+    in_list = ", ".join(repr(h) for h in hex_set)
+    return f"substr(md5(CAST({expr} AS VARCHAR)), 1, 1) IN ({in_list})"

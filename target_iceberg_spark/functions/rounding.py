@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 
 def portable_round(col: Column, digits: int) -> Column:
-    """FLOOR(col * 10^digits + 0.5) / 10^digits as a DOUBLE."""
+    """FLOOR(col * 10^digits + 0.5) / 10^digits as a DOUBLE.
+
+    Domain bound: requires |col| < 2^63 / 10^digits. Spark's F.floor on
+    a double returns LONG, while the DuckDB mirror's FLOOR stays DOUBLE,
+    so beyond that magnitude the Spark side overflows where the mirror
+    saturates to the double grid and the two diverge. All current call
+    sites (ratios, averages, cents) are orders of magnitude inside it."""
     scale = float(10**digits)
     return F.floor(col * scale + 0.5).cast("double") / F.lit(scale)
 

@@ -43,19 +43,48 @@ PQ_TRAIN_SAMPLE_ROWS = 20_000
 # the count + sample-collect + Lloyd jobs on re-invocation — the
 # in-process analogue of the IVF index's on-disk cache
 # (operators/ivf.py::build_or_load_ivf). Keyed by the caller-supplied
-# corpus identity (a source path), never by DataFrame object.
+# corpus identity (a source path) PLUS an on-disk freshness stamp
+# (total byte size + newest mtime of the files under the path), so
+# rewriting the parquet at the same path within a session invalidates
+# both the codebooks and the knob-sizing vector count instead of
+# serving stale ones. Never keyed by DataFrame object.
 _CODEBOOK_MEMO: dict[tuple, np.ndarray] = {}
-_COUNT_MEMO: dict[str, int] = {}
+_COUNT_MEMO: dict[tuple, int] = {}
+
+
+def _freshness(path: str) -> tuple[int, int]:
+    """(total_bytes, max_mtime_ns) over the file or directory at
+    ``path``; (0, 0) when the key is not a filesystem path (the memo
+    then degrades to identity-by-key, matching pre-freshness behavior).
+    """
+    import os
+
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return st.st_size, st.st_mtime_ns
+        if os.path.isdir(path):
+            size = mtime = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    size += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns)
+            return size, mtime
+    except OSError:
+        pass
+    return 0, 0
 
 
 def corpus_count(emb: DataFrame, cache_key: str | None = None) -> int:
     """emb.count() with the same session-scoped memo discipline —
     the knob-sizing count is pure corpus metadata."""
-    if cache_key is not None and cache_key in _COUNT_MEMO:
-        return _COUNT_MEMO[cache_key]
+    key = (cache_key, _freshness(cache_key)) if cache_key is not None else None
+    if key is not None and key in _COUNT_MEMO:
+        return _COUNT_MEMO[key]
     n = emb.count()
-    if cache_key is not None:
-        _COUNT_MEMO[cache_key] = n
+    if key is not None:
+        _COUNT_MEMO[key] = n
     return n
 
 
@@ -77,7 +106,11 @@ def fit_pq_codebooks(
     order), so the fit is a driver-side constant cost exactly like the
     IVF quantizer fit; at 100 TB you fit once on a sample and reuse the
     codebooks for every encode/search."""
-    memo_key = (cache_key, vec_col, m, k, seed, iters) if cache_key else None
+    memo_key = (
+        (cache_key, _freshness(cache_key), vec_col, m, k, seed, iters)
+        if cache_key
+        else None
+    )
     if memo_key is not None and memo_key in _CODEBOOK_MEMO:
         return _CODEBOOK_MEMO[memo_key]
     total = emb.count()

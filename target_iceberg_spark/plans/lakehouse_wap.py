@@ -46,6 +46,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from target_iceberg_spark.functions.rounding import (
+    portable_round,
+    portable_round_sql,
+)
 from target_iceberg_spark.plans.registry import register
 from target_iceberg_spark.sources.tables import load_table
 
@@ -73,7 +77,8 @@ trail AS (
 ),
 c_drift AS (
     SELECT 'row_count_drift' AS check_name,
-           ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM staged) / avg3, 6)
+           {portable_round_sql(
+               "(SELECT CAST(COUNT(*) AS DOUBLE) FROM staged) / avg3", 6)}
                AS observed,
            {WAP_DRIFT_HI!r} AS bound,
            (SELECT CAST(COUNT(*) AS DOUBLE) FROM staged) / avg3
@@ -170,7 +175,9 @@ def lakehouse_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged_n.crossJoin(F.broadcast(trail))
         .select(
             F.lit("row_count_drift").alias("check_name"),
-            F.round(ratio, 6).alias("observed"),
+            # count ratio = small-denominator rational -> the portable
+            # FLOOR form, not ROUND (functions/rounding.py)
+            portable_round(ratio, 6).alias("observed"),
             F.lit(WAP_DRIFT_HI).alias("bound"),
             ratio.between(WAP_DRIFT_LO, WAP_DRIFT_HI).alias("ok"),
         )

@@ -372,7 +372,9 @@ _HOIST: tuple[str, ...] = (
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r01/r02 — re-checked this round per VERDICT r11 task 2;
     #    evict from the END of this block if a new query needs the
-    #    slot; the 15 remaining r02 entries queue for round 13) -------
+    #    slot; the 20 remaining r02 entries — 12 previously queued plus
+    #    the 8 evicted this round, named in
+    #    tests/test_registry_window.py — queue for round 13) ----------
     "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
     "win_range_frame",
     "agg_approx_quantile", "agg_collect", "agg_filter_clause",
