@@ -29,16 +29,28 @@ the per-query min discards it. The min of repeated timings is the
 standard steady-state estimator (timing noise is one-sided: nothing
 makes a fixed plan run faster than its cost).
 
-Within each sweep the query runs TWICE back-to-back and only the
-second run is timed: with hundreds of distinct plans, Spark's
+Within the FIRST sweep the query runs TWICE back-to-back and only
+the second run is timed: with hundreds of distinct plans, Spark's
 bounded codegen/JIT caches evict a query's generated code between
 sweeps, so a sweep's first execution pays recompilation — measured
 +40% on the full registry when sweep runs were timed directly. The
 untimed first run restores steady state; the timed second run is
-the per-plan cost the old median-of-3 measured, now sampled at two
-distant session positions. Both sweep columns are kept in the detail
-artifact, so the sweep-to-sweep spread — the session-noise error
-bar — is documented per run instead of discovered across rounds.
+the per-plan cost the old median-of-3 measured. The SECOND (reverse)
+sweep times its single run directly (round-13 budget fix): its job
+under min-of-sweeps is only to discard sweep-1 samples inflated by a
+sustained contention window, and a recompile-padded sweep-2 sample
+loses the min to a clean sweep-1 sample anyway — dropping its
+restore run cuts ~20% of total wall time with the semantics intact.
+Both sweep columns are kept in the detail artifact, so the
+sweep-to-sweep spread — the session-noise error bar — is documented
+per run instead of discovered across rounds.
+
+The whole run is WALL-CLOCK BUDGETED (round-13, after the r12 driver
+run was killed at its timeout mid-annex): $SPARK_GRAFT_BENCH_BUDGET_SEC
+(default 2100) bounds the process; the optional movers annex launches
+only if its estimated cost fits the remaining budget (else the detail
+records movers_skipped: budget), and its subprocess timeout is capped
+at the remaining budget, never a flat 1800 s.
 
 Per-query cold/min/per-sweep timings go to BENCH_DETAIL.json next to
 this script (kept in-repo for round-over-round diffing), NOT to
@@ -64,6 +76,8 @@ import time
 
 
 def main() -> None:
+    t_start = time.perf_counter()
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -118,10 +132,14 @@ def main() -> None:
 
     # --- two warm sweeps: forward then REVERSE order, so every query
     # sits at two maximally-distant session positions and a sustained
-    # contention window can inflate it in at most one sweep. Each
-    # sweep runs the query twice: the first (untimed) run restores
-    # codegen/JIT steady state after inter-sweep cache eviction, the
-    # second is the timed steady-state sample. ----------------------
+    # contention window can inflate it in at most one sweep. The FIRST
+    # sweep runs each query twice — the untimed run restores
+    # codegen/JIT steady state after the cold sweep, the second is the
+    # timed steady-state sample. The SECOND sweep times its single run
+    # directly (budget fix, see module docstring): its recompile
+    # padding loses the per-query min to the clean sweep-1 sample, so
+    # it still vetoes sweep-1 contention inflation — the only job the
+    # min-of-sweeps asks of it. -------------------------------------
     sweeps: list[dict[str, float]] = []
     for direction in (False, True):
         sweep: dict[str, float] = {}
@@ -130,7 +148,8 @@ def main() -> None:
             if name in failed_set:
                 continue
             try:
-                run_once(spec)  # untimed: recompile + cache warm-up
+                if not direction:
+                    run_once(spec)  # untimed: recompile + cache warm-up
                 sweep[name] = run_once(spec)
             except Exception as exc:
                 failed_set.add(name)
@@ -177,33 +196,58 @@ def main() -> None:
             reverse=True,
         )
         movers = [n for _, n in deltas[:10]]
-        print(
-            f"bench: spread {spread_pct}% > 10% — isolated --only re-run "
-            f"of top movers: {','.join(movers)}",
-            file=sys.stderr,
-        )
-        import subprocess
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        try:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--only",
-                 ",".join(movers)],
-                check=True,
-                cwd=here,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-                timeout=1800,
+        # Budget gate (round-13, after the r12 driver run died at its
+        # wall-clock timeout DURING this annex): the subprocess pays a
+        # fresh JVM (~90 s) plus 4 executions per mover (cold + sweep-1
+        # pair + sweep-2 single); estimate each execution at the
+        # mover's observed cold time (its per-run ceiling in this
+        # session) and launch only when the estimate fits the
+        # remaining budget with a 60 s shutdown margin.
+        elapsed = time.perf_counter() - t_start
+        remaining = budget_sec - elapsed
+        annex_est = 90.0 + 4.0 * sum(max(times.get(n, 0.0), 0.0) for n in movers)
+        if remaining < annex_est + 60.0:
+            print(
+                f"bench: spread {spread_pct}% > {spread_gate}% but movers "
+                f"annex skipped — est {annex_est:.0f}s exceeds remaining "
+                f"budget {remaining:.0f}s of {budget_sec:.0f}s",
+                file=sys.stderr,
             )
-            with open(os.path.join(here, "BENCH_DETAIL_only.json")) as fh:
-                iso = json.load(fh)
             movers_annex = {
                 "movers": movers,
                 "in_session_sweep_delta": {n: d for d, n in deltas[:10]},
-                "isolated_warm": iso["queries_warm"],
+                "movers_skipped": "budget",
+                "annex_est_sec": round(annex_est, 1),
+                "remaining_budget_sec": round(remaining, 1),
             }
-        except Exception as exc:  # the annex must never kill the bench
-            movers_annex = {"movers": movers, "error": str(exc)}
+        else:
+            print(
+                f"bench: spread {spread_pct}% > {spread_gate}% — isolated "
+                f"--only re-run of top movers: {','.join(movers)}",
+                file=sys.stderr,
+            )
+            import subprocess
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--only",
+                     ",".join(movers)],
+                    check=True,
+                    cwd=here,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                    timeout=max(60.0, remaining - 60.0),
+                )
+                with open(os.path.join(here, "BENCH_DETAIL_only.json")) as fh:
+                    iso = json.load(fh)
+                movers_annex = {
+                    "movers": movers,
+                    "in_session_sweep_delta": {n: d for d, n in deltas[:10]},
+                    "isolated_warm": iso["queries_warm"],
+                }
+            except Exception as exc:  # the annex must never kill the bench
+                movers_annex = {"movers": movers, "error": str(exc)}
 
     # Per-query detail goes to a side file (and stderr) — NOT the stdout
     # JSON line, which bounded tail-capture harnesses would truncate.
@@ -214,6 +258,8 @@ def main() -> None:
                                detail_name)
     detail = {
         "sf": sf,
+        "budget_sec": budget_sec,
+        "elapsed_sec": round(time.perf_counter() - t_start, 1),
         "total_cold_sec": total,
         "total_warm_sec": warm_total,
         "warm_sweep_totals": sweep_totals,
