@@ -331,60 +331,44 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries with NO current external driver evidence. Round 11 closed
-# 50/50 green, so round 12 starts with a fully free window: the hoist
-# leads with the 13-entry round-11 post-window set (10 new queries +
-# 3 plan-only rewrites, each owed its first/fresh driver row), then
-# round-12 work that changes a previously-green query's output, then
-# brand-new round-12 queries appended as each lands; overflow past 50
-# goes to NEW_IN_R12_POST_WINDOW. Everything with a prior driver-green
-# row (CORRECTNESS_r01–r11) rotates behind. The evidence ledger lives
-# in tests/test_registry_window.py.
+# queries with NO current external driver evidence. Round 12 closed
+# 50/50 green with an empty post-window set, so round 13 starts with a
+# fully free window: the hoist leads with round-13 work that changes a
+# previously-green query's output, then brand-new round-13 queries
+# appended as each lands; the spare slots go to EVIDENCE FRESHNESS —
+# the 20 rows whose newest driver evidence dates to r02, then the 19
+# r03 rows, then the oldest r04 rows to fill. Overflow past 50 goes to
+# NEW_IN_R13_POST_WINDOW. Everything with a prior driver-green row
+# (CORRECTNESS_r01–r12) rotates behind. The evidence ledger lives in
+# tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-11 post-window set: first driver evidence owed ---------
-    "emb_outliers",  # r11 plan-only rewrite (moment window -> groupBy)
-    "curation_token_budget",  # r11 plan-only rewrite (histogram pack)
-    "curation_pack_sequences",  # r11 plan-only rewrite (prefix sums)
-    "lakehouse_scan_prune",
-    "curation_repetition_schedule",
-    "eval_macro_f1",  # + r12 trim: df-top-K scoring vocabulary
-    "text_lm_contrast",
-    "curation_split_decontam",
-    "sim_filtered_topk",
-    "curation_mix_anneal",
-    "events_holt_trend",  # + r12 ADVICE fix: per-type oracle final state
-    "events_shapley_attribution",
-    "agg_quantile_sketch_audit",
-    # -- round-12 plan/output changes (driver evidence owed) ----------
-    "text_nb_langid",  # r12: per-(doc,tok) count pre-agg + conf
-    # localCheckpoint (kills the orderBy-sampling double execution)
-    "join_salted",  # r12: exact-int dim average + portable FLOOR
-    # rounding (sf0.1 parity sweep caught ROUND half-digit flips)
-    "win_rolling_median",  # r12: same exact-int + portable-round fix
-    "agg_tost_equivalence",  # r12: exact cent sufficient statistics
-    # -- new in round 12 (appended as each lands; evicts freshness
-    #    entries from the END of the block below) ---------------------
-    "curation_domain_reweight",  # DoReMi EG mixture reweighting
-    "lakehouse_partition_evolution",  # day->month spec-change planner
-    "curation_rho_loss",  # RHO-LOSS reducible-holdout-loss selection
-    "cdc_incremental_agg",  # IVM delta maintenance + recompute audit
-    "lakehouse_wap_audit",  # write-audit-publish gate
+    # -- round-13 plan/output changes (driver evidence owed) ----------
+    "lakehouse_wap_audit",  # r13 ADVICE fix: row_count_drift observed
+    # ratio now uses the portable FLOOR rounding form in both engines
+    # -- new in round 13 (appended as each lands; evicts freshness
+    #    entries from the END of the r04 block below) -----------------
     # -- evidence-freshness rotation (already green; newest driver row
-    #    = r01/r02 — re-checked this round per VERDICT r11 task 2;
-    #    evict from the END of this block if a new query needs the
-    #    slot; the 20 remaining r02 entries — 12 previously queued plus
-    #    the 8 evicted this round, named in
-    #    tests/test_registry_window.py — queue for round 13) ----------
-    "sort_limit", "subquery_scalar", "udtf_tokens", "win_distribution",
-    "win_range_frame",
-    "agg_approx_quantile", "agg_collect", "agg_filter_clause",
-    "agg_grouping_sets", "agg_histogram", "agg_mode",
-    "curation_domain_mix", "curation_pipeline", "dedup_editdist",
-    "events_anomaly", "events_funnel", "events_retention",
-    "fn_array_setops", "fn_regexp",
-    "multimodal_framesample", "q18_large_orders", "rollup_hypertable",
-    "sample_stratified", "sim_ann_rp", "stream_dedup_first",
-    "stream_join_interval", "stream_session", "stream_sliding",
+    #    = r02 — the 12 entries queued from round 12 plus the 8 evicted
+    #    from its tail) ----------------------------------------------
+    "stream_tumbling", "subquery_exists", "subquery_in",
+    "subquery_not_in", "text_decontaminate", "text_fingerprint",
+    "text_langid", "text_ngram_topk", "text_quality", "text_repetition",
+    "text_tfidf", "text_tokens", "text_tokens_regex", "udf_grouped_agg",
+    "udf_scalar", "win_count_distinct", "win_first_last", "win_lag",
+    "win_rank", "win_running_sum",
+    # -- evidence-freshness rotation (newest driver row = r03) --------
+    "curation_mix_temperature", "curation_quality_resample",
+    "dedup_minhash_capped", "events_transitions", "multimodal_decode",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity", "q19_disjunctive", "q7_volume_shipping",
+    "q8_market_share", "scan_csv", "scan_jsonl", "sim_ann_lsh",
+    "stream_join_left", "text_hashing_vectorizer", "text_pmi_bigrams",
+    "text_scrub",
+    # -- evidence-freshness fill (newest driver row = r04; evict from
+    #    the END first when a round-13 query needs the slot) ----------
+    "agg_argmax", "agg_boolean", "agg_heavy_hitters", "agg_mom_growth",
+    "agg_regression", "curation_neardup_pipeline", "curation_split",
+    "dedup_containment", "dedup_incremental", "dedup_minhash_estimate",
 )
 
 

@@ -5,29 +5,24 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-13 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r12 into this ledger (every green row moves
-     from NEW_IN_R12 into a new ROUND12_GREEN set; any FAIL stays
+ROUND-14 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r13 into this ledger (every green row moves
+     from NEW_IN_R13 into a new ROUND13_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 13: any r12 FAILs first, then
-     whatever is in NEW_IN_R12_POST_WINDOW, then round-13 work that
-     changes outputs, then brand-new round-13 queries.
+  2. Rebuild registry._HOIST for round 14: any r13 FAILs first, then
+     whatever is in NEW_IN_R13_POST_WINDOW, then round-14 work that
+     changes outputs, then brand-new round-14 queries.
   3. Spare window slots go to EVIDENCE FRESHNESS: hoist the queries
-     whose newest driver row is oldest — after round 12 that is the
-     20 remaining round-2 entries (`text_fingerprint` `text_langid`
-     `text_ngram_topk` `subquery_in` `subquery_not_in`
-     `text_decontaminate` `stream_tumbling` `subquery_exists` —
-     evicted from the round-12 tail for the five new round-12
-     queries and the three sf0.1-parity portable-rounding re-checks —
-     plus `text_quality` `text_repetition` `text_tfidf` `text_tokens`
-     `text_tokens_regex` `udf_grouped_agg` `udf_scalar`
-     `win_count_distinct` `win_first_last` `win_lag` `win_rank`
-     `win_running_sum`), then the round-3 rows — so no entry's newest
-     driver row ages past ~6 rounds.
-  4. Round-13's own new queries fill whatever window slots remain
+     whose newest driver row is oldest — after round 13 that is the
+     r04 remainder (the 33 r04-newest rows minus the 10 hoisted as
+     round-13 fill, plus any evicted from the round-13 tail for new
+     queries), then the round-5 rows — so no entry's newest driver
+     row ages past ~6 rounds. Compute the queue from this ledger
+     (newest round per name), don't trust prose counts.
+  4. Round-14's own new queries fill whatever window slots remain
      after the hoist (evict refresh entries from the END of the hoist
      if a new query needs the slot); overflow goes straight into a
-     NEW_IN_R13_POST_WINDOW set rather than competing for the window,
+     NEW_IN_R14_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -520,10 +515,77 @@ NEW_IN_R12 = {
 # for the round-13 hoist.
 NEW_IN_R12_POST_WINDOW: set[str] = set()
 
+# Driver rows from round 12 (CORRECTNESS_r12.json: 50/50 hash-green —
+# the full 22-entry NEW_IN_R12 evidence block (13 r11 post-window
+# hoists, 4 plan/output re-checks, 5 new round-12 queries) plus 28
+# evidence-freshness rotations; 0 FAILs, fourth consecutive clean
+# round).
+ROUND12_GREEN = {
+    "agg_approx_quantile", "agg_collect", "agg_filter_clause",
+    "agg_grouping_sets", "agg_histogram", "agg_mode",
+    "agg_quantile_sketch_audit", "agg_tost_equivalence",
+    "cdc_incremental_agg", "curation_domain_mix",
+    "curation_domain_reweight", "curation_mix_anneal",
+    "curation_pack_sequences", "curation_pipeline",
+    "curation_repetition_schedule", "curation_rho_loss",
+    "curation_split_decontam", "curation_token_budget",
+    "dedup_editdist", "emb_outliers", "eval_macro_f1", "events_anomaly",
+    "events_funnel", "events_holt_trend", "events_retention",
+    "events_shapley_attribution", "fn_array_setops", "fn_regexp",
+    "join_salted", "lakehouse_partition_evolution",
+    "lakehouse_scan_prune", "lakehouse_wap_audit",
+    "multimodal_framesample", "q18_large_orders", "rollup_hypertable",
+    "sample_stratified", "sim_ann_rp", "sim_filtered_topk",
+    "sort_limit", "stream_dedup_first", "stream_join_interval",
+    "stream_session", "stream_sliding", "subquery_scalar",
+    "text_lm_contrast", "text_nb_langid", "udtf_tokens",
+    "win_distribution", "win_range_frame", "win_rolling_median",
+}
+
+# Round-13 hoist == registry._HOIST at every commit. Composition (per
+# the round-13 procedure note above, executed this round): no r12
+# FAILs and an empty r12 post-window set, so the hoist is
+#   (a) round-13 work that changes a previously-green query's output
+#       (lakehouse_wap_audit — portable-rounding ADVICE fix),
+#   (b) new round-13 queries appended as each lands,
+#   (c) EVIDENCE-FRESHNESS rotation — all 20 r02 rows, all 19 r03
+#       rows, then the 10 alphabetically-first r04 rows as fill;
+#       already green, the slots are simply spare; evicted from the
+#       END as round-13 queries land.
+NEW_IN_R13 = {
+    # -- (a) round-13 plan/output changes (driver evidence owed) ------
+    "lakehouse_wap_audit",  # r13: portable FLOOR round on drift ratio
+    # -- (b) new in round 13 (appended as each lands) -----------------
+    # -- (c) evidence-freshness rotation: newest driver row = r02 -----
+    "stream_tumbling", "subquery_exists", "subquery_in",
+    "subquery_not_in", "text_decontaminate", "text_fingerprint",
+    "text_langid", "text_ngram_topk", "text_quality", "text_repetition",
+    "text_tfidf", "text_tokens", "text_tokens_regex", "udf_grouped_agg",
+    "udf_scalar", "win_count_distinct", "win_first_last", "win_lag",
+    "win_rank", "win_running_sum",
+    # -- (c) newest driver row = r03 ----------------------------------
+    "curation_mix_temperature", "curation_quality_resample",
+    "dedup_minhash_capped", "events_transitions", "multimodal_decode",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity", "q19_disjunctive", "q7_volume_shipping",
+    "q8_market_share", "scan_csv", "scan_jsonl", "sim_ann_lsh",
+    "stream_join_left", "text_hashing_vectorizer", "text_pmi_bigrams",
+    "text_scrub",
+    # -- (c) newest driver row = r04 fill (evicted from the END first)
+    "agg_argmax", "agg_boolean", "agg_heavy_hitters", "agg_mom_growth",
+    "agg_regression", "curation_neardup_pipeline", "curation_split",
+    "dedup_containment", "dedup_incremental", "dedup_minhash_estimate",
+}
+
+# Registered AFTER the round-13 window filled: no driver row yet BY
+# DESIGN — covered by local property/parity tests and first in line
+# for the round-14 hoist.
+NEW_IN_R13_POST_WINDOW: set[str] = set()
+
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
     | ROUND5_GREEN | ROUND6_GREEN | ROUND7_GREEN | ROUND8_GREEN
-    | ROUND9_GREEN | ROUND10_GREEN | ROUND11_GREEN
+    | ROUND9_GREEN | ROUND10_GREEN | ROUND11_GREEN | ROUND12_GREEN
 )
 
 
@@ -533,7 +595,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R12_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R13_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -542,9 +604,9 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert set(NEW_IN_R12) == set(_HOIST)
+    assert set(NEW_IN_R13) == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = set(NEW_IN_R12) - set(names)
+    missing = set(NEW_IN_R13) - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
 
 
@@ -560,5 +622,5 @@ def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - set(NEW_IN_R12) - NEW_IN_R12_POST_WINDOW
+    unaccounted = names - GREEN - set(NEW_IN_R13) - NEW_IN_R13_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
