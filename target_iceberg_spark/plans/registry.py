@@ -328,6 +328,10 @@ def _load_all() -> None:
         cdc_ivm,
         lakehouse_wap,
     )
+    # Round-13 additions.
+    from target_iceberg_spark.plans import (  # noqa: F401
+        curation_semantic_decontam,
+    )
 
 
 # Hoisted to the front of the registry (ahead of module import order):
@@ -347,6 +351,7 @@ _HOIST: tuple[str, ...] = (
     # ratio now uses the portable FLOOR rounding form in both engines
     # -- new in round 13 (appended as each lands; evicts freshness
     #    entries from the END of the r04 block below) -----------------
+    "curation_semantic_decontam",  # embedding-level eval decontam
     # -- evidence-freshness rotation (already green; newest driver row
     #    = r02 — the 12 entries queued from round 12 plus the 8 evicted
     #    from its tail) ----------------------------------------------
@@ -368,7 +373,7 @@ _HOIST: tuple[str, ...] = (
     #    the END first when a round-13 query needs the slot) ----------
     "agg_argmax", "agg_boolean", "agg_heavy_hitters", "agg_mom_growth",
     "agg_regression", "curation_neardup_pipeline", "curation_split",
-    "dedup_containment", "dedup_incremental", "dedup_minhash_estimate",
+    "dedup_containment", "dedup_incremental",
 )
 
 

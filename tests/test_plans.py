@@ -120,6 +120,9 @@ def test_no_cartesian_products(spark, sf_oracle, name):
             # same class as text_perplexity
             "sim_hard_negatives",  # broadcast HN_PROBES-row anchor
             # set, same class as sim_cosine_topk_batch
+            "curation_semantic_decontam",  # broadcast eval-split set
+            # (the fixed external-benchmark stand-in; small by
+            # construction), same class as sim_knn_classify's probe set
             "graph_modularity",  # crosses of the one-row edge-count /
             # node-count aggregates
             "profile_zorder_clustering",  # cross of the one-row

@@ -556,6 +556,7 @@ NEW_IN_R13 = {
     # -- (a) round-13 plan/output changes (driver evidence owed) ------
     "lakehouse_wap_audit",  # r13: portable FLOOR round on drift ratio
     # -- (b) new in round 13 (appended as each lands) -----------------
+    "curation_semantic_decontam",  # embedding-level eval decontam
     # -- (c) evidence-freshness rotation: newest driver row = r02 -----
     "stream_tumbling", "subquery_exists", "subquery_in",
     "subquery_not_in", "text_decontaminate", "text_fingerprint",
@@ -574,7 +575,7 @@ NEW_IN_R13 = {
     # -- (c) newest driver row = r04 fill (evicted from the END first)
     "agg_argmax", "agg_boolean", "agg_heavy_hitters", "agg_mom_growth",
     "agg_regression", "curation_neardup_pipeline", "curation_split",
-    "dedup_containment", "dedup_incremental", "dedup_minhash_estimate",
+    "dedup_containment", "dedup_incremental",
 }
 
 # Registered AFTER the round-13 window filled: no driver row yet BY
