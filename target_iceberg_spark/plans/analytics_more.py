@@ -317,7 +317,7 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes anywhere. At 100 TB the gram_docs side persists
     as the corpus gram-frequency table and incremental batches join
     against it, exactly like dedup_incremental's signature table."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = F.split("text", " ")
     grams = (
         docs.select("doc_id", "source", toks.alias("t"))

@@ -116,7 +116,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlap is an equi-join on the hash: work scales with shingle
     collisions, never |train| x |eval|. At 100 TB the eval side is tiny
     and broadcastable; here both sides derive from one shingle scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     sh = (
         docs.withColumn("_toks", tokens("text"))
         .select(

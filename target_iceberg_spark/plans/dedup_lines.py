@@ -79,7 +79,7 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct list, bounded by document length, never corpus size). The
     removal is surgical — unique content in a document that shares
     boilerplate survives, which document-level dedup cannot do."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     words = F.split("text", " ")
     n_seg = F.ceil(F.size(words) / F.lit(SEG_WORDS)).cast("int")
     segs = F.transform(

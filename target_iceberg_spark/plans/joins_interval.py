@@ -68,7 +68,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     over everything. Grid width is the one tunable: ~the p95 interval
     length balances fanout (wider = fewer copies) against candidate
     precision (narrower = fewer false candidates)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     epoch = F.lit("1970-01-01").cast("date")
     s = F.to_date("l_shipdate")
     ivl = li.select(

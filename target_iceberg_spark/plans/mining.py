@@ -247,7 +247,7 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the segment-frequency side is the persisted artifact
     incremental batches join against, exactly like the n-gram side of
     text_dup_ngram_fraction."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     words = F.split("text", " ")
     segs = F.transform(
         F.sequence(

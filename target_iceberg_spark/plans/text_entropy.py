@@ -77,7 +77,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two empty-char rows) while DuckDB's range(1, 1) is empty, so an
     unguarded empty doc would be counted by the plan but dropped by
     the oracle (ADVICE r9)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_table(spark, sf_dir, "documents", fanout=True).filter(
         F.length("text") > 0
     )
     chars = docs.select(

@@ -69,7 +69,7 @@ def text_cross_source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     final TakeOrderedAndProject keeps {TEMPLATE_TOP} rows. At 100 TB
     the digest-keyed aggregate is the same gram-frequency table the
     dup-n-gram filter persists — one artifact serves both."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = F.split("text", " ")
     grams = (
         docs.select("doc_id", "source", toks.alias("t"))

@@ -372,7 +372,7 @@ def test_split_decontam_flags_planted_leak(spark, sf_oracle):
 
     orig = tables.load_table
     try:
-        tables_patch = lambda spark, sf_dir, name: docs  # noqa: E731
+        tables_patch = lambda spark, sf_dir, name, fanout=None: docs  # noqa: E731
         mod.load_table = tables_patch
         out = mod.curation_split_decontam(spark, "unused").collect()
     finally:

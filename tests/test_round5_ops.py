@@ -276,7 +276,7 @@ def test_dup_ngram_fraction_detects_planted_duplicates(spark):
     # run the same plan body against this tiny frame via monkeypatched loader
     orig = tables.load_table
     try:
-        tables.load_table = lambda spark, sf, name: df
+        tables.load_table = lambda spark, sf, name, fanout=None: df
         m.load_table = tables.load_table
         out = {r["source"]: r for r in m.text_dup_ngram_fraction(spark, "x").collect()}
     finally:
