@@ -117,18 +117,49 @@ def kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus-fit KN model. The Spark twin of KN_SCORED_CTES;
     shared by the fit report above and text_kn_perplexity's filter.
 
-    Round-12 note: localCheckpoint-ing c12 (the bigram-type model,
-    four consumers) was measured and REJECTED — the materialization
-    boundary hides stats/AQE broadcast opportunities from the scoring
-    joins and cost ~2x warm at sf0.1, more than the recomputed explode
-    saves; the opposite outcome from eval_macro_f1's confusion-matrix
-    checkpoint, whose downstream is only tiny aggregates."""
+    Round-13 restructure (optimization guide §1.2 step 1 / §2.4): the
+    nll depends only on the bigram TYPE, so the whole model collapses
+    to ONE vocabulary-bounded (bigram, nll) table that the occurrence
+    stream joins once. The pre-r13 shape scored occurrences against
+    c12/ctx/cont/types separately, and InferFiltersFromConstraints
+    pushed a DIFFERENT join-key null filter into each model subtree
+    (isnotnull(bigram) vs isnotnull(split(bigram)[0]) vs none), so the
+    four c12 exchanges never canonicalized equal, exchange reuse could
+    not fire, and the full scan+tokenize+explode ran FIVE times per
+    query (~0.5-0.6 s single-task CPU each at sf0.1, profiled stages
+    71-74+92). Now the corpus is exploded exactly TWICE: once into the
+    checkpointed c12 (vocabulary-sized — the checkpoint cuts lineage so
+    ctx/cont/types and the model assembly all read c12's blocks instead
+    of re-deriving it under divergent pushed filters), once as the
+    probe side. Unlike the REJECTED round-12 plain-c12 checkpoint, the
+    probe join keeps its broadcast via the explicit hint, so no
+    AQE-demotion-to-SMJ cost appears. Per-bigram nll is the identical
+    expression over identical inputs as before — computed once per
+    type instead of once per occurrence, so results are bit-exact."""
+    bg, _, model = kn_parts(spark, sf_dir)
+    return bg.join(F.broadcast(model), "bigram").select(
+        "doc_id", "source", "nll"
+    )
+
+
+def kn_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bg, c12, model): the bigram occurrence stream, the checkpointed
+    vocabulary-sized bigram-type counts, and the per-bigram KN nll
+    model table. Shared so consumers that need extra per-bigram
+    signals (text_lm_contrast's unigram arm) derive them from the SAME
+    checkpointed c12 instead of re-exploding the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", tokens("text").alias("toks"))
     bg = t.select(
         "doc_id", "source", F.explode(ngrams_of("toks", 2)).alias("bigram")
     )
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c12 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .localCheckpoint()
+    )
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     w2 = F.split(F.col("bigram"), " ").getItem(1)
     ctx = c12.groupBy(w1.alias("w1")).agg(
@@ -138,16 +169,14 @@ def kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
     )
     types = c12.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
-    return (
-        bg.join(c12, "bigram")
-        .withColumn("_w1", w1)
+    model = (
+        c12.withColumn("_w1", w1)
         .withColumn("_w2", w2)
         .join(ctx, F.col("_w1") == F.col("w1"))
         .join(cont, F.col("_w2") == F.col("w2"))
         .crossJoin(F.broadcast(types))
         .select(
-            "doc_id",
-            "source",
+            "bigram",
             (
                 -F.log(
                     F.greatest(F.col("c12") - F.lit(KN_D), F.lit(0.0)) / F.col("c1")
@@ -160,3 +189,4 @@ def kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+    return bg, c12, model

@@ -87,21 +87,33 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = t.select(
         "doc_id", "source", F.explode(ngrams_of("toks", 2)).alias("bigram")
     )
-    c12 = bg.groupBy("bigram").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12")
+    # Round-13 restructure (guide §1.2 step 1, the KN-family pattern —
+    # see plans/text_kneser_ney.py::kn_parts): nll depends only on the
+    # bigram TYPE, so fold c12/c1/|V| into ONE vocabulary-sized
+    # (bigram, nll) model and probe the occurrence stream once. The
+    # checkpoint stops InferFiltersFromConstraints' divergent null
+    # filters from splitting the c12 exchange into unreusable copies
+    # (pre-r13: c12, c1 and the scoring join each re-ran the full
+    # scan+tokenize+explode single-task). |V| keeps its own unigram
+    # pass: single-token docs contribute vocabulary but no bigram, so
+    # it is NOT derivable from c12. Identical arithmetic per bigram;
+    # results bit-exact.
+    c12 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .localCheckpoint()
     )
     w1_of = F.split(F.col("bigram"), " ").getItem(0)
     c1 = c12.groupBy(w1_of.alias("w1")).agg(F.sum("c12").alias("c1"))
     v = t.select(F.explode("toks").alias("tok")).agg(
         F.countDistinct("tok").cast("double").alias("v")
     )
-    scored = (
-        bg.join(c12, "bigram")
-        .join(c1, w1_of == F.col("w1"))
+    model = (
+        c12.withColumn("_w1", w1_of)
+        .join(c1, F.col("_w1") == F.col("w1"))
         .crossJoin(F.broadcast(v))
         .select(
-            "doc_id",
-            "source",
+            "bigram",
             (
                 -F.log(
                     (F.col("c12") + LM_K)
@@ -109,6 +121,9 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("nll"),
         )
+    )
+    scored = bg.join(F.broadcast(model), "bigram").select(
+        "doc_id", "source", "nll"
     )
     per_doc = scored.groupBy("source", "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bg"),

@@ -29,10 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from target_iceberg_spark.functions.textfns import ngrams_of, tokens
 from target_iceberg_spark.plans.registry import register
-from target_iceberg_spark.plans.text_kneser_ney import KN_SCORED_CTES, kn_scored
-from target_iceberg_spark.sources.tables import load_table
+from target_iceberg_spark.plans.text_kneser_ney import KN_SCORED_CTES, kn_parts
 
 CONTRAST_MIN = 0.0  # context-free flag: bigram gain <= this (nats)
 
@@ -85,27 +83,39 @@ def text_lm_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared KN scoring stage; per-doc means and the per-source
     rollup are combinable; the doc-level join matches two
     already-aggregated doc tables."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("toks"))
-    bg = t.select("doc_id", F.explode(ngrams_of("toks", 2)).alias("bigram"))
+    # Round-13 restructure (guide §1.2 step 1 / §2.4, with the KN
+    # family): the unigram model is also per-bigram-TYPE data —
+    # c2(w2) = SUM(c12) GROUP BY w2 over the checkpointed bigram-type
+    # table, identical integers to counting occurrences directly — so
+    # both models join into ONE vocabulary-sized (bigram, nll, unll)
+    # table and the corpus is probed ONCE for both cross-entropies
+    # (pre-r13: a separate unigram explode+aggregate+probe beside the
+    # KN stage — 4 more full scan+tokenize passes under divergent
+    # pushed-down null filters). Per-event values are the identical
+    # expressions over identical inputs; per-doc means round to 6
+    # before the subtraction exactly as before.
+    bg, c12, model = kn_parts(spark, sf_dir)
     w2 = F.split(F.col("bigram"), " ").getItem(1)
-    uni = bg.groupBy(w2.alias("w2")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c2")
+    uni = c12.groupBy(w2.alias("w2")).agg(
+        F.sum("c12").cast("bigint").alias("c2")
     )
     tot = uni.agg(F.sum("c2").cast("double").alias("t"))
-    uni_scored = (
-        bg.withColumn("_w2", w2)
+    umodel = (
+        c12.withColumn("_w2", w2)
         .join(uni, F.col("_w2") == F.col("w2"))
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", (-F.log(F.col("c2") / F.col("t"))).alias("unll"))
+        .select("bigram", (-F.log(F.col("c2") / F.col("t"))).alias("unll"))
     )
-    kn_doc = kn_scored(spark, sf_dir).groupBy("doc_id", "source").agg(
-        F.round(F.avg("nll"), 6).alias("ce_kn")
+    both = model.join(umodel, "bigram")
+    per_doc = (
+        bg.join(F.broadcast(both), "bigram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(F.avg("nll"), 6).alias("ce_kn"),
+            F.round(F.avg("unll"), 6).alias("ce_uni"),
+        )
     )
-    uni_doc = uni_scored.groupBy("doc_id").agg(
-        F.round(F.avg("unll"), 6).alias("ce_uni")
-    )
-    contrast = kn_doc.join(uni_doc, "doc_id").select(
+    contrast = per_doc.select(
         "source", (F.col("ce_uni") - F.col("ce_kn")).alias("gain")
     )
     return (
