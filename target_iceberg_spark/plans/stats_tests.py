@@ -289,35 +289,73 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable statistic at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
     # one md5 yields FOUR 8-hex-char uniforms (32 hex chars = 4
-    # disjoint 8-char words), so the fan-out computes BOOT_B/4 md5
-    # calls per source row, indexed by b//4 with word offset b%4.
-    # Deliberately a FLAT codegen expression per exploded row, not a
-    # transform() lambda building the weight array pre-explode:
-    # higher-order functions run interpreted (no whole-stage codegen)
-    # and measured ~80x slower end-to-end than this codegen'd form.
-    # spread the x{BOOT_B} fan-out across the cluster BEFORE exploding:
-    # a compact table often arrives as a handful of input splits, and
+    # disjoint 8-char words). Round-13 shape (optimization guide §1.2
+    # step 2): explode in TWO levels — first the BOOT_B/4 hash groups,
+    # project the md5 ONCE per (row, group), then posexplode the four
+    # word-derived weights. The previous single-level explode inlined
+    # the md5 into the per-replicate expression, so Catalyst evaluated
+    # the SAME digest for each of its four consumers (no cross-row
+    # subexpression sharing through an explode): 4x the md5 calls for
+    # identical bytes. Same-JVM A/B: 2.04 -> 1.24 s (0.61x), replicate
+    # means bit-identical. Deliberately FLAT codegen expressions per
+    # element, not a transform() lambda: higher-order functions run
+    # interpreted and measured ~80x slower end-to-end.
+    # spread the fan-out across the cluster BEFORE exploding: a
+    # compact table often arrives as a handful of input splits, and
     # without this the entire B-fold hashing runs on those few tasks
     # (measured 3.9 s single-task vs 0.5 s spread at sf0.1). The
     # repartition shuffles only the slim base rows, never the fan-out.
-    reps = (
+    groups = (
         orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
             F.col("o_orderpriority").alias("pri"),
             F.col("o_totalprice").alias("v"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1))
+            ).alias("b4"),
             "o_orderkey",
-            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        )
+        .select(
+            "pri",
+            "v",
+            "b4",
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("_"),
+                    F.col("b4").cast("string"),
+                )
+            ).alias("h"),
         )
     )
-    u = F.expr(
-        "(cast(conv(substring("
-        "   md5(concat(cast(o_orderkey as string), '_',"
-        "              cast(b div 4 as string))),"
-        "   cast((b % 4) * 8 + 1 as int), 8), 16, 10) as double)"
-        " + 0.5) / 4294967296.0"
+    # w for word i: the identical expression tree the single-level
+    # form produced at offset (b % 4) * 8 + 1, with b = b4 * 4 + i.
+    words = groups.select(
+        "pri",
+        "v",
+        "b4",
+        F.posexplode(
+            F.array(
+                *[
+                    -F.log(
+                        (
+                            F.expr(
+                                f"cast(conv(substring(h, {i * 8 + 1}, 8),"
+                                " 16, 10) as double)"
+                            )
+                            + F.lit(0.5)
+                        )
+                        / F.lit(4294967296.0)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("pos", "w"),
     )
-    weighted = reps.select("pri", "b", (-F.log(u)).alias("w"), "v")
+    weighted = words.select(
+        "pri", (F.col("b4") * 4 + F.col("pos")).alias("b"), "w", "v"
+    )
     rep_means = weighted.groupBy("pri", "b").agg(
         (F.sum(F.col("w") * F.col("v")) / F.sum("w")).alias("m")
     )
