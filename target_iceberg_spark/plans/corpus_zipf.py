@@ -224,15 +224,30 @@ def sim_tfidf_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross), per-(source, term) rank window for the cap (partitioned),
     posting equi-self-join bounded by CAP² per term, global top-k via
     TakeOrderedAndProject on the rounded score."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fanout: with tf checkpointed below there is exactly ONE
+    # md5-per-token derivation pass left — spread it (guide §2.5); the
+    # pre-checkpoint A/B that rejected fanout here (1.17x) was paying
+    # the exchange once per duplicated subtree.
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     tok = zipf_tokens(docs, with_source=True)
-    tf = tok.groupBy("doc_id", "source", "w").agg(
-        F.count(F.lit(1)).alias("tf")
+    # Round-13 (guide §1.2 step 1, §2.4 — the KN-family pattern): tf
+    # feeds the df rollup AND the weight join, wt feeds norms AND the
+    # normalize join, and the capped index self-joins — without a
+    # lineage cut the md5-per-token Zipf derivation re-executes per
+    # consumer. Checkpoint tf once (the single unavoidable corpus
+    # pass), checkpoint the champion-capped index (vocab x sources x
+    # CAP rows), broadcast the vocabulary-sized df table and the tiny
+    # index build side. The Zipf draw is md5-deterministic per (doc_id,
+    # position), so materialization cannot change values.
+    tf = (
+        tok.groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dfr = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     wt = (
-        tf.join(dfr, "w")
+        tf.join(F.broadcast(dfr), "w")
         .crossJoin(F.broadcast(n))
         .where(F.col("df") <= ZPAIR_DF_FRAC * F.col("n_docs"))
         .select(
@@ -257,8 +272,9 @@ def sim_tfidf_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         wn_all.withColumn("prnk", F.row_number().over(cap_w))
         .where(F.col("prnk") <= ZPAIR_POSTING_CAP)
         .drop("prnk")
+        .localCheckpoint()
     )
-    a, b = wn.alias("a"), wn.alias("b")
+    a, b = wn.alias("a"), F.broadcast(wn.alias("b"))
     return (
         a.join(
             b,

@@ -50,8 +50,10 @@ def _tfidf_postings(
     # unnecessary expand/dedup phase over the posting table
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df is vocabulary-sized — broadcast it so the posting table is
+    # not shuffled by word for this join (guide §3.1)
     return (
-        tf.join(df, "word")
+        tf.join(F.broadcast(df), "word")
         .crossJoin(F.broadcast(n))
         .where(F.col("df") <= df_cap_frac * F.col("n_docs"))
         .select(
@@ -159,12 +161,19 @@ def sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc(F.round("wn", 9)), "doc_id"
         )
     )
+    # Round-13 (guide §2.4): the self-join below would otherwise
+    # duplicate the ENTIRE upstream (scan -> tokenize -> tf -> df ->
+    # norms -> window) once per side. The capped index is tiny — at
+    # most vocab x sources x POSTING_CAP rows, independent of corpus
+    # size — so localCheckpoint it once and broadcast the build side.
+    # Deterministic aggregates only; results unchanged.
     wn = (
         wn.withColumn("prnk", prnk)
         .where(F.col("prnk") <= POSTING_CAP)
         .drop("prnk")
+        .localCheckpoint()
     )
-    a, b = wn.alias("a"), wn.alias("b")
+    a, b = wn.alias("a"), F.broadcast(wn.alias("b"))
     return (
         a.join(
             b,
