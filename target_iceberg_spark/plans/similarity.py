@@ -26,7 +26,9 @@ IVF_NPROBE = 8  # measured recall@10 = 1.0 at sf0.01 (0.7 at nprobe=4)
 
 
 @register("sim_ann_ivf", oracle=None, tags=("similarity", "ann"))
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf(
+    spark: SparkSession, sf_dir: str, probe_vec: list[float] | None = None
+) -> DataFrame:
     """IVF approximate NN: k-means coarse quantizer, IVF_NPROBE multi-
     probe, cosine re-rank inside the probed posting lists only
     (operators/ivf.py). The index is built ONCE per corpus and persisted
@@ -59,15 +61,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
         source=source,
     )
-    probe_vec = [
-        float(x)
-        for x in bounded_collect(
-            emb.where(F.col("vec_id") == PROBE_VEC_ID),
-            cap=1,
-            why="unique vec_id == PROBE_VEC_ID literal",
-            structural=False,
-        )[0]["embedding"]
-    ]
+    # probe_vec: composed callers (sim_ann_quality) collect the probe
+    # ONCE and pass it in — round 13, guide §5.1 (each arm otherwise
+    # pays its own 1-row driver collect job for the same vector)
+    if probe_vec is None:
+        probe_vec = [
+            float(x)
+            for x in bounded_collect(
+                emb.where(F.col("vec_id") == PROBE_VEC_ID),
+                cap=1,
+                why="unique vec_id == PROBE_VEC_ID literal",
+                structural=False,
+            )[0]["embedding"]
+        ]
     return ivf_search(
         index.postings.where(F.col("vec_id") != PROBE_VEC_ID),
         index.centroids,
@@ -293,7 +299,9 @@ PQ_SHORTLIST = 100  # ADC candidates re-ranked exactly (C >> top-k);
 
 
 @register("sim_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
-def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_pq(
+    spark: SparkSession, sf_dir: str, probe_vec: list[float] | None = None
+) -> DataFrame:
     """Product-quantization ANN (operators/pq.py), the standard
     shortlist + re-rank shape: vectors compress to M=8 one-byte codes
     (32x smaller than the float vectors); the probe's M x K lookup
@@ -335,15 +343,16 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = encode_pq(emb.select("vec_id", "embedding"), books).select(
         "vec_id", "pq_codes"
     )
-    probe = np.asarray(
-        bounded_collect(
+    # probe_vec: composed callers collect the probe once and pass it
+    # in (round 13, guide §5.1); standalone path unchanged
+    if probe_vec is None:
+        probe_vec = bounded_collect(
             emb.where(F.col("vec_id") == PROBE_VEC_ID),
             cap=1,
             why="unique vec_id == PROBE_VEC_ID literal",
             structural=False,
-        )[0]["embedding"],
-        dtype=np.float64,
-    )
+        )[0]["embedding"]
+    probe = np.asarray(probe_vec, dtype=np.float64)
     shortlist = (
         coded.where(F.col("vec_id") != PROBE_VEC_ID)
         .select("vec_id", adc_distance_expr(probe, books).alias("adc"))
@@ -524,21 +533,38 @@ def sim_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from target_iceberg_spark.plans.relational_extra import sim_cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
-        F.col("embedding").alias("p")
-    )
+    # Round 13 (guide §5.1, §2.4): collect the probe vector ONCE and
+    # hand it to the ivf/pq/ivfpq arms — standalone, each arm pays its
+    # own identical 1-row driver collect job; composed here that was 3
+    # redundant jobs per run. Same rows, same literal, fewer jobs.
+    probe_vec = [
+        float(x)
+        for x in bounded_collect(
+            emb.where(F.col("vec_id") == PROBE_VEC_ID),
+            cap=1,
+            why="unique vec_id == PROBE_VEC_ID literal",
+            structural=False,
+        )[0]["embedding"]
+    ]
+    p = F.array(*[F.lit(float(v)) for v in probe_vec])
+    # exact_l2 is the truth set for THREE arms; localCheckpoint the
+    # TOP_K-row result so the corpus fold executes once, not 3x
+    # (guide §2.4 — deterministic orderBy with vec_id tie-break).
     exact_l2 = (
         emb.where(F.col("vec_id") != PROBE_VEC_ID)
-        .crossJoin(F.broadcast(probe))
-        .select("vec_id", l2_dist("embedding", "p").alias("d"))
+        .select("vec_id", l2_dist("embedding", p).alias("d"))
         .orderBy("d", "vec_id")
         .limit(TOP_K)
         .select("vec_id")
+        .localCheckpoint()
     )
     exact_cos = sim_cosine_topk(spark, sf_dir).select("vec_id")
 
     arms = {
-        "ivf": (exact_cos, sim_ann_ivf(spark, sf_dir).select("vec_id")),
+        "ivf": (
+            exact_cos,
+            sim_ann_ivf(spark, sf_dir, probe_vec=probe_vec).select("vec_id"),
+        ),
         "lsh": (
             exact_l2,
             sim_ann_lsh(spark, sf_dir)
@@ -547,11 +573,17 @@ def sim_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(TOP_K)
             .select(F.col("neighbor_id").alias("vec_id")),
         ),
-        "pq": (exact_l2, sim_ann_pq(spark, sf_dir).select("vec_id")),
+        "pq": (
+            exact_l2,
+            sim_ann_pq(spark, sf_dir, probe_vec=probe_vec).select("vec_id"),
+        ),
     }
     from target_iceberg_spark.plans.similarity_ivfpq import sim_ann_ivfpq
 
-    arms["ivfpq"] = (exact_l2, sim_ann_ivfpq(spark, sf_dir).select("vec_id"))
+    arms["ivfpq"] = (
+        exact_l2,
+        sim_ann_ivfpq(spark, sf_dir, probe_vec=probe_vec).select("vec_id"),
+    )
     need = int(ANN_RECALL_FLOOR * TOP_K)
     parts = [
         truth.join(got, "vec_id")

@@ -69,6 +69,7 @@ def ivfpq_search(
     nprobe: int = IVFPQ_NPROBE,
     shortlist: int | None = None,
     top_k: int = TOP_K,
+    probe_vec: list[float] | None = None,
 ) -> DataFrame:
     """One IVFADC search against the cached coarse index + seeded PQ
     codebooks; returns the exact-L2 re-ranked top-k (vec_id, dist)."""
@@ -105,17 +106,16 @@ def ivfpq_search(
         seed=42,
         cache_key=source,
     )
-    probe = np.asarray(
-        bounded_collect(
+    # probe_vec: composed callers collect the probe once and pass it
+    # in (round 13, guide §5.1); standalone path unchanged
+    if probe_vec is None:
+        probe_vec = bounded_collect(
             emb.where(F.col("vec_id") == probe_vec_id),
             cap=1,
             why="unique vec_id == probe literal",
             structural=False,
-        )[0][
-            "embedding"
-        ],
-        dtype=np.float64,
-    )
+        )[0]["embedding"]
+    probe = np.asarray(probe_vec, dtype=np.float64)
     # step 1 — ROUTE: nprobe nearest coarse centroids (driver-side,
     # k=16 rows; identical to ivf_search's routing)
     dists = np.linalg.norm(index.centroids - probe, axis=1)
@@ -148,10 +148,12 @@ def ivfpq_search(
 
 
 @register("sim_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
-def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivfpq(
+    spark: SparkSession, sf_dir: str, probe_vec: list[float] | None = None
+) -> DataFrame:
     """IVFADC (IVF routing + PQ ADC scan + exact re-rank) — see module
     docstring. Rows-only by design (seeded coarse + sub-codebook
     k-means); recall@{TOP_K} >= the sim_ann_quality floor is the
     hash-checked contract (fourth arm), and the pinned unit test
     additionally asserts the shortlist's containment behavior."""
-    return ivfpq_search(spark, sf_dir)
+    return ivfpq_search(spark, sf_dir, probe_vec=probe_vec)
