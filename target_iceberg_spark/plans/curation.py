@@ -724,7 +724,7 @@ def curation_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from target_iceberg_spark.operators.dedup import minhash_candidate_pairs
     from target_iceberg_spark.plans.dedup_sql import BANDS, NUM_HASHES
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     pairs = minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
     )

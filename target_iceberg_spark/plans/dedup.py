@@ -254,7 +254,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the one that scales."""
     from target_iceberg_spark.operators.components import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     pairs = minhash_candidate_pairs(
         docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS
     )
