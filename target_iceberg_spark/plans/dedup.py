@@ -591,8 +591,18 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, "doc_id", "text", n=3).localCheckpoint()
-    sig = minhash_signatures(sh, "doc_id", NUM_HASHES)
-    pairs = candidate_pairs(lsh_band_keys(sig, "doc_id", NUM_HASHES, BANDS), "doc_id")
+    # Round 13 (guide §2.4): sig feeds THREE consumers (band keys, the
+    # sa join, the sb join) and pairs feeds two (exact + estimate);
+    # divergent pushed join-key filters stop Catalyst from reusing the
+    # subtrees, so the NUM_HASHES-fold minhash aggregation re-executed
+    # per consumer (profiled: two identical 5 MB shuffle writes at
+    # sf0.1). Both tables are small — one row per doc / per candidate
+    # pair — so cut the lineage once each; deterministic md5 folds,
+    # results unchanged.
+    sig = minhash_signatures(sh, "doc_id", NUM_HASHES).localCheckpoint()
+    pairs = candidate_pairs(
+        lsh_band_keys(sig, "doc_id", NUM_HASHES, BANDS), "doc_id"
+    ).localCheckpoint()
     exact = jaccard_on_pairs(pairs, sh, "doc_id").select("id_a", "id_b", "jaccard")
     match_count = sum(
         F.when(F.col(f"sa.s{j}") == F.col(f"sb.s{j}"), 1).otherwise(0)
