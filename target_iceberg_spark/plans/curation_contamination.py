@@ -104,7 +104,11 @@ def curation_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= CONT_DF_CAP)
         .select("g")
     )
-    sg = grams.join(kept, "g").select("source", "g").distinct()
+    # sg feeds three consumers (vocab, both sides of the pair join);
+    # it is (source, gram)-distinct — bounded by |sources| x vocab —
+    # so cut the lineage once rather than re-running the df-cap join
+    # per consumer (round 13, guide §2.4).
+    sg = grams.join(kept, "g").select("source", "g").distinct().localCheckpoint()
     vocab = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = sg.select(F.col("source").alias("source_a"), "g")
     b = sg.select(F.col("source").alias("source_b"), "g")
