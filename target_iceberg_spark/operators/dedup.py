@@ -146,7 +146,15 @@ def minhash_candidate_pairs(
     branch."""
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
-    return candidate_pairs(lsh_band_keys(sig, id_col, num_hashes, bands), id_col)
+    # localCheckpoint: candidate_pairs consumes the band-key table on
+    # BOTH self-join sides, and Catalyst does no cross-branch CSE on
+    # DataFrame subplans — without it the whole shingle→minhash chain
+    # (the dominant map-side CPU of every caller) executes twice. The
+    # materialized table is |docs| x bands rows of (id, band_idx,
+    # band_key) — at scale it IS the persisted signature/band artifact
+    # the incremental pipeline reads (see dedup_incremental).
+    keys = lsh_band_keys(sig, id_col, num_hashes, bands).localCheckpoint()
+    return candidate_pairs(keys, id_col)
 
 
 def jaccard_on_pairs(

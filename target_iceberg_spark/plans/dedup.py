@@ -129,7 +129,13 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, "doc_id", "text", n=3)
     sig = minhash_signatures(sh, "doc_id", NUM_HASHES)
-    keys = lsh_band_keys(sig, "doc_id", NUM_HASHES, BANDS)
+    # localCheckpoint: under the cap, candidate_pairs consumes the
+    # band-key table FOUR times (bucket-size count + the capped join,
+    # on both self-join sides) — without it the shingle→minhash chain,
+    # the query's dominant map CPU, re-executes per consumer (the
+    # dedup_incremental discipline; at scale this materialization is
+    # the persisted signature/band table).
+    keys = lsh_band_keys(sig, "doc_id", NUM_HASHES, BANDS).localCheckpoint()
     from target_iceberg_spark.operators.dedup import candidate_pairs
 
     return candidate_pairs(keys, "doc_id", max_bucket_size=MINHASH_BUCKET_CAP)

@@ -689,3 +689,42 @@ def test_asof_nearest_mixed_date_and_timestamp_axes(spark):
     # probe axis = 2024-01-10 00:00; nearest is 'close' (6h) vs
     # 'early' (36h) and 'far' (10d)
     assert out.collect()[0]["val"] == "close"
+
+
+def test_minhash_candidate_pairs_checkpoint_preserves_pairs(spark):
+    """The round-13 band-key localCheckpoint inside
+    minhash_candidate_pairs is a pure execution-shape change: the pair
+    set must equal the un-checkpointed chain's, and the executed plan
+    must read the band keys from materialized blocks (no parquet/text
+    re-derivation below the self-join)."""
+    import pyspark.sql.functions as F
+
+    from target_iceberg_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_band_keys,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox jumps over the lazy cat today"),
+            (4, "completely different text with no shared shingles at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = minhash_candidate_pairs(docs, "doc_id", "text", n=3)
+    # reference: the same chain with NO checkpoint anywhere
+    sh = shingle_table(docs, "doc_id", "text", n=3)
+    keys = lsh_band_keys(minhash_signatures(sh, "doc_id", 16), "doc_id", 16, 4)
+    want = candidate_pairs(keys, "doc_id")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    # structural proof: the checkpointed chain's plan contains no file
+    # scan — both self-join sides read the materialized band-key RDD
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan and "FileScan" not in plan
