@@ -159,11 +159,16 @@ def text_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tok
     clean = rep <= REP_CUT
     flip = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == FLIP_HEX
+    # localCheckpoint: the feature frame is consumed by every IRLS
+    # moment aggregate AND the final scoring pass — without it the
+    # tokenize + array_distinct feature extraction re-executes once
+    # per consumer through the compounding beta lineage (guide §2.4;
+    # 3 doubles per doc materialized, the production feature table).
     feats = docs.select(
         F.log(n_tok.cast("double")).alias("x1"),
         rep.alias("x2"),
         F.when(clean != flip, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
-    )
+    ).localCheckpoint()
 
     beta = spark.sql(
         "SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,"

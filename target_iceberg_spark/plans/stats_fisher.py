@@ -122,11 +122,15 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", (F.col("user_id") % 2).cast("int").alias("arm"), "conv"
     )
+    # localCheckpoint: `panel` feeds cells, the row-number ladder AND
+    # (through lfact) nine broadcast-lookup builds — without it each
+    # build re-executes the corpus-sized groupBy + TakeOrdered
+    # (guide §2.4 duplicated-subtree rule; PANEL_K rows materialized).
     panel = (
         u.orderBy(F.md5(F.col("user_id").cast("string")))
         .limit(PANEL_K)
         .select("arm", "conv")
-    )
+    ).localCheckpoint()
     cells = panel.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("arm").cast("bigint").alias("r1"),
@@ -149,7 +153,7 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         panel.sparkSession.createDataFrame(
             [(0, 0.0)], "i BIGINT, lf DOUBLE"
         )
-    )
+    ).localCheckpoint()  # n+1 rows; reused by nine lookup joins
     kgrid = cells.select(
         "*",
         F.explode(

@@ -112,12 +112,18 @@ def agg_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     x = ev.select(F.col("value").alias("v"))
+    # localCheckpoint each 1-row parameter table (init and per EM
+    # step): without it the broadcast-build lineage COMPOUNDS — every
+    # E-step re-derives all previous iterations' moment passes, so the
+    # corpus-scan count grows with the iteration index instead of
+    # staying 2 per step (guide §2.4; the curation_domain_reweight
+    # EG-loop discipline).
     params = x.agg(
         F.round(F.expr("percentile(v, 0.25)"), 6).alias("mu1"),
         F.round(F.expr("percentile(v, 0.75)"), 6).alias("mu2"),
         F.round(F.var_samp("v"), 6).alias("s2"),
         F.lit(0.5).alias("w1"),
-    )
+    ).localCheckpoint()
     for _ in range(GMM_ITERS):
         r = x.crossJoin(F.broadcast(params)).select(
             "v",
@@ -129,7 +135,7 @@ def agg_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum((1 - F.col("g")) * F.col("v")) / F.sum(1 - F.col("g")), 6
             ).alias("mu2"),
-        )
+        ).localCheckpoint()
         params = (
             r.crossJoin(F.broadcast(means))
             .groupBy("w1", "mu1", "mu2")
@@ -146,6 +152,7 @@ def agg_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s2")
             )
             .select("w1", "mu1", "mu2", "s2")
+            .localCheckpoint()
         )
     return params.select(
         F.round(F.col("w1"), 6).alias("weight1"),
