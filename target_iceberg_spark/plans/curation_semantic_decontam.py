@@ -142,6 +142,12 @@ def curation_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/target_iceberg/sinks.py) has no query surface;
     this extends the curation suite per SURVEY.md §2B."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # The POOL side carries the query's dominant compute — |pool| x
+    # |eval| dot folds fused onto the scan stage — and this query never
+    # samples per partition (the reason embeddings is normally excluded
+    # from fanout), so the pool scan fans out; the eval side stays
+    # un-fanned (it is a broadcast build of ~|eval| rows).
+    emb_pool = load_table(spark, sf_dir, "embeddings", fanout=True)
     docs = load_table(spark, sf_dir, "documents")
 
     is_eval = (F.col("vec_id") < DECON_EVAL_ID_CAP) & md5_quarter(
@@ -153,7 +159,7 @@ def curation_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pool_real = (
-        emb.where(~is_eval)
+        emb_pool.where(~is_eval)
         .join(docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id")
         .select("vec_id", "source", to_double("embedding").alias("emb"))
     )

@@ -106,6 +106,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) is the cheap one-pass survivor policy; dedup_keep_best shows
     the quality-ranked variant."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # The assignment fold (N x K distance folds) and the unit-normalize
+    # fold are fused onto the single-split embeddings scan; no
+    # per-partition sampling on this path, so the compute-bearing scans
+    # fan out (guide §2.5). The centroid build stays un-fanned (K rows,
+    # broadcast side).
+    emb_fan = load_table(spark, sf_dir, "embeddings", fanout=True)
     cents = emb.where(F.col("vec_id") < SEM_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
@@ -118,12 +124,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = F.round(
         F.aggregate(diff_sq, F.lit(0.0), lambda acc, v: acc + v), 6
     )
+    # localCheckpoint: `assigned` feeds the pair join AND the final
+    # per-cluster size rollup — without it the N x K assignment fold
+    # re-executes per consumer (guide §2.4 duplicated-subtree rule).
     assigned = (
-        emb.crossJoin(F.broadcast(cents))
+        emb_fan.crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", d2.alias("d2"))
         .groupBy("vec_id")
         .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-    )
+    ).localCheckpoint()
     # Pre-normalize ONCE per vector (N folds) so the pair predicate is
     # a single dot fold instead of cosine's dot + two norms (3 folds
     # per pair — measured ~3x the arithmetic at sf0.1). And SALT the
@@ -136,9 +145,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nrm = F.sqrt(sq_norm("embedding"))
     unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
+    # localCheckpoint: `with_vec` is BOTH sides of the pair self-join —
+    # without it the normalize fold + assignment join execute twice.
     with_vec = assigned.join(
-        emb.select("vec_id", unit.alias("u")), "vec_id"
-    )
+        emb_fan.select("vec_id", unit.alias("u")), "vec_id"
+    ).localCheckpoint()
     a = with_vec.select(
         "cid",
         F.col("vec_id").alias("vid_a"),

@@ -89,11 +89,13 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # localCheckpoint: `capped` is BOTH sides of the wedge self-join —
+    # without it the adjacency/degree join executes twice (guide §2.4).
     capped = (
         adj.join(deg.withColumnRenamed("node", "nbr"), "nbr")
         .where(F.col("d") <= NJ_DEG_CAP)
         .select("node", "nbr")
-    )
+    ).localCheckpoint()
     x, y = capped.alias("x"), capped.alias("y")
     wedges = (
         x.join(y, (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node")))
