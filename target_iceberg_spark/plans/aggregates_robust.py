@@ -58,7 +58,11 @@ def agg_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the fact scan; pass 2 is one combinable aggregate. No
     global sort, no window — the textbook two-pass robust-aggregate
     plan."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fanout A/B (guide §2.5): the percentile pass ships every value to
+    # 3 flag-keyed buffers off a single-split scan; the second pass's
+    # broadcast-join + five-estimator fold is fused onto the same
+    # single-task scan.
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     # ONE percentile aggregate with an array of fractions: two
     # separate percentile(x, p) expressions each buffer and sort the
     # group's values independently (measured ~0.5 s of the query);

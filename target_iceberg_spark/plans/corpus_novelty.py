@@ -82,6 +82,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the per-doc frame (the one-row max-id aggregate
     broadcasts). At 100 TB the firsts table persists as the corpus
     first-seen index and incremental batches join against it."""
+    # fanout A/B'd round 13 and REJECTED (off 2.30 s -> on 2.61 s,
+    # 1.14x): the distinct's shuffle already spreads everything past
+    # the shingle stage, and both consumers pay the extra exchange.
     docs = load_table(spark, sf_dir, "documents")
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("t"))

@@ -97,6 +97,9 @@ def curation_split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: digest-only shuffles; train vocabulary is a distinct
     aggregate; one equi-join + per-doc ANY + per-source rollup."""
+    # fanout A/B'd round 13 and REJECTED (off 1.95 s -> on 1.95 s,
+    # flat): the train-gram distinct's shuffle already spreads the
+    # dominant work, so the extra exchange buys nothing.
     docs = load_table(spark, sf_dir, "documents")
     bucket = hex_int(F.md5(F.col("doc_id").cast("string"))).cast("bigint") % 100
     labeled = docs.select("doc_id", "source", "text", bucket.alias("bucket"))

@@ -94,7 +94,11 @@ def text_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the finisher is TakeOrderedAndProject. The corpus-wide suffix
     array this replaces is the part of Lee et al. that does NOT
     distribute."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fanout: the positional-gram pass (tokenize + 5-gram shingle +
+    # md5) is heavy narrow compute fused onto the single-split
+    # documents scan, and the grams subtree executes for the df pass
+    # and both alignment-join sides (guide §2.5).
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     t = docs.select("doc_id", tokens("text").alias("toks"))
     grams = t.select(
         "doc_id",

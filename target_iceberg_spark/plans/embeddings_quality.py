@@ -111,6 +111,9 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6 before ranking (the emb_kmeans discipline), s at 6,
     the means at 4 — sqrt is IEEE-exact so both engines see identical
     summands."""
+    # fanout A/B'd round 13 and REJECTED (off 1.51 s -> on 1.93 s,
+    # 1.28x): the N x K fold stages here are short relative to the
+    # many broadcast builds/joins, so the extra exchanges are loss.
     emb = load_table(spark, sf_dir, "embeddings")
     pos = emb.select("vec_id", F.posexplode("embedding").alias("p", "v"))
 

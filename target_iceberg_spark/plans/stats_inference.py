@@ -152,6 +152,9 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     value whose cumulative weight crosses q·total, picked with one
     conditional MIN — no second sort, stable under ties because every
     distinct value appears exactly once in the sweep."""
+    # fanout A/B'd round 13 and REJECTED (off 2.23 s -> on 4.09 s,
+    # 1.84x): the keyless repartition shuffles all 600k raw rows while
+    # the pre-aggregate's own exchange already spreads the sweep.
     li = load_table(spark, sf_dir, "lineitem")
     by_value = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("price")
@@ -224,6 +227,9 @@ def agg_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~2.5k days), never by shipment count. TakeOrderedAndProject
     finishes the top-{TOP_SUPPLIERS} report. This is the shape that
     survives 100 TB of shipment rows."""
+    # fanout A/B'd round 13 and REJECTED (off 2.21 s -> on 3.65 s,
+    # 1.65x): both union branches pay the keyless repartition while the
+    # per-day groupBy's exchange already spreads the sweep.
     li = load_table(spark, sf_dir, "lineitem")
     starts = li.select(
         "l_suppkey", F.col("l_shipdate").alias("d"), F.lit(1).alias("delta")
