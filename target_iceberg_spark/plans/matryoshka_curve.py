@@ -86,29 +86,45 @@ def sim_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding column itself never shuffles; recalls are combinable
     averages over {MC_PROBES} rows. Rank keys are sims ROUNDED to 9dp
     with vec_id tie-break, so every cut is engine-deterministic."""
+    # fanout A/B'd round 13 and REJECTED (0.96x wall but total stage
+    # CPU ballooned 2.2 -> 15.7 CPU-s: ~0.5 s fixed per-task
+    # broadcast/codegen init across 32 tasks — the sim_reciprocal_knn
+    # pathology).
     emb = load_table(spark, sf_dir, "embeddings")
+    from target_iceberg_spark.functions.vectors import dot, sq_norm
+
+    # Per-VECTOR squared norms for every prefix width, hoisted out of
+    # the per-(vector, probe) scoring expression: cosine() is
+    # dot/sqrt(sq_norm*sq_norm), so dividing the pair dot by
+    # sqrt(_n{d} * _pn{d}) is the IDENTICAL float expression — each
+    # vector's 4 norms compute once instead of once per probe.
+    def norms(col: str, prefix: str):
+        return [
+            sq_norm(F.slice(col, 1, d)).alias(f"{prefix}{d}")
+            for d in MC_PREFIXES
+        ] + [sq_norm(col).alias(f"{prefix}64")]
+
     probes = emb.where(F.col("vec_id") < MC_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p"),
+        *norms("embedding", "_pn"),
     )
-    c = emb.select("vec_id", "embedding")
-    from target_iceberg_spark.functions.vectors import cosine
+    c = emb.select("vec_id", "embedding", *norms("embedding", "_n"))
+
+    def sim(d: int) -> F.Column:
+        a = F.slice("embedding", 1, d) if d != 64 else F.col("embedding")
+        b = F.slice("p", 1, d) if d != 64 else F.col("p")
+        return F.round(
+            dot(a, b) / F.sqrt(F.col(f"_n{d}") * F.col(f"_pn{d}")), 9
+        )
 
     scored = (
         c.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            *[
-                F.round(
-                    cosine(
-                        F.slice("embedding", 1, d), F.slice("p", 1, d)
-                    ),
-                    9,
-                ).alias(f"s{d}")
-                for d in MC_PREFIXES
-            ],
-            F.round(cosine("embedding", "p"), 9).alias("s64"),
+            *[sim(d).alias(f"s{d}") for d in MC_PREFIXES],
+            sim(64).alias("s64"),
         )
     )
     def topflag(col: str) -> F.Column:
@@ -122,6 +138,11 @@ def sim_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[topflag(f"s{d}") for d in MC_PREFIXES],
         topflag("s64"),
     )
+    # localCheckpoint: the per-arm report aggregates below each re-ran
+    # the whole scored->windows->groupBy chain (three duplicated
+    # single-task corpus passes in the round-13 profile); per_probe is
+    # MC_PROBES rows, so materializing it makes the corpus pass run
+    # once (guide §2.4).
     per_probe = ranked.groupBy("probe_id").agg(
         *[
             (
@@ -134,7 +155,7 @@ def sim_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"r{d}")
             for d in MC_PREFIXES
         ]
-    )
+    ).localCheckpoint()
     arms = None
     for d in MC_PREFIXES:
         arm = per_probe.agg(
