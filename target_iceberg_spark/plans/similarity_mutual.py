@@ -19,7 +19,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from target_iceberg_spark.functions.vectors import (
-    cosine,
     cosine_sql,
     sign_bucket,
     sign_bucket_sql,
@@ -148,21 +147,40 @@ def sim_reciprocal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
+    # Per-VECTOR squared norms instead of per-PAIR: cosine() is
+    # dot/sqrt(sq_norm*sq_norm), so dividing the pair dot by
+    # sqrt(_na * _nb) is the IDENTICAL float expression — bit-exact,
+    # with 2 of the 3 array folds moved off the per-candidate stage
+    # (the embedding_band_pairs discipline).
+    from target_iceberg_spark.functions.vectors import dot, sq_norm
+
     ea = emb.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("va_vec")
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("va_vec"),
+        sq_norm("embedding").alias("_na"),
     )
     eb = emb.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("vb_vec")
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("vb_vec"),
+        sq_norm("embedding").alias("_nb"),
     )
+    # localCheckpoint: `scored` feeds BOTH symmetrization branches and
+    # `ranked` feeds BOTH reciprocity sides — without the two
+    # checkpoints the LSH candidate join + scoring executed up to 4x
+    # (guide §2.4); both tables are candidate-pair-sized.
     scored = (
         cand.join(ea, "va")
         .join(eb, "vb")
         .select(
             "va",
             "vb",
-            F.round(cosine("va_vec", "vb_vec"), 6).alias("cos_sim"),
+            F.round(
+                dot("va_vec", "vb_vec")
+                / F.sqrt(F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos_sim"),
         )
-    )
+    ).localCheckpoint()
     sym = scored.select(
         F.col("va").alias("src"), F.col("vb").alias("dst"), "cos_sim"
     ).unionAll(
@@ -171,7 +189,7 @@ def sim_reciprocal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
-    ranked = sym.withColumn("rn", F.row_number().over(w))
+    ranked = sym.withColumn("rn", F.row_number().over(w)).localCheckpoint()
     fwd = ranked.select("src", "dst", "cos_sim", F.col("rn").alias("rank_ab"))
     rev = ranked.select(
         F.col("src").alias("dst"),
