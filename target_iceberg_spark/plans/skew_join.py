@@ -6,6 +6,17 @@ reducers by replicating the dim. The oracle is the UNSALTED plain join
 — salting is a pure physical rewrite, so the result must hash-match
 exactly, which is itself the test that the rewrite is semantics-
 preserving.
+
+Fixture-scale cost note (round-13 audit of the r12 3.06x 10x-ratio
+watch item): salting's overhead is CONSTANT per query — the dim
+replicates 8x and the join shuffles (key, salt) instead of key — while
+its benefit scales with the hot key's row count. At sf0.01 the hottest
+user has ~40 events (salting is pure overhead, the measured 10x-ratio
+inflation); the crossover is where one user's rows exceed a single
+reducer's fair share (rows/shuffle-partitions) — at 100 TB a power-law
+hot user owns millions of rows and the 8-way spread is the difference
+between one straggler task and none. The sub-linear-looking ratio is
+therefore the fixture paying the constant, not a scale defect.
 """
 
 from __future__ import annotations
