@@ -109,11 +109,17 @@ def main() -> None:
         specs = {n: specs[n] for n in only}
     specs = {n: s for n, s in specs.items() if s.bench}
 
-    def run_once(spec) -> float:
-        # Full JVM GC before each timed run (outside the timed window):
+    def run_once(spec, gc: bool = True) -> float:
+        # Full JVM GC before each TIMED run (outside the timed window):
         # keeps one query's garbage from being charged to the next
-        # query's timing (round-4 post-mortem).
-        spark._jvm.System.gc()
+        # query's timing (round-4 post-mortem). Untimed restore runs
+        # pass gc=False — the timed run that follows still gets its own
+        # full GC, so timing comparability is unchanged while the sweep
+        # drops ~0.2 s x |queries| of dead wall-clock (round-13 budget
+        # fix, measured 0.13-0.25 s per System.gc() on the warm 48g
+        # heap).
+        if gc:
+            spark._jvm.System.gc()
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
@@ -149,7 +155,9 @@ def main() -> None:
                 continue
             try:
                 if not direction:
-                    run_once(spec)  # untimed: recompile + cache warm-up
+                    # untimed: recompile + cache warm-up (no GC — the
+                    # timed run below does its own full GC first)
+                    run_once(spec, gc=False)
                 sweep[name] = run_once(spec)
             except Exception as exc:
                 failed_set.add(name)
