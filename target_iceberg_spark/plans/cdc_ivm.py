@@ -154,10 +154,14 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.lit(1).alias("dc"), cents.alias("ds")
     )
     changelog = deleted.unionAll(upd_out).unionAll(upd_in).unionAll(ins)
+    # localCheckpoint: `delta` (changelog-group-sized) feeds the MV join
+    # AND the groups_with_delta count; without the cut each consumer
+    # re-ran the 4-branch changelog scan+groupBy (round-13 plan audit:
+    # 42 parquet scans in one query).
     delta = changelog.groupBy("o_custkey").agg(
         F.sum("dc").cast("bigint").alias("dc"),
         F.sum("ds").cast("bigint").alias("ds"),
-    )
+    ).localCheckpoint()
     m, d = mv0.alias("m"), delta.alias("d")
     mv1_inc = m.join(
         d, F.col("m.o_custkey") == F.col("d.o_custkey"), "full_outer"
@@ -165,7 +169,10 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("m.o_custkey", "d.o_custkey").alias("o_custkey"),
         (F.coalesce("m.c", F.lit(0)) + F.coalesce("d.dc", F.lit(0))).alias("c"),
         (F.coalesce("m.s", F.lit(0)) + F.coalesce("d.ds", F.lit(0))).alias("s"),
-    )
+    ).localCheckpoint()
+    # localCheckpoint: `mv1_inc` (MV-sized) has FOUR consumers (audit
+    # join, rows_after/cents_after rollup, groups_retired count, via
+    # mv1_live twice) — each re-ran the mv0 corpus groupBy + MV join.
     mv1_live = mv1_inc.where(F.col("c") > 0)
     v2 = (
         orders.where(k % 97 != 0)

@@ -179,6 +179,11 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("v")
         )
+        # localCheckpoint: the 2^k-row coalition table is consumed four
+        # times (vs/vsb join sides, bounds, total-via-phi); without the
+        # cut each consumer re-ran the corpus-sized per-user aggregates
+        # (round-13 plan audit: 20 scans / 82 exchanges in one plan).
+        .localCheckpoint()
     )
     chan = spark.sql(
         "SELECT * FROM VALUES "

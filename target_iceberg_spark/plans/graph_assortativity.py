@@ -81,23 +81,38 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the shared parquet artifact (plans/graph_edges.py), not a
     re-derived basket self-join."""
     edges = copurchase_edges(spark, sf_dir, ASSORT_SUPPORT)
+    # localCheckpoint: `deg` (node-sized combinable count) joins BOTH
+    # edge endpoints; without the cut each join side re-ran the
+    # endpoint union + groupBy over the artifact scan (round-13 plan
+    # audit: 10 scan nodes in one plan).
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     da = deg.select(F.col("node").alias("pa"), F.col("d").alias("dx"))
     db = deg.select(F.col("node").alias("pb"), F.col("d").alias("dy"))
     one_way = edges.join(da, "pa").join(db, "pb").select("dx", "dy")
-    ends = one_way.unionAll(
-        one_way.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    # The symmetrize union re-executed the whole degree-join chain per
+    # branch; the symmetrized moments are exact integer combinations of
+    # ONE pass over one_way (n = 2*n1, sx = SUM(dx)+SUM(dy),
+    # sxx = SUM(dx^2)+SUM(dy^2), sxy = 2*SUM(dx*dy)) — degrees are
+    # ints, so the sums are exact and the final doubles bit-identical.
+    m1 = one_way.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("dx").alias("sdx"),
+        F.sum("dy").alias("sdy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sdxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("sdyy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sdxy"),
     )
-    m = ends.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("dx").cast("double").alias("sx"),
-        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
-        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+    m = m1.select(
+        (F.col("n1") * 2).cast("double").alias("n"),
+        (F.col("sdx") + F.col("sdy")).cast("double").alias("sx"),
+        (F.col("sdxx") + F.col("sdyy")).cast("double").alias("sxx"),
+        (F.col("sdxy") * 2).cast("double").alias("sxy"),
     )
     return m.select(
         (F.col("n") / 2).cast("bigint").alias("n_edges"),

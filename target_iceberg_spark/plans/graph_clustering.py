@@ -86,7 +86,14 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    seeds = deg.orderBy(F.col("degree").desc(), "node").limit(CC_SEEDS)
+    # localCheckpoint: `seeds` (CC_SEEDS rows) feeds the wedge build
+    # AND the final report join — each re-derived the degree groupBy +
+    # top-k over the artifact scan (the graph_khop_reach cut).
+    seeds = (
+        deg.orderBy(F.col("degree").desc(), "node")
+        .limit(CC_SEEDS)
+        .localCheckpoint()
+    )
     a1 = adj.select(F.col("u").alias("node"), F.col("v").alias("x"))
     a2 = adj.select(F.col("u").alias("node"), F.col("v").alias("y"))
     wedges = (

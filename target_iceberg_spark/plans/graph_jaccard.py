@@ -88,7 +88,14 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
         edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # localCheckpoint: `deg` (node-sized combinable count) feeds the
+    # capped-center filter AND both endpoint broadcasts — each consumer
+    # re-ran the artifact scan + adjacency groupBy without the cut.
+    deg = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint()
+    )
     # localCheckpoint: `capped` is BOTH sides of the wedge self-join —
     # without it the adjacency/degree join executes twice (guide §2.4).
     capped = (

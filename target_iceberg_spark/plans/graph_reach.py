@@ -89,12 +89,22 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    seeds = deg.orderBy(F.col("degree").desc(), "node").limit(REACH_SEEDS)
+    # localCheckpoint: `seeds` (REACH_SEEDS rows) feeds hop1 AND the
+    # final report join; `hop1` (seeds x neighbors, bounded) feeds both
+    # hop2 branches, r1, and nothing else re-derives the adjacency +
+    # degree + top-k chain per consumer (round-13 plan audit: 32
+    # artifact scans in one query without the cuts).
+    seeds = (
+        deg.orderBy(F.col("degree").desc(), "node")
+        .limit(REACH_SEEDS)
+        .localCheckpoint()
+    )
     hop1 = (
         F.broadcast(seeds.select(F.col("node").alias("seed")))
         .join(adj, F.col("u") == F.col("seed"))
         .select("seed", F.col("v").alias("n1"))
         .distinct()
+        .localCheckpoint()
     )
     hop2 = (
         F.broadcast(hop1)
