@@ -82,12 +82,22 @@ def dsir_select(
         .cast("int")
         .alias("bucket"),
     )
-    tgt = grams.where("_t")
-    raw = grams.where(~F.col("_t"))
-    tcnt = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
-    rcnt = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tot = tgt.agg(F.count(F.lit(1)).alias("T")).crossJoin(
-        raw.agg(F.count(F.lit(1)).alias("R"))
+    # Pre-aggregate the gram stream ONCE to (doc_id, _t, bucket, c) and
+    # localCheckpoint it: tcnt/rcnt/T/R/docb are all exact integer
+    # re-aggregations of these counts, and without the cut each of the
+    # five consumers re-ran the corpus-sized tokenize + explode + md5
+    # (the text_nb_langid per-(doc,tok) pre-agg discipline).
+    dbc = (
+        grams.groupBy("doc_id", "_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tgt = dbc.where("_t")
+    raw = dbc.where(~F.col("_t"))
+    tcnt = tgt.groupBy("bucket").agg(F.sum("c").alias("tc"))
+    rcnt = raw.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tot = tgt.agg(F.sum("c").alias("T")).crossJoin(
+        raw.agg(F.sum("c").alias("R"))
     )
     lam = (
         rcnt.join(tcnt, "bucket", "left")
@@ -103,9 +113,7 @@ def dsir_select(
             ).alias("lam"),
         )
     )
-    docb = raw.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    docb = raw.select("doc_id", "bucket", "c")
     w = (
         docb.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")

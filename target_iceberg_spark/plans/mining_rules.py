@@ -88,7 +88,14 @@ def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = items.agg(
         F.countDistinct("l_orderkey").cast("double").alias("n_total")
     )
-    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    # localCheckpoint: `item_n` (|parts|-sized combinable count) joins
+    # BOTH rule endpoints — each join side re-ran the corpus-sized
+    # lineitem distinct without the cut (round-13 plan audit).
+    item_n = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .localCheckpoint()
+    )
     rules = pairs.select(
         F.col("pa").alias("antecedent"),
         F.col("pb").alias("consequent"),

@@ -101,10 +101,14 @@ def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv")
     ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    # localCheckpoint: the 2-row arm-count table is consumed four times
+    # (grid weight build, ca, cb) — without the cut each consumer
+    # re-ran the corpus-sized per-user conversion aggregate (round-13
+    # plan audit: 27 Exchanges in one plan).
     counts = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("conv").cast("bigint").alias("s"),
-    )
+    ).localCheckpoint()
     grid = spark.range(BAYES_GRID).select(
         F.col("id").alias("i"),
         ((F.col("id") + 0.5) / BAYES_GRID).alias("x"),
@@ -127,12 +131,13 @@ def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # localCheckpoint: `wn` (grid-sized) feeds both posterior arms.
     wn = norm.join(F.broadcast(z), "arm").select(
         "arm",
         "i",
         (F.col("w") / F.col("z")).alias("w"),
         F.sum(F.col("w") / F.col("z")).over(cum_w).alias("cum"),
-    )
+    ).localCheckpoint()
     a = wn.where(F.col("arm") == 0).select(
         F.col("i").alias("i"),
         (F.coalesce("cum", F.lit(0.0)) + 0.5 * F.col("w")).alias("cum_a"),

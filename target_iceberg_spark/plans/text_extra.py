@@ -59,15 +59,24 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(tokens("text").alias("_toks"))
     uni = toked.select(F.explode("_toks").alias("tok"))
-    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint both vocabulary-sized count tables: ucnt joins
+    # both bigram words AND supplies the unigram total; bcnt_all
+    # supplies the rule table AND the bigram total. The scalar totals
+    # are exact integer SUMs of the count tables (sum of per-type
+    # counts = occurrence count), so the corpus is tokenized exactly
+    # twice instead of four times (round-13 plan audit).
+    ucnt = (
+        uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     bg = toked.select(F.explode(ngrams_of("_toks", 2)).alias("bigram"))
-    bcnt = (
+    bcnt_all = (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .where(F.col("n_xy") >= PMI_MIN_COUNT)
+        .localCheckpoint()
     )
-    tot = uni.agg(F.count(F.lit(1)).alias("w")).crossJoin(
-        bg.agg(F.count(F.lit(1)).alias("b"))
+    bcnt = bcnt_all.where(F.col("n_xy") >= PMI_MIN_COUNT)
+    tot = ucnt.agg(F.sum("c").alias("w")).crossJoin(
+        bcnt_all.agg(F.sum("n_xy").alias("b"))
     )
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     w2 = F.split(F.col("bigram"), " ").getItem(1)
