@@ -85,12 +85,15 @@ def profile_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id with the IDENTICAL double expression, so edge values
     bucket identically."""
     orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    # localCheckpoint: the 1-row min/width frame is broadcast into both
+    # the histogram build and the estimate fold — each consumer re-ran
+    # the full-column min/max aggregate without the cut.
     mm = orders.agg(
         F.min("o_totalprice").alias("lo"),
         (
             (F.max("o_totalprice") - F.min("o_totalprice")) / SEL_BUCKETS
         ).alias("w"),
-    )
+    ).localCheckpoint()
     hist = (
         orders.crossJoin(F.broadcast(mm))
         .groupBy(
