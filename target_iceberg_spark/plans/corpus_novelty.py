@@ -199,8 +199,14 @@ def text_zipf_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank_w")
     )
-    freq = draws.groupBy("rank_w").agg(
-        F.count(F.lit(1)).cast("double").alias("cnt")
+    # localCheckpoint (round 13): freq (≤ ZIPF_V rows) feeds THREE
+    # consumers — the rank/fit chain, the vocab count, and (after the
+    # rewrite below) the token total — and each re-ran the corpus
+    # tokenize + md5 + exp draw. One corpus pass now feeds all three.
+    freq = (
+        draws.groupBy("rank_w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .localCheckpoint()
     )
     ranked = freq.select(
         "cnt",
@@ -211,7 +217,13 @@ def text_zipf_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = ranked.where(F.col("rnk") <= ZIPF_TOP).select(
         F.log("rnk").alias("x"), F.log("cnt").alias("y")
     )
-    n_tokens = draws.agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    # n_tokens = SUM of the per-rank counts — the identical integer to
+    # counting the draws (each cnt is an exact-integer double and the
+    # total stays far below 2^53, so the double sum is exact) — read
+    # from the checkpointed freq instead of a second corpus pass.
+    n_tokens = freq.agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens")
+    )
     vocab = freq.agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
     return (
         fit.agg(

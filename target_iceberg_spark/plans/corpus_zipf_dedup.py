@@ -199,6 +199,13 @@ def text_winnowing_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda p: F.array_min(F.slice(grams, p, ZWIN_W)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # Round-13 ckpt A/Bs, both REJECTED (alternating fresh-JVM mins):
+    # a full fps checkpoint cost +0.7 s (the corpus-fingerprint-sized
+    # materialization outweighs the re-executed parallel transform),
+    # and a dfh-only checkpoint cost +0.8 s — the groupBy(h) exchange
+    # is already REUSED between the census and the rare band, so the
+    # eager checkpoint job was pure overhead on top of a shuffle that
+    # materializes once anyway. The plan stays as written.
     fps = gdf.select(
         "doc_id", F.explode(F.array_distinct(wmins)).alias("h")
     )
@@ -302,27 +309,42 @@ def text_dup_ngram_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.array_join(F.slice(ws, i, ZDUP_N), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = seq.select(
-        "doc_id", "source", F.explode(gram_arr).alias("g")
+    # Pre-aggregate the gram stream ONCE to (doc, source, g, c) and
+    # localCheckpoint it (round 13, the curation_dsir discipline):
+    # gram_docs and the per-doc scoring join both consumed the raw
+    # occurrence stream, so the md5 gram transform + explode over the
+    # checkpointed ws arrays ran TWICE. Every downstream number is an
+    # exact integer re-aggregation of the counts: nd = COUNT(*) over
+    # the distinct (doc, g) rows, occurrence totals = SUM(c) — the
+    # fractions divide the identical integers, so results are
+    # bit-exact (parity-verified at sf0.01 and sf0.1).
+    gcnt = (
+        seq.select("doc_id", "source", F.explode(gram_arr).alias("g"))
+        .groupBy("doc_id", "source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    gram_docs = grams.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    gram_docs = gcnt.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     per_doc = (
-        grams.join(gram_docs, "g")
+        gcnt.join(gram_docs, "g")
         .groupBy("doc_id", "source")
         .agg(
             (
-                F.count(
+                F.sum(
                     F.when(
-                        (F.col("nd") > 1) & (F.col("nd") <= ZDUP_BOIL_CAP), 1
-                    )
+                        (F.col("nd") > 1) & (F.col("nd") <= ZDUP_BOIL_CAP),
+                        F.col("c"),
+                    ).otherwise(F.lit(0))
                 ).cast("double")
-                / F.count(F.lit(1))
+                / F.sum("c")
             ).alias("dup_frac"),
             (
-                F.count(F.when(F.col("nd") > ZDUP_BOIL_CAP, 1)).cast("double")
-                / F.count(F.lit(1))
+                F.sum(
+                    F.when(F.col("nd") > ZDUP_BOIL_CAP, F.col("c")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("c")
             ).alias("boiler_frac"),
         )
     )

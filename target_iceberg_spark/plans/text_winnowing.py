@@ -103,10 +103,17 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.count(F.lit(1)).over(by_doc).alias("n_grams"),
     )
+    # localCheckpoint (round 13): fps feeds THREE consumers (the df
+    # valve + both sides of the pair self-join); without the cut each
+    # re-ran the scan->tokenize->window->distinct lineage. The
+    # materialized table is doc x fingerprint digests at the paper's
+    # ~2/(w+1) density — bounded — while every removed re-execution
+    # is a full corpus pass at 100 TB.
     fps = (
         wmins.where(F.col("p") <= F.col("n_grams") - WIN_W)
         .select("doc_id", "h")
         .distinct()
+        .localCheckpoint()
     )
     rare = (
         fps.groupBy("h")
