@@ -287,6 +287,10 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Retained as documentation: the SQL form the round-14 DataFrame
+# restructure of events_funnel_windowed mirrors bit-for-bit (the four
+# scalar subqueries each re-executed the stage CTEs — see the builder
+# docstring). No longer executed.
 FUNNEL_WINDOWED_SPARK_SQL = """
 WITH s AS (
     SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
@@ -368,7 +372,60 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous-stage timestamp, NOT a range join or a per-user sort.
     Latency is the exact integer mean of µs deltas (decimal sum +
     integer div, the events_interarrival convention) so both engines
-    agree bit-for-bit; the final 1-row report crosses four scalar
-    subqueries."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(FUNNEL_WINDOWED_SPARK_SQL)
+    agree bit-for-bit.
+
+    Round-14 restructure (guide §2.4; r13 verdict task 6): the pinned
+    SQL form computed the 1-row report as FOUR scalar subqueries, each
+    re-executing the user-sized stage CTEs (20 events scans in the
+    physical plan — Catalyst does no cross-branch CSE on subquery
+    subtrees). Now the three stage tables build once (s and c
+    localCheckpoint — each feeds the next stage AND the final report;
+    p is consumed once), and the report is ONE aggregate over
+    s ⟕ c ⟕ p: because c ⊆ s and p ⊆ c by construction (each stage is
+    keyed by user_id and derived from the previous), COUNT(c_ts) /
+    COUNT(p_ts) over the left-joined frame are the identical integers
+    to COUNT(*) of the stage tables, and the conv CTE is exactly the
+    p_ts-non-null rows. The mean uses the same decimal-sum + `div` +
+    bigint-cast expression as the SQL form — bit-identical output
+    (oracle unchanged; parity re-verified at sf0.01 and sf0.1; the
+    SUM over zero converted users is NULL div 0 = NULL in both
+    forms). Three events scans (one per stage, event_type pushed)
+    instead of twenty."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    win = F.expr("INTERVAL 48 HOURS")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint()
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where((F.col("ts") > F.col("s_ts")) & (F.col("ts") <= F.col("s_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint()
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signup"),
+            F.count("c_ts").cast("bigint").alias("n_click_48h"),
+            F.count("p_ts").cast("bigint").alias("n_purchase_48h"),
+            F.expr(
+                "CAST(SUM(CAST(unix_micros(p_ts) - unix_micros(s_ts)"
+                " AS DECIMAL(38,0))) div COUNT(p_ts) AS BIGINT)"
+            ).alias("avg_conv_us"),
+        )
+    )

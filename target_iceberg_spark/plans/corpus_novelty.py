@@ -221,8 +221,12 @@ def text_zipf_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counting the draws (each cnt is an exact-integer double and the
     # total stays far below 2^53, so the double sum is exact) — read
     # from the checkpointed freq instead of a second corpus pass.
+    # coalesce(..., 0): SUM over an empty table is NULL where the
+    # original COUNT(*) (and the DuckDB oracle) returns 0 — the
+    # coalesce preserves COUNT semantics on an empty corpus (ADVICE
+    # r13; non-empty results are unchanged).
     n_tokens = freq.agg(
-        F.sum("cnt").cast("bigint").alias("n_tokens")
+        F.coalesce(F.sum("cnt"), F.lit(0.0)).cast("bigint").alias("n_tokens")
     )
     vocab = freq.agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
     return (

@@ -318,6 +318,14 @@ def text_dup_ngram_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct (doc, g) rows, occurrence totals = SUM(c) — the
     # fractions divide the identical integers, so results are
     # bit-exact (parity-verified at sf0.01 and sf0.1).
+    # INVARIANT (ADVICE r13): nd = COUNT(*) over (doc_id, source, g)
+    # groups equals the oracle's COUNT(DISTINCT doc_id) per g ONLY
+    # because doc_id is the documents table's primary key, so
+    # doc_id -> source is functional and (doc_id, source, g) groups
+    # are 1:1 with (doc_id, g) groups. One row per doc_id holds in
+    # every fixture (FIXTURES.md §A: documents is one row per
+    # document); a corpus with duplicate doc_ids would need gcnt
+    # grouped by (doc_id, g) with source carried via first() instead.
     gcnt = (
         seq.select("doc_id", "source", F.explode(gram_arr).alias("g"))
         .groupBy("doc_id", "source", "g")

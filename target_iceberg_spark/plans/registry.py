@@ -335,45 +335,45 @@ def _load_all() -> None:
 
 
 # Hoisted to the front of the registry (ahead of module import order):
-# queries with NO current external driver evidence. Round 12 closed
-# 50/50 green with an empty post-window set, so round 13 starts with a
-# fully free window: the hoist leads with round-13 work that changes a
-# previously-green query's output, then brand-new round-13 queries
-# appended as each lands; the spare slots go to EVIDENCE FRESHNESS —
-# the 20 rows whose newest driver evidence dates to r02, then the 19
-# r03 rows, then the oldest r04 rows to fill. Overflow past 50 goes to
-# NEW_IN_R13_POST_WINDOW. Everything with a prior driver-green row
-# (CORRECTNESS_r01–r12) rotates behind. The evidence ledger lives in
+# queries with NO current external driver evidence. Round 13 closed
+# 49/50 green (the one non-green was sim_ann_lsh, `no_oracle` BY
+# DESIGN — a rows-only arm the driver cannot hash) with an empty
+# post-window set, so round 14 starts with a fully free window. Round
+# 14 is an optimization round with NO output changes and NO new
+# queries, so all 50 slots go to EVIDENCE FRESHNESS — the 22
+# oracle-backed rows whose newest driver evidence dates to r04, then
+# the 28 alphabetically-first oracle-backed r05 rows as fill.
+# ROWS-ONLY (oracle=None) entries are EXCLUDED from the window from
+# round 14 on (VERDICT r13 task 2): the driver cannot hash them, so a
+# window slot spent on one is wasted — their evidence is the dedicated
+# bound/recall pytest coverage plus their historical rows-only rows.
+# Everything with a prior driver-green row (CORRECTNESS_r01–r13)
+# rotates behind. The evidence ledger lives in
 # tests/test_registry_window.py.
 _HOIST: tuple[str, ...] = (
-    # -- round-13 plan/output changes (driver evidence owed) ----------
-    "lakehouse_wap_audit",  # r13 ADVICE fix: row_count_drift observed
-    # ratio now uses the portable FLOOR rounding form in both engines
-    # -- new in round 13 (appended as each lands; evicts freshness
-    #    entries from the END of the r04 block below) -----------------
-    "curation_semantic_decontam",  # embedding-level eval decontam
     # -- evidence-freshness rotation (already green; newest driver row
-    #    = r02 — the 12 entries queued from round 12 plus the 8 evicted
-    #    from its tail) ----------------------------------------------
-    "stream_tumbling", "subquery_exists", "subquery_in",
-    "subquery_not_in", "text_decontaminate", "text_fingerprint",
-    "text_langid", "text_ngram_topk", "text_quality", "text_repetition",
-    "text_tfidf", "text_tokens", "text_tokens_regex", "udf_grouped_agg",
-    "udf_scalar", "win_count_distinct", "win_first_last", "win_lag",
-    "win_rank", "win_running_sum",
-    # -- evidence-freshness rotation (newest driver row = r03) --------
-    "curation_mix_temperature", "curation_quality_resample",
-    "dedup_minhash_capped", "events_transitions", "multimodal_decode",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity", "q19_disjunctive", "q7_volume_shipping",
-    "q8_market_share", "scan_csv", "scan_jsonl", "sim_ann_lsh",
-    "stream_join_left", "text_hashing_vectorizer", "text_pmi_bigrams",
-    "text_scrub",
-    # -- evidence-freshness fill (newest driver row = r04; evict from
-    #    the END first when a round-13 query needs the slot) ----------
-    "agg_argmax", "agg_boolean", "agg_heavy_hitters", "agg_mom_growth",
-    "agg_regression", "curation_neardup_pipeline", "curation_split",
-    "dedup_containment", "dedup_incremental",
+    #    = r04 — every oracle-backed r04-newest entry) ----------------
+    "dedup_minhash_estimate", "emb_centroid_classify", "emb_kmeans",
+    "emb_quantize_int8", "events_scd2", "fn_bitwise", "fn_interval",
+    "fn_map", "fn_unpivot", "join_null_safe", "multimodal_resize",
+    "profile_columns", "profile_fk_integrity", "scan_orc",
+    "scan_partitioned", "scan_range", "set_ops_all", "sim_ann_rp_batch",
+    "subquery_lateral", "text_perplexity", "text_vocab_coverage",
+    "win_cumulative_share",
+    # -- evidence-freshness fill (newest driver row = r05; evict from
+    #    the END first when a round-14 query needs the slot). Includes
+    #    events_funnel_windowed, whose round-14 restructure keeps the
+    #    output bit-identical (oracle unchanged) — its fresh driver row
+    #    re-proves the equivalence externally. -----------------------
+    "agg_bitmap_distinct", "agg_copurchase", "agg_corr_matrix",
+    "agg_listagg", "cdc_apply_changelog", "cdc_snapshot_diff",
+    "curation_neardup_keepbest", "dedup_keep_best", "dedup_url",
+    "emb_norm_stats", "events_funnel_windowed", "events_gapfill",
+    "events_ohlc", "events_rfm", "events_time_weighted",
+    "events_window_topk", "fn_url", "fn_variant", "graph_also_bought",
+    "graph_triangles", "join_bucketed", "join_shuffle_hash",
+    "multimodal_dedup", "profile_drift_psi", "profile_moments",
+    "rollup_incremental", "sample_weighted", "scan_binaryfile",
 )
 
 

@@ -5,24 +5,25 @@ encodes the evidence ledger (updated each round from CORRECTNESS_r*)
 and fails if a registry edit accidentally rotates an unverified query
 out of the window.
 
-ROUND-14 NOTE — do these IN ORDER before registering any new query:
-  1. Fold CORRECTNESS_r13 into this ledger (every green row moves
-     from NEW_IN_R13 into a new ROUND13_GREEN set; any FAIL stays
+ROUND-15 NOTE — do these IN ORDER before registering any new query:
+  1. Fold CORRECTNESS_r14 into this ledger (every green row moves
+     from NEW_IN_R14 into a new ROUND14_GREEN set; any FAIL stays
      hoisted).
-  2. Rebuild registry._HOIST for round 14: any r13 FAILs first, then
-     whatever is in NEW_IN_R13_POST_WINDOW, then round-14 work that
-     changes outputs, then brand-new round-14 queries.
-  3. Spare window slots go to EVIDENCE FRESHNESS: hoist the queries
-     whose newest driver row is oldest — after round 13 that is the
-     r04 remainder (the 33 r04-newest rows minus the 10 hoisted as
-     round-13 fill, plus any evicted from the round-13 tail for new
-     queries), then the round-5 rows — so no entry's newest driver
-     row ages past ~6 rounds. Compute the queue from this ledger
-     (newest round per name), don't trust prose counts.
-  4. Round-14's own new queries fill whatever window slots remain
+  2. Rebuild registry._HOIST for round 15: any r14 FAILs first, then
+     whatever is in NEW_IN_R14_POST_WINDOW, then round-15 work that
+     changes outputs, then brand-new round-15 queries.
+  3. Spare window slots go to EVIDENCE FRESHNESS: hoist the
+     ORACLE-BACKED queries whose newest driver row is oldest — after
+     round 14 that is the r05 remainder, then the r06 rows — so no
+     entry's newest driver row ages past ~6 rounds. Compute the queue
+     from this ledger (newest round per name), don't trust prose
+     counts. ROWS-ONLY (oracle=None) entries stay OUT of the window
+     (round-14 rule, from the r13 verdict: the driver cannot hash
+     them, so the slot is wasted — sim_ann_lsh burned one in r13).
+  4. Round-15's own new queries fill whatever window slots remain
      after the hoist (evict refresh entries from the END of the hoist
      if a new query needs the slot); overflow goes straight into a
-     NEW_IN_R14_POST_WINDOW set rather than competing for the window,
+     NEW_IN_R15_POST_WINDOW set rather than competing for the window,
      and this file's tests enforce both bookkeeping steps.
 """
 
@@ -583,10 +584,71 @@ NEW_IN_R13 = {
 # for the round-14 hoist.
 NEW_IN_R13_POST_WINDOW: set[str] = set()
 
+# Driver rows from round 13 (CORRECTNESS_r13.json: 49/50 hash-green —
+# the full NEW_IN_R13 hoist minus sim_ann_lsh, whose slot produced
+# `no_oracle` BY DESIGN (rows-only arm, 2322 rows returned; its
+# standing remains the r02/r03 rows-only rows + dedicated recall
+# pytest coverage). 0 FAILs.)
+ROUND13_GREEN = {
+    "agg_argmax", "agg_boolean", "agg_heavy_hitters", "agg_mom_growth",
+    "agg_regression", "curation_mix_temperature",
+    "curation_neardup_pipeline", "curation_quality_resample",
+    "curation_semantic_decontam", "curation_split", "dedup_containment",
+    "dedup_incremental", "dedup_minhash_capped", "events_transitions",
+    "lakehouse_wap_audit", "multimodal_decode",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity", "q19_disjunctive", "q7_volume_shipping",
+    "q8_market_share", "scan_csv", "scan_jsonl", "stream_join_left",
+    "stream_tumbling", "subquery_exists", "subquery_in",
+    "subquery_not_in", "text_decontaminate", "text_fingerprint",
+    "text_hashing_vectorizer", "text_langid", "text_ngram_topk",
+    "text_pmi_bigrams", "text_quality", "text_repetition", "text_scrub",
+    "text_tfidf", "text_tokens", "text_tokens_regex", "udf_grouped_agg",
+    "udf_scalar", "win_count_distinct", "win_first_last", "win_lag",
+    "win_rank", "win_running_sum",
+}
+
+# Round-14 hoist == registry._HOIST at every commit. Composition (per
+# the round-14 procedure note above, executed this round): no r13
+# FAILs, an empty r13 post-window set, no round-14 output changes and
+# no new queries (optimization round), so all 50 slots are EVIDENCE-
+# FRESHNESS rotation — the 22 oracle-backed rows whose newest driver
+# row is r04, then the 28 alphabetically-first oracle-backed r05 rows.
+# Rows-only (oracle=None) entries are excluded from the window from
+# this round on (r13 verdict task 2). events_funnel_windowed (an r05
+# freshness entry) was restructured this round with bit-identical
+# output — its fresh driver row re-proves the equivalence externally.
+NEW_IN_R14 = {
+    # -- evidence-freshness rotation: newest driver row = r04 ---------
+    "dedup_minhash_estimate", "emb_centroid_classify", "emb_kmeans",
+    "emb_quantize_int8", "events_scd2", "fn_bitwise", "fn_interval",
+    "fn_map", "fn_unpivot", "join_null_safe", "multimodal_resize",
+    "profile_columns", "profile_fk_integrity", "scan_orc",
+    "scan_partitioned", "scan_range", "set_ops_all", "sim_ann_rp_batch",
+    "subquery_lateral", "text_perplexity", "text_vocab_coverage",
+    "win_cumulative_share",
+    # -- evidence-freshness fill: newest driver row = r05 -------------
+    "agg_bitmap_distinct", "agg_copurchase", "agg_corr_matrix",
+    "agg_listagg", "cdc_apply_changelog", "cdc_snapshot_diff",
+    "curation_neardup_keepbest", "dedup_keep_best", "dedup_url",
+    "emb_norm_stats", "events_funnel_windowed", "events_gapfill",
+    "events_ohlc", "events_rfm", "events_time_weighted",
+    "events_window_topk", "fn_url", "fn_variant", "graph_also_bought",
+    "graph_triangles", "join_bucketed", "join_shuffle_hash",
+    "multimodal_dedup", "profile_drift_psi", "profile_moments",
+    "rollup_incremental", "sample_weighted", "scan_binaryfile",
+}
+
+# Registered AFTER the round-14 window filled: no driver row yet BY
+# DESIGN — covered by local property/parity tests and first in line
+# for the round-15 hoist.
+NEW_IN_R14_POST_WINDOW: set[str] = set()
+
 GREEN = (
     ROUND1_GREEN | ROUND2_GREEN | ROUND3_GREEN | ROUND4_GREEN
     | ROUND5_GREEN | ROUND6_GREEN | ROUND7_GREEN | ROUND8_GREEN
     | ROUND9_GREEN | ROUND10_GREEN | ROUND11_GREEN | ROUND12_GREEN
+    | ROUND13_GREEN
 )
 
 
@@ -596,7 +658,7 @@ def test_unverified_queries_inside_checker_window():
     outside = [
         n
         for n in names[WINDOW:]
-        if n not in GREEN and n not in NEW_IN_R13_POST_WINDOW
+        if n not in GREEN and n not in NEW_IN_R14_POST_WINDOW
     ]
     assert not outside, (
         f"queries without current driver-green evidence rotated out of "
@@ -605,9 +667,9 @@ def test_unverified_queries_inside_checker_window():
 
 
 def test_unevidenced_queries_are_hoisted():
-    assert set(NEW_IN_R13) == set(_HOIST)
+    assert set(NEW_IN_R14) == set(_HOIST)
     names = list(all_specs())[:WINDOW]
-    missing = set(NEW_IN_R13) - set(names)
+    missing = set(NEW_IN_R14) - set(names)
     assert not missing, f"unevidenced queries outside the window: {missing}"
 
 
@@ -619,9 +681,22 @@ def test_hoist_fits_checker_window():
     )
 
 
+def test_no_rows_only_entries_in_window():
+    # r13 verdict task 2: a rows-only (oracle=None) query in the
+    # first-50 window produces a `no_oracle` driver row — a wasted
+    # slot. The window must be oracle-backed end to end.
+    specs = all_specs()
+    names = list(specs)[:WINDOW]
+    rows_only = [n for n in names if specs[n].oracle is None]
+    assert not rows_only, (
+        f"rows-only (oracle=None) queries occupy checker-window slots "
+        f"the driver cannot hash: {rows_only}"
+    )
+
+
 def test_every_registered_query_has_ledger_standing():
     # Every query is either previously driver-green or hoisted this
     # round — nothing can be registered without ledger bookkeeping.
     names = set(all_specs())
-    unaccounted = names - GREEN - set(NEW_IN_R13) - NEW_IN_R13_POST_WINDOW
+    unaccounted = names - GREEN - set(NEW_IN_R14) - NEW_IN_R14_POST_WINDOW
     assert not unaccounted, f"queries missing from the evidence ledger: {unaccounted}"
