@@ -138,10 +138,17 @@ def main() -> None:
     specs = {n: s for n, s in specs.items() if s.bench}
 
     def run_once(spec, gc: bool = True) -> float:
-        # Full JVM GC before each TIMED run (outside the timed window):
+        # Full JVM GC before a timed run (outside the timed window):
         # keeps one query's garbage from being charged to the next
-        # query's timing (round-4 post-mortem; measured 0.13-0.25 s per
-        # System.gc() on the warm 48g heap).
+        # query's timing (round-4 post-mortem; measured 0.13-0.32 s per
+        # System.gc() on the warm heap). The fused forward pass GCs
+        # once per query, before the COLD run — the warm-1 sample that
+        # immediately follows the same query's cold run passes gc=False
+        # (the only garbage in the JVM is that query's own; collecting
+        # it mid-sample is one-directional inflation the per-query min
+        # discards whenever the reverse sweep — full GC discipline —
+        # runs). Measured ~130 s of the 415 s per-run bookkeeping
+        # overhead, round-14 budget fix.
         if gc:
             spark._jvm.System.gc()
         t0 = time.perf_counter()
@@ -167,7 +174,7 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             continue
         try:
-            sweep1[name] = run_once(spec)
+            sweep1[name] = run_once(spec, gc=False)
         except Exception as exc:
             failed_set.add(name)
             print(f"bench: {name} FAILED (warm): {exc}", file=sys.stderr)
