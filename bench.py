@@ -271,12 +271,14 @@ def main() -> None:
         remaining = budget_sec - elapsed
         annex_est = 90.0 + 3.0 * sum(max(times.get(n, 0.0), 0.0) for n in movers)
         if remaining < annex_est + 60.0:
-            print(
-                f"bench: spread {spread_pct}% > {spread_gate}% but movers "
-                f"annex skipped — est {annex_est:.0f}s exceeds remaining "
-                f"budget {remaining:.0f}s of {budget_sec:.0f}s",
-                file=sys.stderr,
-            )
+            # Round-14 fallback: the fresh-JVM subprocess does not fit,
+            # but a third IN-SESSION timing of each mover (GC + one
+            # timed run, at yet another session position) usually does
+            # — min-of-3 still separates a sustained contention window
+            # (the re-time recovers) from a plan regression (it
+            # doesn't), at ~1/5 the cost. Cleanest-arm isolation still
+            # needs a fresh JVM; the mode field says which ran.
+            retime_est = sum(max(warm.get(n, 0.0), 0.0) for n in movers) + 5.0
             movers_annex = {
                 "movers": movers,
                 "in_session_sweep_delta": {n: d for d, n in deltas[:10]},
@@ -284,6 +286,31 @@ def main() -> None:
                 "annex_est_sec": round(annex_est, 1),
                 "remaining_budget_sec": round(remaining, 1),
             }
+            if remaining >= retime_est + 60.0:
+                print(
+                    f"bench: spread {spread_pct}% > {spread_gate}% — "
+                    f"fresh-JVM annex over budget (est {annex_est:.0f}s "
+                    f"+ 60s margin vs {remaining:.0f}s left); in-session "
+                    f"re-time of movers instead: {','.join(movers)}",
+                    file=sys.stderr,
+                )
+                retimed: dict[str, float] = {}
+                for n in movers:
+                    try:
+                        retimed[n] = run_once(specs[n])
+                    except Exception:  # annex must never kill the bench
+                        break
+                movers_annex["mode"] = "in_session_retime"
+                movers_annex["retime_warm"] = retimed
+                del movers_annex["movers_skipped"]
+            else:
+                print(
+                    f"bench: spread {spread_pct}% > {spread_gate}% but "
+                    f"movers annex skipped — est {annex_est:.0f}s exceeds "
+                    f"remaining budget {remaining:.0f}s of "
+                    f"{budget_sec:.0f}s",
+                    file=sys.stderr,
+                )
         else:
             print(
                 f"bench: spread {spread_pct}% > {spread_gate}% — isolated "
